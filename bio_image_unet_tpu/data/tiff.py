@@ -1,0 +1,398 @@
+"""Minimal, dependency-free TIFF codec with streaming multipage read/write.
+
+The reference uses ``tifffile`` for all image I/O (e.g. bio_image_unet/unet/data.py,
+unet/predict.py:64, siam_unet/predict.py:79-123).  This module provides the same
+capabilities the reference actually exercises, implemented directly on the TIFF 6.0
+container format:
+
+- grayscale / multi-sample (HWC) pages,
+- uint8/16/32, int8/16/32, float16/32/64 sample formats (the reference writes
+  float16 results via ``save_as_tif``, utils/utils.py:8-22),
+- multipage stacks,
+- raw or zlib/deflate compressed strips,
+- **streaming** page-at-a-time reading (``TiffReader``) and appending
+  (``TiffWriter``) with bounded memory, matching the reference's streaming movie
+  predictor (siam_unet/predict.py:102-123: ``TiffFile`` page iteration +
+  ``TiffWriter(..., contiguous=True)``).
+
+For exotic files (LZW, tiled, predictors) :func:`imread` falls back to
+imageio/PIL when available.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import struct
+import zlib
+from typing import BinaryIO, Iterator, List, Optional, Tuple, Union
+
+import numpy as np
+
+# --- TIFF tag ids -----------------------------------------------------------
+TAG_IMAGE_WIDTH = 256
+TAG_IMAGE_LENGTH = 257
+TAG_BITS_PER_SAMPLE = 258
+TAG_COMPRESSION = 259
+TAG_PHOTOMETRIC = 262
+TAG_STRIP_OFFSETS = 273
+TAG_SAMPLES_PER_PIXEL = 277
+TAG_ROWS_PER_STRIP = 278
+TAG_STRIP_BYTE_COUNTS = 279
+TAG_PLANAR_CONFIG = 284
+TAG_PREDICTOR = 317
+TAG_SAMPLE_FORMAT = 339
+
+TYPE_SHORT = 3  # uint16
+TYPE_LONG = 4  # uint32
+
+COMPRESSION_NONE = 1
+COMPRESSION_DEFLATE_OLD = 32946
+COMPRESSION_DEFLATE = 8
+
+SAMPLEFORMAT_UINT = 1
+SAMPLEFORMAT_INT = 2
+SAMPLEFORMAT_IEEEFP = 3
+
+_DTYPE_TO_FORMAT = {
+    np.dtype(np.uint8): (8, SAMPLEFORMAT_UINT),
+    np.dtype(np.uint16): (16, SAMPLEFORMAT_UINT),
+    np.dtype(np.uint32): (32, SAMPLEFORMAT_UINT),
+    np.dtype(np.int8): (8, SAMPLEFORMAT_INT),
+    np.dtype(np.int16): (16, SAMPLEFORMAT_INT),
+    np.dtype(np.int32): (32, SAMPLEFORMAT_INT),
+    np.dtype(np.float16): (16, SAMPLEFORMAT_IEEEFP),
+    np.dtype(np.float32): (32, SAMPLEFORMAT_IEEEFP),
+    np.dtype(np.float64): (64, SAMPLEFORMAT_IEEEFP),
+}
+
+_FORMAT_TO_DTYPE = {
+    (8, SAMPLEFORMAT_UINT): np.uint8,
+    (16, SAMPLEFORMAT_UINT): np.uint16,
+    (32, SAMPLEFORMAT_UINT): np.uint32,
+    (8, SAMPLEFORMAT_INT): np.int8,
+    (16, SAMPLEFORMAT_INT): np.int16,
+    (32, SAMPLEFORMAT_INT): np.int32,
+    (16, SAMPLEFORMAT_IEEEFP): np.float16,
+    (32, SAMPLEFORMAT_IEEEFP): np.float32,
+    (64, SAMPLEFORMAT_IEEEFP): np.float64,
+}
+
+
+class TiffFormatError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# Writer
+# ---------------------------------------------------------------------------
+
+
+class TiffWriter:
+    """Streaming multipage TIFF writer (little-endian, one strip per page).
+
+    Pages are appended one at a time with bounded memory: each ``write`` call
+    emits the page's pixel data and IFD and back-patches the previous IFD's
+    next-pointer — the file is valid after every call.  This reproduces the
+    reference's streaming movie output (siam_unet/predict.py:102,123).
+    """
+
+    def __init__(self, path: Union[str, os.PathLike, BinaryIO], compress: Optional[int] = None):
+        if hasattr(path, "write"):
+            self._fh: BinaryIO = path  # type: ignore[assignment]
+            self._owns = False
+        else:
+            self._fh = open(path, "wb")
+            self._owns = True
+        self._compress = compress  # None or zlib level 1..9 / True
+        self._prev_ifd_link: int = 4  # header next-IFD offset position
+        self._fh.write(b"II*\x00" + struct.pack("<I", 0))
+        self._closed = False
+
+    # -- context manager --
+    def __enter__(self) -> "TiffWriter":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def write(self, page: np.ndarray) -> None:
+        """Append one page.  ``page`` is (H, W) or (H, W, C); a (N, H, W[, C])
+        stack writes N pages."""
+        page = np.asarray(page)
+        if page.ndim == 4 or (page.ndim == 3 and page.shape[-1] > 8):
+            for frame in page:
+                self._write_one(frame)
+        else:
+            self._write_one(page)
+
+    def _write_one(self, page: np.ndarray) -> None:
+        if self._closed:
+            raise ValueError("TiffWriter is closed")
+        if page.ndim == 2:
+            h, w, c = page.shape[0], page.shape[1], 1
+        elif page.ndim == 3:
+            h, w, c = page.shape
+        else:
+            raise TiffFormatError(f"page must be 2-D or 3-D, got shape {page.shape}")
+        dt = page.dtype
+        if dt == np.dtype(bool):
+            page = page.astype(np.uint8) * 255
+            dt = page.dtype
+        if dt not in _DTYPE_TO_FORMAT:
+            raise TiffFormatError(f"unsupported dtype {dt}")
+        bps, fmt = _DTYPE_TO_FORMAT[dt]
+
+        raw = np.ascontiguousarray(page).tobytes()
+        if self._compress:
+            level = 6 if self._compress is True else int(self._compress)
+            data = zlib.compress(raw, level)
+            comp = COMPRESSION_DEFLATE
+        else:
+            data = raw
+            comp = COMPRESSION_NONE
+
+        fh = self._fh
+        fh.seek(0, io.SEEK_END)
+        data_offset = fh.tell()
+        if data_offset % 2:  # keep word alignment
+            fh.write(b"\x00")
+            data_offset += 1
+        fh.write(data)
+
+        # Build the IFD. Entries must be ascending by tag.
+        entries: List[Tuple[int, int, int, bytes]] = []
+
+        def entry(tag: int, typ: int, values) -> None:
+            if isinstance(values, int):
+                values = [values]
+            count = len(values)
+            pack_fmt = "<" + ("H" if typ == TYPE_SHORT else "I") * count
+            payload = struct.pack(pack_fmt, *values)
+            entries.append((tag, typ, count, payload))
+
+        entry(TAG_IMAGE_WIDTH, TYPE_LONG, w)
+        entry(TAG_IMAGE_LENGTH, TYPE_LONG, h)
+        entry(TAG_BITS_PER_SAMPLE, TYPE_SHORT, [bps] * c)
+        entry(TAG_COMPRESSION, TYPE_SHORT, comp)
+        entry(TAG_PHOTOMETRIC, TYPE_SHORT, 1)  # BlackIsZero
+        entry(TAG_STRIP_OFFSETS, TYPE_LONG, data_offset)
+        entry(TAG_SAMPLES_PER_PIXEL, TYPE_SHORT, c)
+        entry(TAG_ROWS_PER_STRIP, TYPE_LONG, h)
+        entry(TAG_STRIP_BYTE_COUNTS, TYPE_LONG, len(data))
+        if c > 1:
+            entry(TAG_PLANAR_CONFIG, TYPE_SHORT, 1)  # chunky
+        entry(TAG_SAMPLE_FORMAT, TYPE_SHORT, [fmt] * c)
+
+        fh.seek(0, io.SEEK_END)
+        ifd_offset = fh.tell()
+        if ifd_offset % 2:
+            fh.write(b"\x00")
+            ifd_offset += 1
+
+        n = len(entries)
+        # Out-of-line values go right after the IFD.
+        value_area = ifd_offset + 2 + 12 * n + 4
+        out = struct.pack("<H", n)
+        deferred = b""
+        for tag, typ, count, payload in entries:
+            if len(payload) <= 4:
+                out += struct.pack("<HHI", tag, typ, count) + payload.ljust(4, b"\x00")
+            else:
+                if len(deferred) % 2:
+                    deferred += b"\x00"
+                out += struct.pack("<HHII", tag, typ, count, value_area + len(deferred))
+                deferred += payload
+        out += struct.pack("<I", 0)  # next IFD (patched by the following write)
+        fh.write(out + deferred)
+
+        # Link from the previous IFD (or header) to this one.
+        fh.seek(self._prev_ifd_link)
+        fh.write(struct.pack("<I", ifd_offset))
+        self._prev_ifd_link = ifd_offset + 2 + 12 * n
+        fh.flush()
+
+    def close(self) -> None:
+        if not self._closed:
+            self._closed = True
+            if self._owns:
+                self._fh.close()
+
+
+# ---------------------------------------------------------------------------
+# Reader
+# ---------------------------------------------------------------------------
+
+
+class TiffReader:
+    """Streaming multipage TIFF reader.
+
+    Parses IFDs lazily; ``read_page(i)`` decodes one page so arbitrarily long
+    movies can be consumed frame-by-frame (reference: siam_unet/predict.py:79-81
+    uses ``TiffFile(...).pages``).
+    """
+
+    def __init__(self, path: Union[str, os.PathLike, BinaryIO]):
+        if hasattr(path, "read"):
+            self._fh: BinaryIO = path  # type: ignore[assignment]
+            self._owns = False
+        else:
+            self._fh = open(path, "rb")
+            self._owns = True
+        header = self._fh.read(8)
+        if len(header) < 8 or header[:2] not in (b"II", b"MM"):
+            raise TiffFormatError("not a TIFF file")
+        self._bo = "<" if header[:2] == b"II" else ">"
+        magic = struct.unpack(self._bo + "H", header[2:4])[0]
+        if magic != 42:
+            raise TiffFormatError(f"bad TIFF magic {magic}")
+        self._ifd_offsets: List[int] = []
+        first = struct.unpack(self._bo + "I", header[4:8])[0]
+        self._next_ifd = first
+        self._scan_all_ifds()
+
+    def _scan_all_ifds(self) -> None:
+        seen = set()
+        offset = self._next_ifd
+        while offset and offset not in seen:
+            seen.add(offset)
+            self._ifd_offsets.append(offset)
+            self._fh.seek(offset)
+            (n,) = struct.unpack(self._bo + "H", self._fh.read(2))
+            self._fh.seek(offset + 2 + 12 * n)
+            (offset,) = struct.unpack(self._bo + "I", self._fh.read(4))
+
+    def __enter__(self) -> "TiffReader":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def __len__(self) -> int:
+        return len(self._ifd_offsets)
+
+    @property
+    def n_pages(self) -> int:
+        return len(self._ifd_offsets)
+
+    def _read_tags(self, ifd_offset: int) -> dict:
+        fh = self._fh
+        fh.seek(ifd_offset)
+        (n,) = struct.unpack(self._bo + "H", fh.read(2))
+        raw = fh.read(12 * n)
+        tags = {}
+        type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
+        type_fmt = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
+        for i in range(n):
+            tag, typ, count = struct.unpack(self._bo + "HHI", raw[i * 12 : i * 12 + 8])
+            size = type_size.get(typ, 1) * count
+            if size <= 4:
+                payload = raw[i * 12 + 8 : i * 12 + 8 + size]
+            else:
+                (value_offset,) = struct.unpack(self._bo + "I", raw[i * 12 + 8 : i * 12 + 12])
+                fh.seek(value_offset)
+                payload = fh.read(size)
+            if typ in type_fmt:
+                values = struct.unpack(self._bo + type_fmt[typ] * count, payload)
+                tags[tag] = values
+        return tags
+
+    def page_shape(self, index: int = 0) -> Tuple[int, ...]:
+        tags = self._read_tags(self._ifd_offsets[index])
+        h = tags[TAG_IMAGE_LENGTH][0]
+        w = tags[TAG_IMAGE_WIDTH][0]
+        c = tags.get(TAG_SAMPLES_PER_PIXEL, (1,))[0]
+        return (h, w) if c == 1 else (h, w, c)
+
+    def page_dtype(self, index: int = 0) -> np.dtype:
+        tags = self._read_tags(self._ifd_offsets[index])
+        bps = tags.get(TAG_BITS_PER_SAMPLE, (1,))[0]
+        fmt = tags.get(TAG_SAMPLE_FORMAT, (SAMPLEFORMAT_UINT,))[0]
+        key = (bps, fmt)
+        if key not in _FORMAT_TO_DTYPE:
+            raise TiffFormatError(f"unsupported sample format bits={bps} fmt={fmt}")
+        return np.dtype(_FORMAT_TO_DTYPE[key])
+
+    def read_page(self, index: int) -> np.ndarray:
+        tags = self._read_tags(self._ifd_offsets[index])
+        h = tags[TAG_IMAGE_LENGTH][0]
+        w = tags[TAG_IMAGE_WIDTH][0]
+        c = tags.get(TAG_SAMPLES_PER_PIXEL, (1,))[0]
+        comp = tags.get(TAG_COMPRESSION, (COMPRESSION_NONE,))[0]
+        predictor = tags.get(TAG_PREDICTOR, (1,))[0]
+        planar = tags.get(TAG_PLANAR_CONFIG, (1,))[0]
+        if planar != 1:
+            raise TiffFormatError("planar configuration 2 not supported")
+        if predictor != 1:
+            raise TiffFormatError(f"predictor {predictor} not supported")
+        dtype = self.page_dtype(index)
+
+        offsets = tags[TAG_STRIP_OFFSETS]
+        counts = tags[TAG_STRIP_BYTE_COUNTS]
+        chunks = []
+        for off, cnt in zip(offsets, counts):
+            self._fh.seek(off)
+            buf = self._fh.read(cnt)
+            if comp in (COMPRESSION_DEFLATE, COMPRESSION_DEFLATE_OLD):
+                buf = zlib.decompress(buf)
+            elif comp != COMPRESSION_NONE:
+                raise TiffFormatError(f"compression {comp} not supported")
+            chunks.append(buf)
+        data = b"".join(chunks)
+        arr = np.frombuffer(data, dtype=dtype.newbyteorder(self._bo))[: h * w * c]
+        arr = arr.astype(dtype)  # native byte order
+        return arr.reshape((h, w) if c == 1 else (h, w, c))
+
+    def iter_pages(self) -> Iterator[np.ndarray]:
+        for i in range(len(self._ifd_offsets)):
+            yield self.read_page(i)
+
+    def asarray(self) -> np.ndarray:
+        pages = [self.read_page(i) for i in range(len(self._ifd_offsets))]
+        if len(pages) == 1:
+            return pages[0]
+        return np.stack(pages)
+
+    def close(self) -> None:
+        if self._owns:
+            self._fh.close()
+
+
+# ---------------------------------------------------------------------------
+# Convenience API (tifffile-compatible surface used by the reference)
+# ---------------------------------------------------------------------------
+
+
+def imwrite(path, data: np.ndarray, compress: Optional[int] = None) -> None:
+    """Write an array as TIFF.  (H,W), (H,W,C) write one page; (N,H,W[,C])
+    writes a multipage stack."""
+    data = np.asarray(data)
+    with TiffWriter(path, compress=compress) as tw:
+        if data.ndim <= 2 or (data.ndim == 3 and data.shape[-1] <= 8):
+            tw.write(data)
+        else:
+            for frame in data:
+                tw.write(frame)
+
+
+def imread(path) -> np.ndarray:
+    """Read a TIFF as an array ((H,W[,C]) single page, (N,H,W[,C]) stack).
+    Falls back to imageio/PIL for container features this codec doesn't parse."""
+    try:
+        with TiffReader(path) as tr:
+            return tr.asarray()
+    except TiffFormatError:
+        pass
+    try:
+        import imageio.v3 as iio
+
+        return np.asarray(iio.imread(path))
+    except Exception:
+        from PIL import Image
+
+        im = Image.open(path)
+        frames = []
+        for i in range(getattr(im, "n_frames", 1)):
+            im.seek(i)
+            frames.append(np.array(im))
+        return frames[0] if len(frames) == 1 else np.stack(frames)

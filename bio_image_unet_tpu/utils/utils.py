@@ -1,0 +1,78 @@
+"""I/O and device utilities (reference surface: bio_image_unet/utils/utils.py).
+
+``get_device`` selects a JAX device (TPU → GPU → CPU) instead of the
+reference's cuda→mps→cpu torch device (utils/utils.py:56-73); ``init_weights``
+returns the He-normal initializer matching the reference's
+``nn.init.kaiming_normal_(..., nonlinearity='leaky_relu')`` (utils/utils.py:76-78).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..data import tiff
+
+
+def save_as_tif(imgs, filename, normalize: bool = False) -> None:
+    """Save a numpy array as a float16 TIFF (reference: utils/utils.py:8-22).
+
+    Unlike the reference — which accepts ``normalize`` but ignores it — setting
+    ``normalize=True`` here actually rescales the data to [0, 255].
+    """
+    imgs = np.asarray(imgs)
+    if normalize:
+        lo, hi = float(np.nanmin(imgs)), float(np.nanmax(imgs))
+        scale = 255.0 / (hi - lo) if hi > lo else 0.0
+        imgs = (imgs - lo) * scale
+    tiff.imwrite(filename, imgs.astype("float16"))
+
+
+def png_to_grayscale_tiff(png_filename, tiff_filename) -> None:
+    """Read a PNG, convert to grayscale, normalize by its max to [0, 255]
+    uint8, save as TIFF (reference: utils/utils.py:25-53)."""
+    from PIL import Image
+
+    image = Image.open(png_filename).convert("L")
+    arr = np.array(image).astype(np.float64)
+    peak = arr.max()
+    if peak > 0:
+        arr = arr / peak * 255
+    tiff.imwrite(tiff_filename, arr.astype(np.uint8))
+
+
+def get_device(print_device: bool = False):
+    """Pick the most capable JAX device: TPU → GPU → CPU (with a warning),
+    mirroring the reference's cuda→mps→cpu policy (utils/utils.py:56-73)."""
+    import jax
+
+    device = None
+    for platform in ("tpu", "gpu"):
+        try:
+            device = jax.devices(platform)[0]
+            break
+        except RuntimeError:
+            continue
+    if device is None:
+        device = jax.devices("cpu")[0]
+        print(
+            "Warning: No TPU or GPU device found. Calculations will run on the CPU, "
+            "which might be slower."
+        )
+    if print_device:
+        print(f"Using device: {device}")
+    return device
+
+
+def init_weights(key, shape, dtype=np.float32):
+    """He (Kaiming) normal conv-kernel initializer for leaky_relu nonlinearity,
+    matching torch ``kaiming_normal_(w, nonlinearity='leaky_relu')`` with its
+    default negative_slope 0.01 and fan_in mode (reference: utils/utils.py:76-78).
+
+    ``shape`` is an HWIO (or DHWIO) kernel shape; fan_in = prod(spatial) * I.
+    """
+    import jax
+
+    gain = np.sqrt(2.0 / (1.0 + 0.01**2))
+    fan_in = int(np.prod(shape[:-1]))
+    std = gain / np.sqrt(fan_in)
+    return std * jax.random.normal(key, shape, dtype)

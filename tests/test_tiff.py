@@ -1,0 +1,99 @@
+"""TIFF codec: roundtrips, dtypes, streaming, compression, interop."""
+
+import numpy as np
+import pytest
+
+from bio_image_unet_tpu.data import tiff
+
+
+@pytest.mark.parametrize(
+    "dtype", [np.uint8, np.uint16, np.int16, np.float16, np.float32, np.float64]
+)
+def test_single_page_roundtrip(tmp_path, rng, dtype):
+    arr = (rng.random((37, 53)) * 100).astype(dtype)
+    path = tmp_path / "x.tif"
+    tiff.imwrite(path, arr)
+    out = tiff.imread(path)
+    assert out.dtype == arr.dtype
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_multipage_roundtrip(tmp_path, rng):
+    arr = (rng.random((7, 20, 31)) * 255).astype(np.uint8)
+    path = tmp_path / "stack.tif"
+    tiff.imwrite(path, arr)
+    out = tiff.imread(path)
+    assert out.shape == arr.shape
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_multichannel_roundtrip(tmp_path, rng):
+    arr = (rng.random((16, 18, 3)) * 255).astype(np.uint8)
+    path = tmp_path / "hwc.tif"
+    tiff.imwrite(path, arr)
+    out = tiff.imread(path)
+    assert out.shape == (16, 18, 3)
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_multipage_multichannel(tmp_path, rng):
+    arr = rng.random((4, 10, 12, 2)).astype(np.float32)
+    path = tmp_path / "nhwc.tif"
+    tiff.imwrite(path, arr)
+    out = tiff.imread(path)
+    assert out.shape == (4, 10, 12, 2)
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_deflate_compression(tmp_path):
+    arr = np.zeros((64, 64), dtype=np.uint16)
+    arr[10:20, 10:20] = 7
+    raw, comp = tmp_path / "raw.tif", tmp_path / "comp.tif"
+    tiff.imwrite(raw, arr)
+    tiff.imwrite(comp, arr, compress=6)
+    assert comp.stat().st_size < raw.stat().st_size
+    np.testing.assert_array_equal(tiff.imread(comp), arr)
+
+
+def test_streaming_writer_reader(tmp_path, rng):
+    """Frame-at-a-time append + page-at-a-time read (siam movie path)."""
+    frames = [(rng.random((24, 24)) * 255).astype(np.uint8) for _ in range(5)]
+    path = tmp_path / "movie.tif"
+    with tiff.TiffWriter(path) as tw:
+        for f in frames:
+            tw.write(f)
+    with tiff.TiffReader(path) as tr:
+        assert tr.n_pages == 5
+        assert tr.page_shape(0) == (24, 24)
+        assert tr.page_dtype(0) == np.uint8
+        for i, f in enumerate(frames):
+            np.testing.assert_array_equal(tr.read_page(i), f)
+        # out-of-order access works too
+        np.testing.assert_array_equal(tr.read_page(2), frames[2])
+
+
+def test_pil_interop(tmp_path, rng):
+    """Our writer produces files PIL can read, and we can read PIL's files."""
+    from PIL import Image
+
+    arr = (rng.random((30, 40)) * 255).astype(np.uint8)
+    ours = tmp_path / "ours.tif"
+    tiff.imwrite(ours, arr)
+    np.testing.assert_array_equal(np.array(Image.open(ours)), arr)
+
+    theirs = tmp_path / "pil.tif"
+    Image.fromarray(arr).save(theirs)
+    np.testing.assert_array_equal(tiff.imread(theirs), arr)
+
+
+def test_float16_pages(tmp_path, rng):
+    """save_as_tif writes float16 (reference utils/utils.py:8-22) — PIL can't,
+    our codec must."""
+    from bio_image_unet_tpu.utils import save_as_tif
+
+    arr = rng.random((3, 12, 14)).astype(np.float32)
+    path = tmp_path / "f16.tif"
+    save_as_tif(arr, path)
+    out = tiff.imread(path)
+    assert out.dtype == np.float16
+    np.testing.assert_allclose(out, arr.astype(np.float16))
