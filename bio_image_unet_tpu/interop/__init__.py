@@ -1,0 +1,7 @@
+from .torch_ckpt import (
+    load_torch_checkpoint,
+    torch_key_to_flax,
+    torch_state_dict_to_variables,
+)
+
+__all__ = ["torch_state_dict_to_variables", "torch_key_to_flax", "load_torch_checkpoint"]
