@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Headline benchmark: tiled 2D U-Net inference throughput (BASELINE.json
+config 1 — 256x256 patches over a large TIFF movie, megapixels/sec/chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline compares against the PyTorch reference's inference loop measured
+on this host's CPU (the reference publishes no numbers — BASELINE.md): the
+reference predicts patch-by-patch at batch 1 (unet/predict.py:184-202); we
+replicate exactly that loop with the reference's own model file. The torch
+baseline is measured once and cached in BENCH_BASELINE.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_FILTER = 32
+PATCH = 256
+FRAMES, H, W = 4, 1024, 1024
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BENCH_BASELINE.json")
+
+
+def measure_torch_baseline():
+    """Reference CPU inference loop: batch-1 per-patch forward
+    (unet/predict.py:184-202), n_filter=32, 256x256 patches."""
+    import importlib.util
+
+    import torch
+
+    torch.manual_seed(0)
+    spec = importlib.util.spec_from_file_location(
+        "ref_unet", "/root/reference/bio_image_unet/unet/unet.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    net = mod.Unet(in_channels=1, out_channels=1, n_filter=N_FILTER).eval()
+
+    n_patches_per_frame = (H // PATCH) * (W // PATCH)
+    # time a representative subset and extrapolate (CPU batch-1 is slow)
+    n_timed = min(8, n_patches_per_frame)
+    rng = np.random.default_rng(0)
+    patches = rng.integers(0, 255, (n_timed, PATCH, PATCH)).astype(np.float32) / 255
+
+    with torch.no_grad():
+        net(torch.from_numpy(patches[0])[None, None])  # warm-up
+        t0 = time.perf_counter()
+        for p in patches:
+            net(torch.from_numpy(p)[None, None])
+        dt = time.perf_counter() - t0
+    mp = n_timed * PATCH * PATCH / 1e6
+    return mp / dt
+
+
+def measure_ours():
+    import jax
+
+    from bio_image_unet_tpu import checkpoint
+    from bio_image_unet_tpu.predict import Predict
+
+    jax.config.update("jax_default_matmul_precision", "default")  # MXU bf16 ok
+
+    # random-weight checkpoint (throughput does not depend on weights)
+    import jax.numpy as jnp
+
+    from bio_image_unet_tpu.models import Unet
+
+    model = Unet(n_filter=N_FILTER)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, PATCH, PATCH, 1)))
+    ckpt = "/tmp/bench_model.ckpt"
+    checkpoint.save(ckpt, variables,
+                    {"model_name": "Unet", "n_filter": N_FILTER,
+                     "in_channels": 1, "out_channels": 1})
+
+    rng = np.random.default_rng(0)
+    movie = rng.integers(0, 255, (FRAMES, H, W), dtype=np.uint8)
+
+    # warm-up run (compile)
+    Predict(movie[:1], None, ckpt, resize_dim=(PATCH, PATCH),
+            show_progress=False, batch_size=8, half_precision=True)
+    t0 = time.perf_counter()
+    Predict(movie, None, ckpt, resize_dim=(PATCH, PATCH),
+            show_progress=False, batch_size=8, half_precision=True)
+    dt = time.perf_counter() - t0
+    return FRAMES * H * W / 1e6 / dt
+
+
+def main():
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as fh:
+            baseline = json.load(fh)["torch_cpu_mpix_per_s"]
+    else:
+        baseline = measure_torch_baseline()
+        with open(BASELINE_CACHE, "w") as fh:
+            json.dump({"torch_cpu_mpix_per_s": baseline,
+                       "config": f"Unet n_filter={N_FILTER}, {PATCH}x{PATCH} "
+                                 "patches, batch-1 reference loop"}, fh)
+
+    value = measure_ours()
+    print(json.dumps({
+        "metric": "tiled_unet_inference_throughput",
+        "value": round(value, 3),
+        "unit": "megapixels/sec/chip",
+        "vs_baseline": round(value / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -398,6 +398,34 @@ LOSS_REGISTRY = {
 }
 
 
+# Per-head loss names as the multi_output reference spells them in
+# ``output_heads`` configs (multi_output_unet/train.py:107-130).  Multi-output
+# models activate in-forward, so these all operate in probability space.
+HEAD_LOSS_REGISTRY = {
+    "BCEDiceLoss": lambda: BCEDiceLossProb(),
+    "DiceLoss": lambda: BCEDiceLossProb(bce_weight=0, dice_weight=1),
+    "TverskyLoss": lambda: TverskyLoss(from_logits=False),
+    "logcoshTverskyLoss": lambda: logcoshTverskyLoss(from_logits=False),
+    "MSELoss": MSELoss,
+    "MAELoss": MAELoss,
+    "HuberLoss": HuberLoss,
+    "DistanceGradientLoss": DistanceGradientLoss,
+    "WeightedDistanceGradientLoss": WeightedDistanceGradientLoss,
+    "WeightedVectorFieldLoss": WeightedVectorFieldLoss,
+    "BCEDiceTemporalLoss": lambda: BCEDiceTemporalLoss(from_logits=False),
+}
+
+
+def get_head_loss(name: str):
+    """Instantiate a per-head loss by its ``output_heads`` config name
+    (reference multi_output_unet/train.py:107-130)."""
+    if callable(name) and not isinstance(name, str):
+        return name
+    if name not in HEAD_LOSS_REGISTRY:
+        raise ValueError(f'Loss "{name}" not defined! Available: {sorted(HEAD_LOSS_REGISTRY)}')
+    return HEAD_LOSS_REGISTRY[name]()
+
+
 def get_loss(name: str, **kwargs):
     """Instantiate a loss by registry name."""
     if callable(name) and not isinstance(name, str):

@@ -21,14 +21,15 @@ MODEL_REGISTRY = {
 }
 
 
-def get_model(name: str, **kwargs):
-    """Instantiate a model by registry name, dropping unknown kwargs
+def get_model(name, **kwargs):
+    """Instantiate a model by registry name or class, dropping unknown kwargs
     (checkpoints may carry extra hyperparameters)."""
-    if not isinstance(name, str):
-        return name(**kwargs)
-    if name not in MODEL_REGISTRY:
-        raise ValueError(f"unknown model '{name}'; available: {sorted(MODEL_REGISTRY)}")
-    cls = MODEL_REGISTRY[name]
+    if isinstance(name, str):
+        if name not in MODEL_REGISTRY:
+            raise ValueError(f"unknown model '{name}'; available: {sorted(MODEL_REGISTRY)}")
+        cls = MODEL_REGISTRY[name]
+    else:
+        cls = name
     fields = {f.name for f in cls.__dataclass_fields__.values()}  # type: ignore[attr-defined]
     return cls(**{k: v for k, v in kwargs.items() if k in fields})
 

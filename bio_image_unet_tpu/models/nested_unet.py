@@ -47,6 +47,8 @@ class MultiOutputNestedUNet(nn.Module):
     def dilations(self) -> Tuple[int, ...]:
         if self.dilation is False or self.dilation is None:
             return (1,) * (self.levels + 1)
+        if isinstance(self.dilation, int):  # scalar → uniform per-level dilation
+            return (self.dilation,) * (self.levels + 1)
         return tuple(self.dilation)
 
     def setup(self):

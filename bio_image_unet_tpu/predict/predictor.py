@@ -1,0 +1,487 @@
+"""The Predict family — batched tiled inference on TPU.
+
+All predictors share one engine: host-side percentile normalization →
+patch grid → fixed-shape batched jitted forward (bf16-optional) → vectorized
+stitch → TIFF save.  The per-patch batch-1 host↔device round-trip that
+dominates the reference's inference cost (unet/predict.py:184-202) is
+replaced by device batches; patch counts are padded to the batch size so jit
+compiles once per (patch shape, batch size) signature.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import checkpoint
+from ..data import tiff
+from ..models import get_model
+from ..progress import ProgressNotifier
+from ..utils.utils import save_as_tif
+from .tiling import grid_starts, overlap_starts, stitch_blend3d, stitch_margin, stitch_mean
+
+
+def _normalize_stack(imgs: np.ndarray, mode: str, clip_threshold, invert: bool = False,
+                     scale: float = 255.0) -> np.ndarray:
+    """Percentile clip + min-max normalize a (N, ...) stack
+    (reference unet/predict.py:122-150): 'single' per frame, 'first' from the
+    first frame's histogram, 'all' from the whole stack."""
+    imgs = imgs.astype(np.float32)
+    if mode == "single":
+        out = np.empty_like(imgs)
+        for i, img in enumerate(imgs):
+            img = np.clip(img, np.nanpercentile(img, clip_threshold[0]),
+                          np.nanpercentile(img, clip_threshold[1]))
+            img = img - np.min(img)
+            peak = np.max(img)
+            if peak > 0:
+                img = img / peak * scale
+            out[i] = scale - img if invert else img
+        return out
+    if mode in ("first", "all"):
+        ref = imgs[0] if mode == "first" else imgs
+        lo = np.nanpercentile(ref, clip_threshold[0])
+        hi = np.nanpercentile(ref, clip_threshold[1])
+        imgs = np.clip(imgs, lo, hi)
+        imgs = imgs - np.min(imgs)
+        peak = np.max(imgs)
+        if peak > 0:
+            imgs = imgs / peak * scale
+        return scale - imgs if invert else imgs
+    raise ValueError(f"normalization_mode {mode} not valid!")
+
+
+class _Engine:
+    """Shared model loading + fixed-shape batched forward."""
+
+    def __init__(self, model_params, network=None, batch_size: int = 8,
+                 half_precision: bool = False):
+        state = checkpoint.load(model_params)
+        hp = dict(state["hyperparams"])
+        self.hyperparams = hp
+        name = network or hp.get("model_name") or hp.get("network")
+        if name is None:
+            raise ValueError("network is not defined")
+        if name == "Unet_v0":
+            hp.setdefault("in_channels", 1)
+            hp.setdefault("out_channels", 1)
+        self.model = get_model(name, **hp)
+        self.variables = state["variables"]
+        self.batch_size = batch_size
+        self.dtype = jnp.bfloat16 if half_precision else jnp.float32
+        self._jitted = jax.jit(self._forward)
+
+    def _forward(self, x, prev=None):
+        x = x.astype(self.dtype)
+        args = (x,) if prev is None else (x, prev.astype(self.dtype))
+        out = self.model.apply(self.variables, *args, train=False)
+        if isinstance(out, dict):
+            return {k: v.astype(jnp.float32) for k, v in out.items()}
+        return out[0].astype(jnp.float32)  # sigmoid output
+
+    def predict_patches(self, patches: np.ndarray, prev: Optional[np.ndarray] = None,
+                        progress=None):
+        """Run (N, *tile, C) patches through the model in fixed-size batches;
+        returns float32 probabilities (single-head) or a dict of arrays."""
+        n = patches.shape[0]
+        bs = self.batch_size
+        n_pad = int(np.ceil(n / bs)) * bs
+        if n_pad != n:  # pad with the last patch → static shapes for jit
+            pad = np.broadcast_to(patches[-1:], (n_pad - n,) + patches.shape[1:])
+            patches = np.concatenate([patches, pad])
+            if prev is not None:
+                prev = np.concatenate(
+                    [prev, np.broadcast_to(prev[-1:], (n_pad - n,) + prev.shape[1:])]
+                )
+        chunks = []
+        steps = range(0, n_pad, bs)
+        if progress is not None:
+            steps = progress.iterator(steps)
+        for start in steps:
+            xb = jnp.asarray(patches[start : start + bs])
+            pb = None if prev is None else jnp.asarray(prev[start : start + bs])
+            chunks.append(jax.device_get(self._jitted(xb) if pb is None
+                                         else self._jitted(xb, pb)))
+        if isinstance(chunks[0], dict):
+            return {k: np.concatenate([c[k] for c in chunks])[:n] for k in chunks[0]}
+        return np.concatenate(chunks)[:n]
+
+
+class Predict:
+    """Tiled 2D prediction with mean-overlap stitching
+    (reference unet/predict.py:14-229).
+
+    ``imgs`` may be an array or a tif path; the network is rebuilt from the
+    checkpoint's embedded hyperparams (unet/predict.py:83-101).  Results are
+    uint8-quantized probabilities saved as float16 tif (utils/utils.py:8-22),
+    also kept in ``self.result``.
+    """
+
+    def __init__(self, imgs, result_name, model_params, network=None,
+                 resize_dim=(512, 512), invert=False, normalization_mode="single",
+                 clip_threshold=(0.0, 99.8), add_tile=0, normalize_result=False,
+                 show_progress=True, batch_size: int = 8, half_precision=False,
+                 device=None,
+                 progress_notifier: ProgressNotifier = None):
+        del device
+        if isinstance(imgs, (str, os.PathLike)):
+            imgs = tiff.imread(imgs)
+        imgs = np.asarray(imgs)
+        self.resize_dim = tuple(resize_dim)
+        self.add_tile = add_tile
+        self.result_name = result_name
+
+        squeeze = imgs.ndim == 2
+        if squeeze:
+            imgs = imgs[None]
+        self.imgs_shape = imgs.shape
+
+        imgs = _normalize_stack(imgs, normalization_mode, clip_threshold, invert)
+
+        engine = _Engine(model_params, network, batch_size, half_precision)
+        in_ch = engine.hyperparams.get("in_channels", 1)
+        out_ch = engine.hyperparams.get("out_channels", 1)
+        if in_ch != 1:
+            raise ValueError("tiled 2D Predict supports single-channel input")
+
+        patches, xs, ys = self._split(imgs)
+        progress = progress_notifier if (show_progress and progress_notifier) else (
+            ProgressNotifier.progress_notifier_tqdm() if show_progress else None
+        )
+        if show_progress:
+            print("Predicting data ...")
+        probs = engine.predict_patches(patches[..., None].astype(np.float32) / 255.0, progress=progress)
+        probs = (probs * 255).astype(np.uint8)  # reference quantization
+        del patches
+
+        # stitch per frame
+        n_frames = self.imgs_shape[0]
+        per = len(xs) * len(ys)
+        out_h = max(self.resize_dim[0], self.imgs_shape[1])
+        out_w = max(self.resize_dim[1], self.imgs_shape[2])
+        frames = [
+            stitch_mean(probs[i * per : (i + 1) * per], (xs, ys), (out_h, out_w))
+            for i in range(n_frames)
+        ]
+        result = np.stack(frames)[:, : self.imgs_shape[1], : self.imgs_shape[2]]
+        result = result.astype(np.uint8)
+        if out_ch == 1:
+            result = result[..., 0]
+        else:
+            result = np.moveaxis(result, -1, 1)  # (N, C, H, W) like the reference
+        self.result = np.squeeze(result)
+        if result_name is not None:
+            save_as_tif(self.result, result_name, normalize=normalize_result)
+
+    def _split(self, imgs):
+        h, w = self.imgs_shape[1], self.imgs_shape[2]
+        xs = grid_starts(h, self.resize_dim[0], self.add_tile)
+        ys = grid_starts(w, self.resize_dim[1], self.add_tile)
+        if self.resize_dim[0] > h:
+            imgs = np.pad(imgs, ((0, 0), (0, self.resize_dim[0] - h), (0, 0)), "reflect")
+        if self.resize_dim[1] > w:
+            imgs = np.pad(imgs, ((0, 0), (0, 0), (0, self.resize_dim[1] - w)), "reflect")
+        # uint8 patch buffer ≙ unet/predict.py:160 (quantization is part of
+        # the reference's numeric contract)
+        patches = np.empty(
+            (self.imgs_shape[0] * len(xs) * len(ys),) + self.resize_dim, dtype=np.uint8
+        )
+        n = 0
+        for img in imgs:
+            for x0 in xs:
+                for y0 in ys:
+                    patches[n] = img[x0 : x0 + self.resize_dim[0], y0 : y0 + self.resize_dim[1]]
+                    n += 1
+        return patches, xs, ys
+
+
+class PredictSiam:
+    """Streaming movie predictor (reference siam_unet/predict.py:15-240):
+    frames are read one at a time, paired with the previous frame (frame 0
+    pairs with frame 1), tiled, predicted, stitched, and appended to the
+    output TIFF — bounded memory for arbitrarily long movies."""
+
+    def __init__(self, tif_file, result_name, model_params, resize_dim=(512, 512),
+                 invert=False, normalization_mode="single", clip_threshold=(0.0, 99.98),
+                 add_tile=0, normalize_result=False, show_progress=True,
+                 batch_size: int = 8, half_precision=False, device=None,
+                 progress_notifier: ProgressNotifier = None):
+        del device
+        self.invert = invert
+        self.normalization_mode = normalization_mode
+        self.clip_threshold = clip_threshold
+
+        engine = _Engine(model_params, "Siam_UNet", batch_size, half_precision)
+
+        reader = tiff.TiffReader(tif_file)
+        n_frames = reader.n_pages
+        frame_shape = reader.page_shape(0)
+        self.imgs_shape = (n_frames,) + tuple(frame_shape)
+
+        if resize_dim is None:  # whole-frame mode (siam_unet/predict.py:82-85)
+            resize_dim = frame_shape
+        self.resize_dim = tuple(resize_dim)
+        xs = grid_starts(frame_shape[0], self.resize_dim[0], add_tile)
+        ys = grid_starts(frame_shape[1], self.resize_dim[1], add_tile)
+
+        if show_progress:
+            print("Predicting data ...")
+        it = range(n_frames)
+        if show_progress:
+            notifier = progress_notifier or ProgressNotifier.progress_notifier_tqdm()
+            it = notifier.iterator(it)
+
+        current = None
+        with tiff.TiffWriter(result_name) as writer:
+            for i, _ in enumerate(it):
+                if i == 0:
+                    prev = reader.read_page(0 if n_frames == 1 else 1)
+                else:
+                    prev = current
+                current = reader.read_page(i)
+                pair = _normalize_stack(
+                    np.stack([np.asarray(prev, np.float32),
+                              np.asarray(current, np.float32)]),
+                    normalization_mode, clip_threshold, invert,
+                ).astype(np.uint8)
+                patches, prev_patches = self._split_pair(pair, xs, ys)
+                probs = engine.predict_patches(
+                    patches[..., None].astype(np.float32) / 255.0, prev_patches[..., None].astype(np.float32) / 255.0
+                )
+                probs = (probs * 255).astype(np.uint8)
+                out_h = max(self.resize_dim[0], frame_shape[0])
+                out_w = max(self.resize_dim[1], frame_shape[1])
+                frame = stitch_mean(probs, (xs, ys), (out_h, out_w))
+                frame = frame[: frame_shape[0], : frame_shape[1], 0].astype(np.uint8)
+                writer.write(frame)
+        reader.close()
+        self.result_name = result_name
+
+    def _split_pair(self, pair, xs, ys):
+        h, w = pair.shape[1], pair.shape[2]
+        # constant (zero) padding for small frames (siam_unet/predict.py:168-180)
+        if self.resize_dim[0] > h:
+            pair = np.pad(pair, ((0, 0), (0, self.resize_dim[0] - h), (0, 0)))
+        if self.resize_dim[1] > w:
+            pair = np.pad(pair, ((0, 0), (0, 0), (0, self.resize_dim[1] - w)))
+        n = len(xs) * len(ys)
+        patches = np.empty((n,) + self.resize_dim, dtype=np.uint8)
+        prev_patches = np.empty_like(patches)
+        k = 0
+        for x0 in xs:
+            for y0 in ys:
+                sl = (slice(x0, x0 + self.resize_dim[0]), slice(y0, y0 + self.resize_dim[1]))
+                patches[k] = pair[1][sl]
+                prev_patches[k] = pair[0][sl]
+                k += 1
+        return patches, prev_patches
+
+
+class Predict3D:
+    """Tiled 3D prediction (reference unet3d/predict.py:12-195): 3-axis
+    linspace grid over a (Z, X, Y) volume, whole-volume normalization,
+    mean-overlap stitching."""
+
+    def __init__(self, vol, result_name, model_params, network="UNet3D",
+                 resize_dim=(64, 128, 128), invert=False, clip_threshold=(0.0, 99.8),
+                 add_patch=0, normalize_result=False, show_progress=True,
+                 batch_size: int = 4, half_precision=False, device=None,
+                 progress_notifier: ProgressNotifier = None):
+        del device
+        if isinstance(vol, (str, os.PathLike)):
+            vol = tiff.imread(vol)
+        vol = np.asarray(vol, dtype=np.float32)
+        self.vol_shape = vol.shape
+        self.resize_dim = tuple(resize_dim)
+
+        # whole-volume normalization only (unet3d/predict.py:109-117)
+        vol = _normalize_stack(vol[None], "all", clip_threshold, invert)[0]
+
+        engine = _Engine(model_params, network, batch_size, half_precision)
+
+        zs = grid_starts(self.vol_shape[0], self.resize_dim[0], 0)
+        xs = grid_starts(self.vol_shape[1], self.resize_dim[1], add_patch)
+        ys = grid_starts(self.vol_shape[2], self.resize_dim[2], add_patch)
+        pads = [max(0, self.resize_dim[a] - self.vol_shape[a]) for a in range(3)]
+        vol = np.pad(vol, [(0, p) for p in pads], "reflect")
+
+        patches = np.empty((len(zs) * len(xs) * len(ys),) + self.resize_dim,
+                           dtype=np.uint8)
+        n = 0
+        for z0 in zs:
+            for x0 in xs:
+                for y0 in ys:
+                    patches[n] = vol[z0 : z0 + self.resize_dim[0],
+                                     x0 : x0 + self.resize_dim[1],
+                                     y0 : y0 + self.resize_dim[2]]
+                    n += 1
+
+        progress = progress_notifier if (show_progress and progress_notifier) else (
+            ProgressNotifier.progress_notifier_tqdm() if show_progress else None
+        )
+        if show_progress:
+            print("Predicting data ...")
+        probs = engine.predict_patches(patches[..., None].astype(np.float32) / 255.0, progress=progress)
+        probs = (probs * 255).astype(np.uint8)
+
+        out_shape = tuple(max(self.resize_dim[a], self.vol_shape[a]) for a in range(3))
+        result = stitch_mean(probs, (zs, xs, ys), out_shape)
+        result = result[: self.vol_shape[0], : self.vol_shape[1], : self.vol_shape[2], 0]
+        self.result = result.astype(np.uint8)
+        if result_name is not None:
+            save_as_tif(self.result, result_name, normalize=normalize_result)
+
+
+def _round_to_16(v: int) -> int:
+    return ((v + 15) // 16) * 16
+
+
+class PredictMultiOutput:
+    """Multi-head tiled 2D prediction (reference
+    multi_output_unet/predict.py:13-285): /16-rounded adaptive patch size,
+    batched inference, safe-margin stitch, per-head float32 results saved as
+    ``<head>_<result_path>``-style tifs or kept in ``self.result``."""
+
+    def __init__(self, imgs, model_params, result_path=None, network=None,
+                 max_patch_size=(1024, 1024), batch_size=8,
+                 normalization_mode="single", clip_threshold=(0.0, 99.98),
+                 add_tile=0, compress_tif=False, show_progress=True,
+                 half_precision=False, safe_margin: int = 20, device=None,
+                 progress_notifier: ProgressNotifier = None):
+        del device
+        if isinstance(imgs, (str, os.PathLike)):
+            imgs = tiff.imread(imgs)
+        imgs = np.asarray(imgs, dtype=np.float32)
+        squeeze = imgs.ndim == 2
+        if squeeze:
+            imgs = imgs[None]
+        self.imgs_shape = imgs.shape
+
+        imgs = _normalize_stack(imgs, normalization_mode, clip_threshold, scale=1.0)
+
+        engine = _Engine(model_params, network, batch_size, half_precision)
+        heads = engine.hyperparams["output_heads"]
+        self.target_keys = list(heads)
+
+        # /16-rounded patch size (multi_output_unet/predict.py:153-162)
+        ph = _round_to_16(min(self.imgs_shape[1], max_patch_size[0]))
+        pw = _round_to_16(min(self.imgs_shape[2], max_patch_size[1]))
+        self.patch_size = (ph, pw)
+        pad_x = max(ph - self.imgs_shape[1], 0)
+        pad_y = max(pw - self.imgs_shape[2], 0)
+        imgs = np.pad(imgs, ((0, 0), (0, pad_x), (0, pad_y)), "reflect")
+        xs = grid_starts(imgs.shape[1], ph, add_tile)
+        ys = grid_starts(imgs.shape[2], pw, add_tile)
+
+        patches = np.empty((self.imgs_shape[0] * len(xs) * len(ys), ph, pw),
+                           dtype=np.float32)
+        n = 0
+        for img in imgs:
+            for x0 in xs:
+                for y0 in ys:
+                    patches[n] = img[x0 : x0 + ph, y0 : y0 + pw]
+                    n += 1
+
+        progress = progress_notifier if (show_progress and progress_notifier) else (
+            ProgressNotifier.progress_notifier_tqdm() if show_progress else None
+        )
+        if show_progress:
+            print("Predicting data ...")
+        preds = engine.predict_patches(patches[..., None], progress=progress)
+
+        per = len(xs) * len(ys)
+        out_h = max(ph, self.imgs_shape[1])
+        out_w = max(pw, self.imgs_shape[2])
+        self.result = {}
+        for key in self.target_keys:
+            frames = [
+                stitch_margin(preds[key][i * per : (i + 1) * per], (xs, ys),
+                              (out_h, out_w), safe_margin)
+                for i in range(self.imgs_shape[0])
+            ]
+            r = np.stack(frames)[:, : self.imgs_shape[1], : self.imgs_shape[2]]
+            if r.shape[-1] > 1:
+                r = np.moveaxis(r, -1, 1)  # (N, C, H, W) like the reference
+            else:
+                r = r[..., 0]
+            self.result[key] = np.squeeze(r).astype(np.float32)
+            if result_path is not None:
+                os.makedirs(result_path, exist_ok=True)
+                tiff.imwrite(os.path.join(result_path, f"{key}.tif"),
+                             self.result[key],
+                             compress=6 if compress_tif else None)
+
+
+class PredictMultiOutput3D:
+    """Multi-head 3D prediction (reference
+    multi_output_unet3d/predict.py:13-307): overlap_factor stride grid,
+    linear blend-margin stitch, per-head volumes."""
+
+    def __init__(self, imgs, model_params, result_path=None, network=None,
+                 max_patch_size=(64, 256, 256), overlap_factor=0.1, batch_size=2,
+                 normalization_mode="single", clip_threshold=(0.0, 99.98),
+                 add_tile=0, compress_tif=False, show_progress=True,
+                 half_precision=False, blend_margin: int = 16, device=None,
+                 progress_notifier: ProgressNotifier = None):
+        del device
+        if isinstance(imgs, (str, os.PathLike)):
+            imgs = tiff.imread(imgs)
+        imgs = np.asarray(imgs, dtype=np.float32)
+        if imgs.ndim == 3:
+            imgs = imgs[None]  # (n_volumes, Z, X, Y)
+        self.imgs_shape = imgs.shape
+
+        for v in range(imgs.shape[0]):
+            imgs[v] = _normalize_stack(imgs[v][None], normalization_mode,
+                                       clip_threshold, scale=1.0)[0]
+
+        engine = _Engine(model_params, network, batch_size, half_precision)
+        heads = engine.hyperparams["output_heads"]
+        self.target_keys = list(heads)
+
+        n_vol, d, h, w = imgs.shape
+        tile = tuple(min(s, m) for s, m in zip((d, h, w), max_patch_size))
+        self.patch_size = tile
+        zs = overlap_starts(d, tile[0], overlap_factor)
+        xs = overlap_starts(h, tile[1], overlap_factor)
+        ys = overlap_starts(w, tile[2], overlap_factor)
+
+        patches = []
+        for v in range(n_vol):
+            for z0 in zs:
+                for x0 in xs:
+                    for y0 in ys:
+                        patches.append(imgs[v, z0 : z0 + tile[0], x0 : x0 + tile[1],
+                                            y0 : y0 + tile[2]])
+        patches = np.stack(patches)[..., None]
+
+        progress = progress_notifier if (show_progress and progress_notifier) else (
+            ProgressNotifier.progress_notifier_tqdm() if show_progress else None
+        )
+        if show_progress:
+            print("Predicting data ...")
+        preds = engine.predict_patches(patches, progress=progress)
+
+        per = len(zs) * len(xs) * len(ys)
+        self.result = {}
+        for key in self.target_keys:
+            vols = [
+                stitch_blend3d(preds[key][v * per : (v + 1) * per], (zs, xs, ys),
+                               (d, h, w), blend_margin)
+                for v in range(n_vol)
+            ]
+            r = np.stack(vols)
+            if r.shape[-1] > 1:
+                r = np.moveaxis(r, -1, 1)
+            else:
+                r = r[..., 0]
+            self.result[key] = np.squeeze(r).astype(np.float32)
+            if result_path is not None:
+                os.makedirs(result_path, exist_ok=True)
+                tiff.imwrite(os.path.join(result_path, f"{key}.tif"),
+                             self.result[key],
+                             compress=6 if compress_tif else None)

@@ -1,0 +1,534 @@
+"""The generic Trainer (TPU-native rebuild of the reference's five Trainers).
+
+Reference feature parity map:
+- kwargs contract & epoch loop      ≙ unet/train.py:58-198
+- siamese (image, prev_image) path  ≙ siam_unet/train.py:104-110
+- temporal-consistency loss         ≙ unet3d/train.py:105,142-145
+- output_heads / deep supervision / grad-clip / TensorBoard / val imaging
+                                    ≙ multi_output_unet/train.py:18-407
+- epoch_start resume                ≙ multi_output_unet/train.py:93-98
+
+TPU-native design (no reference counterpart):
+- the whole step (forward, loss, backward, Adam update, BatchNorm stat
+  update) is one jitted function with donated buffers;
+- batches are sharded over the mesh's ``data`` axis; XLA inserts the psum
+  gradient reduction over ICI (SURVEY.md §2.8);
+- ReduceLROnPlateau runs host-side between epochs and feeds the jitted step
+  through ``optax.inject_hyperparams`` (patience/factor match torch's
+  scheduler: unet/train.py:103);
+- checkpoints are the self-describing native format (checkpoint.py) with the
+  reference's hyperparam key schema, and the optimizer state actually
+  restores on resume (the reference saves but never restores it,
+  unet/train.py:107,119-121).
+
+Divergences from reference quirks (SURVEY.md §7.4), implemented sanely:
+- per-channel loss weights index the channel axis (the reference indexes the
+  batch axis, unet/train.py:133-134);
+- validation loss averages over all val batches (the reference appends only
+  the last batch's loss, unet/train.py:142-153);
+- multi-output validation does not re-apply head activations on top of the
+  model's in-forward activations (multi_output_unet/train.py:218-224).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import time
+from functools import partial
+from typing import Dict, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .. import checkpoint
+from ..data.pipelines import DataLoader, random_split
+from ..losses import get_head_loss, get_loss, smooth_l1_loss
+from ..models import MODEL_REGISTRY, get_model
+from ..parallel import data_sharding, get_mesh, replicated
+
+
+def _model_name(model) -> str:
+    for name, cls in MODEL_REGISTRY.items():
+        if type(model) is cls:
+            return name
+    return type(model).__name__
+
+
+class ReduceLROnPlateau:
+    """torch optim.lr_scheduler.ReduceLROnPlateau(mode='min') semantics
+    (reference unet/train.py:103: patience 4, factor 0.1;
+    multi_output_unet/train.py:71: patience 5, factor 0.2)."""
+
+    def __init__(self, factor=0.1, patience=4, min_lr=0.0):
+        self.factor, self.patience, self.min_lr = factor, patience, min_lr
+        self.best = float("inf")
+        self.num_bad = 0
+        self.scale = 1.0
+
+    def step(self, metric: float) -> float:
+        if metric < self.best:
+            self.best = metric
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+            if self.num_bad > self.patience:
+                self.scale = max(self.scale * self.factor, self.min_lr)
+                self.num_bad = 0
+        return self.scale
+
+
+class Trainer:
+    """Generic trainer: ``Trainer(dataset, num_epochs, ...).start()``.
+
+    The facade subpackages (``bio_image_unet_tpu.unet`` etc.) re-export this
+    with their reference defaults pre-bound.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        num_epochs: int,
+        network: Union[str, type] = "Unet",
+        batch_size: int = 4,
+        lr: float = 1e-3,
+        in_channels: int = 1,
+        out_channels: int = 1,
+        channel_weights: Optional[Sequence[float]] = None,
+        n_filter: int = 64,
+        dilation: Union[int, bool, Tuple[int, ...]] = 1,
+        val_split: float = 0.2,
+        save_dir: str = "./",
+        save_name: str = "model.ckpt",
+        save_iter: bool = False,
+        load_weights: Union[bool, str, None] = False,
+        loss_function: str = "BCEDice",
+        loss_params: Tuple[float, float] = (0.5, 0.5),
+        # family-specific options
+        mode: Optional[str] = None,  # siamese join mode
+        use_interpolation: bool = False,  # 3D decoder
+        time_loss_weight: Optional[float] = None,  # unet3d temporal term
+        output_heads: Optional[Dict[str, dict]] = None,
+        deep_supervision: bool = False,
+        levels: int = 4,
+        grad_clip: Optional[float] = None,
+        # schedule / runtime
+        scheduler_patience: int = 4,
+        scheduler_factor: float = 0.1,
+        mesh=None,
+        seed: int = 0,
+        tensorboard: bool = False,
+        log_images: bool = False,
+        profile_dir: Optional[str] = None,
+        device=None,  # accepted for reference API compatibility; unused
+    ):
+        del device
+        self.data = dataset
+        self.num_epochs = num_epochs
+        self.batch_size = batch_size
+        self.lr = lr
+        self.in_channels = in_channels
+        self.out_channels = out_channels
+        self.n_filter = n_filter
+        self.dilation = dilation
+        self.loss_function = loss_function
+        self.loss_params = tuple(loss_params)
+        self.mode = mode
+        self.time_loss_weight = time_loss_weight
+        self.output_heads = output_heads
+        self.deep_supervision = deep_supervision
+        self.levels = levels
+        self.save_dir = save_dir
+        self.save_name = save_name
+        self.save_iter = save_iter
+        self.log_images = log_images
+        self.profile_dir = profile_dir
+        self.best_loss = float("inf")
+        os.makedirs(save_dir, exist_ok=True)
+
+        # --- model ---
+        self.network = network
+        self.model = get_model(
+            network, n_filter=n_filter, in_channels=in_channels,
+            out_channels=out_channels, dilation=dilation, mode=mode,
+            use_interpolation=use_interpolation, output_heads=output_heads,
+            deep_supervision=deep_supervision,
+        )
+        self.multi_output = output_heads is not None or bool(
+            getattr(self.model, "heads", None)
+        )
+        if self.multi_output and self.output_heads is None:
+            # default single sigmoid/BCEDice head (≙ the model-side default,
+            # multi_output_unet/multi_output_unet.py:26-29)
+            self.output_heads = {
+                name: {"loss": "BCEDiceLoss", **dict(cfg)}
+                for name, cfg in self.model.heads.items()
+            }
+
+        if channel_weights is None:
+            self.channel_weights = np.ones(out_channels, dtype=np.float32)
+        else:
+            self.channel_weights = np.asarray(channel_weights, dtype=np.float32)
+
+        # --- losses ---
+        if self.multi_output:
+            self.head_losses = {
+                name: get_head_loss(cfg["loss"]) for name, cfg in self.output_heads.items()
+            }
+            self.head_weights = {
+                name: cfg.get("weight", 1.0) for name, cfg in self.output_heads.items()
+            }
+            self.criterion = None
+        else:
+            self.criterion = get_loss(loss_function, **self._loss_kwargs())
+
+        # --- data ---
+        self.dim = getattr(dataset, "dim_out", None)
+        train_data, val_data = random_split(dataset, val_split, seed=seed)
+        self.train_loader = DataLoader(train_data, batch_size, shuffle=True,
+                                       drop_last=True, seed=seed)
+        # divergence: the reference also drops the last val batch
+        # (unet/train.py:93), silently skipping validation entirely when
+        # len(val) < batch_size; we evaluate every val sample
+        self.val_loader = DataLoader(val_data, batch_size, shuffle=False, drop_last=False)
+
+        # --- mesh & sharding ---
+        if mesh is None:
+            n_dev = jax.device_count()
+            n_data = n_dev if batch_size % n_dev == 0 else 1
+            mesh = get_mesh(n_data=n_data, n_spatial=1,
+                            devices=jax.devices()[:n_data])
+        self.mesh = mesh
+
+        # --- optimizer (Adam ≙ unet/train.py:102; grad clip ≙
+        # multi_output_unet/train.py:186) ---
+        self.tx = optax.inject_hyperparams(
+            lambda learning_rate: optax.chain(
+                *( [optax.clip_by_global_norm(grad_clip)] if grad_clip is not None else [] ),
+                optax.adam(learning_rate),
+            )
+        )(learning_rate=lr)
+        self.scheduler = ReduceLROnPlateau(scheduler_factor, scheduler_patience)
+
+        # --- init / resume ---
+        rng = jax.random.PRNGKey(seed)
+        self.rng, init_rng = jax.random.split(rng)
+        sample = dataset[0]
+        self.sample_keys = list(sample.keys())
+        self.input_key = "volume" if "volume" in sample else "image"
+        init_args = [jnp.zeros((1,) + sample[self.input_key].shape)]
+        if self.mode is not None:
+            init_args.append(jnp.zeros((1,) + sample["prev_image"].shape))
+        variables = self.model.init(init_rng, *init_args)
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", {})
+        self.opt_state = self.tx.init(self.params)
+        self.epoch_start = 0
+
+        if load_weights:
+            path = load_weights if isinstance(load_weights, str) else os.path.join(
+                save_dir, save_name
+            )
+            state = checkpoint.load(path, opt_state_template=self.opt_state)
+            self.params = state["variables"]["params"]
+            self.batch_stats = state["variables"].get("batch_stats", {})
+            if state.get("opt_state") is not None:
+                self.opt_state = state["opt_state"]
+            if state.get("epoch") is not None:
+                self.epoch_start = int(state["epoch"])
+            if state.get("best_loss") is not None:
+                self.best_loss = float(state["best_loss"])
+
+        # replicate across the mesh
+        rep = replicated(self.mesh)
+        self.params = jax.device_put(self.params, rep)
+        self.batch_stats = jax.device_put(self.batch_stats, rep)
+        self.opt_state = jax.device_put(self.opt_state, rep)
+
+        # --- self-describing checkpoint hyperparams (≙ unet/train.py:107-118) ---
+        self.params_meta = {
+            "model_name": _model_name(self.model),
+            "lr": lr,
+            "loss_function": loss_function,
+            "loss_params": self.loss_params,
+            "n_filter": n_filter,
+            "dilation": dilation,
+            "batch_size": batch_size,
+            "in_channels": in_channels,
+            "out_channels": out_channels,
+        }
+        for attr in ("aug_factor", "clip_threshold", "noise_lims", "noise_amp",
+                     "brightness_contrast", "shiftscalerotate", "gauss_noise_lims",
+                     "shot_noise_lims", "random_rotate"):
+            if hasattr(dataset, attr):
+                key = "augmentation" if attr == "aug_factor" else attr
+                self.params_meta[key] = getattr(dataset, attr)
+        if mode is not None:
+            self.params_meta["mode"] = mode
+        if time_loss_weight is not None:
+            self.params_meta["time_loss_weight"] = time_loss_weight
+            self.params_meta["use_interpolation"] = use_interpolation
+        if self.multi_output:
+            self.params_meta["output_heads"] = output_heads
+            self.params_meta["deep_supervision"] = deep_supervision
+
+        # --- observability ---
+        self.writer = None
+        if tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self.writer = SummaryWriter(log_dir=os.path.join(save_dir, "logs"))
+            except Exception as e:  # pragma: no cover
+                print(f"TensorBoard unavailable ({e}); falling back to CSV only")
+        self.metrics_path = os.path.join(save_dir, "metrics.csv")
+        with open(self.metrics_path, "w", newline="") as fh:
+            csv.writer(fh).writerow(["epoch", "train_loss", "val_loss", "lr", "seconds"])
+
+        self._jit_train_step = jax.jit(self._train_step, donate_argnums=(0,))
+        self._jit_eval_step = jax.jit(self._eval_step)
+
+    def _loss_kwargs(self):
+        if self.loss_function in ("BCEDice",):
+            return {"alpha": self.loss_params[0], "beta": self.loss_params[1]}
+        if self.loss_function in ("Tversky", "logcoshTversky"):
+            return {"alpha": self.loss_params[0], "beta": self.loss_params[1]}
+        if self.loss_function == "weightedBCE":
+            return {"alpha": self.loss_params[0], "beta": self.loss_params[1]}
+        return {}
+
+    # ------------------------------------------------------------------
+    # loss computation (shared by train/eval)
+    # ------------------------------------------------------------------
+
+    def _model_inputs(self, batch):
+        if self.mode is not None:
+            return (batch[self.input_key], batch["prev_image"])
+        return (batch[self.input_key],)
+
+    def _compute_loss(self, outputs, batch, train: bool):
+        if self.multi_output:
+            total = 0.0
+            if self.deep_supervision and train:
+                if self.levels == 3:
+                    sup_w = [0.5, 0.75, 1.0]
+                elif self.levels == 4:
+                    sup_w = [0.5, 0.75, 0.875, 1.0]
+                else:
+                    raise ValueError(
+                        f"N = {self.levels} levels not valid. Choose N=3 or N=4."
+                    )
+                for name in self.output_heads:
+                    target = batch[name]
+                    for level, w in enumerate(sup_w, 1):
+                        pred = outputs[f"{name}_{level}"]
+                        total += w * self.head_weights[name] * self.head_losses[name](pred, target)
+            else:
+                for name in self.output_heads:
+                    total += self.head_weights[name] * self.head_losses[name](
+                        outputs[name], batch[name]
+                    )
+            return total
+
+        _, logits = outputs
+        target = batch["mask"]
+        w = jnp.asarray(self.channel_weights)
+        per_ch = [
+            self.criterion(logits[..., ch], target[..., ch])
+            for ch in range(self.out_channels)
+        ]
+        loss = sum(p * w[j] for j, p in enumerate(per_ch)) / jnp.sum(w)
+        if self.time_loss_weight is not None:
+            # SmoothL1 between batch-adjacent logits (unet3d/train.py:142-145)
+            loss = loss + self.time_loss_weight * smooth_l1_loss(logits[1:], logits[:-1])
+        return loss
+
+    # ------------------------------------------------------------------
+    # steps
+    # ------------------------------------------------------------------
+
+    def _train_step(self, carry, batch, rng):
+        params, batch_stats, opt_state = carry
+
+        def loss_fn(p):
+            variables = {"params": p}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            outputs, mutated = self.model.apply(
+                variables, *self._model_inputs(batch), train=True,
+                mutable=["batch_stats"], rngs={"dropout": rng},
+            )
+            return self._compute_loss(outputs, batch, train=True), mutated
+
+        (loss, mutated), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, mutated.get("batch_stats", batch_stats), opt_state), loss
+
+    def _eval_step(self, params, batch_stats, batch):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        outputs = self.model.apply(variables, *self._model_inputs(batch), train=False)
+        return self._compute_loss(outputs, batch, train=False), outputs
+
+    def _shard(self, batch):
+        n_data = self.mesh.shape["data"]
+        sharded = {}
+        for k, v in batch.items():
+            if v.shape[0] % n_data == 0:
+                sharded[k] = jax.device_put(v, data_sharding(self.mesh, v.ndim))
+            else:  # remainder val batch: replicate rather than shard
+                sharded[k] = jax.device_put(v, replicated(self.mesh))
+        return sharded
+
+    # ------------------------------------------------------------------
+    # epoch loop
+    # ------------------------------------------------------------------
+
+    def _iterate_train(self, epoch):
+        print(f"\nStarting training epoch {epoch} ...")
+        running, n = 0.0, 0
+        carry = (self.params, self.batch_stats, self.opt_state)
+        for batch in self.train_loader:
+            self.rng, step_rng = jax.random.split(self.rng)
+            carry, loss = self._jit_train_step(carry, self._shard(batch), step_rng)
+            running += float(loss)
+            n += 1
+        self.params, self.batch_stats, self.opt_state = carry
+        return running / max(n, 1)
+
+    def _iterate_val(self, epoch):
+        print(f"\nStarting validation epoch {epoch} ...")
+        losses = []
+        last = None
+        for batch in self.val_loader:
+            loss, outputs = self._jit_eval_step(self.params, self.batch_stats,
+                                                self._shard(batch))
+            losses.append(float(loss))
+            last = (batch, outputs)
+        val_loss = float(np.mean(losses)) if losses else float("nan")
+        if self.log_images and last is not None:
+            self._plot_validation(epoch, *last)
+        return val_loss
+
+    def _plot_validation(self, epoch, batch, outputs):
+        """Per-epoch validation image grids
+        (≙ multi_output_unet/train.py:234-318 plot_images)."""
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:  # pragma: no cover
+            return
+        out_dir = os.path.join(self.save_dir, "val_results")
+        os.makedirs(out_dir, exist_ok=True)
+        x = np.asarray(batch[self.input_key][0])
+        x2d = x[x.shape[0] // 2] if x.ndim == 4 else x  # middle slice for 3D
+        if self.multi_output:
+            names = list(self.output_heads)
+            preds = {k: np.asarray(outputs[k][0]) for k in names}
+        else:
+            names = ["mask"]
+            preds = {"mask": np.asarray(outputs[0][0])}
+        fig, axes = plt.subplots(2, len(names) + 1, figsize=(3 * (len(names) + 1), 6))
+        axes = np.atleast_2d(axes)
+        for row in range(2):
+            axes[row, 0].imshow(x2d[..., 0], cmap="gray")
+            axes[row, 0].set_title("Input" if row == 0 else "")
+            axes[row, 0].axis("off")
+        for i, name in enumerate(names):
+            p = preds[name]
+            t = np.asarray(batch[name][0])
+            p2d = p[p.shape[0] // 2] if p.ndim == 4 else p
+            t2d = t[t.shape[0] // 2] if t.ndim == 4 else t
+            axes[0, i + 1].imshow(p2d[..., 0], cmap="viridis")
+            axes[0, i + 1].set_title(f"{name} (Pred)")
+            axes[0, i + 1].axis("off")
+            axes[1, i + 1].imshow(t2d[..., 0], cmap="viridis")
+            axes[1, i + 1].set_title(f"{name} (True)")
+            axes[1, i + 1].axis("off")
+        fig.savefig(os.path.join(out_dir, f"epoch_{epoch}.png"), dpi=120)
+        plt.close(fig)
+        if self.writer is not None:
+            img = np.asarray(
+                preds[names[0]][..., 0]
+                if preds[names[0]].ndim == 3
+                else preds[names[0]][preds[names[0]].shape[0] // 2][..., 0]
+            )
+            self.writer.add_image(f"val/{names[0]}", img[None], epoch)
+
+    def _save(self, path, epoch):
+        variables = {"params": self.params}
+        if self.batch_stats:
+            variables["batch_stats"] = self.batch_stats
+        checkpoint.save(path, variables, self.params_meta, epoch=epoch,
+                        best_loss=self.best_loss, opt_state=self.opt_state)
+
+    def start(self, test_data_path=None, result_path=None, test_resize_dim=(512, 512)):
+        """Run training; optionally predict a folder of test tifs after each
+        epoch (≙ unet/train.py:159-197)."""
+        save_path = os.path.join(self.save_dir, self.save_name)
+        if self.profile_dir:
+            jax.profiler.start_trace(self.profile_dir)
+        try:
+            for epoch in range(self.epoch_start, self.epoch_start + self.num_epochs):
+                t0 = time.time()
+                train_loss = self._iterate_train(epoch)
+                val_loss = self._iterate_val(epoch)
+                lr_scale = self.scheduler.step(val_loss)
+                self.opt_state.hyperparams["learning_rate"] = jnp.asarray(
+                    self.lr * lr_scale, dtype=jnp.float32
+                )
+                dt = time.time() - t0
+                print(f"\nEpoch {epoch} completed in {dt:.2f} seconds "
+                      f"(train {train_loss:.5f}, val {val_loss:.5f})")
+
+                with open(self.metrics_path, "a", newline="") as fh:
+                    csv.writer(fh).writerow(
+                        [epoch, train_loss, val_loss, self.lr * lr_scale, round(dt, 2)]
+                    )
+                if self.writer is not None:
+                    self.writer.add_scalar("Loss/train", train_loss, epoch)
+                    self.writer.add_scalar("Loss/val", val_loss, epoch)
+
+                if val_loss < self.best_loss:
+                    print(f"\nValidation loss improved from {self.best_loss:.5f} "
+                          f"to {val_loss:.5f} - saving model state")
+                    self.best_loss = val_loss
+                    self._save(save_path, epoch)
+                if self.save_iter:
+                    self._save(os.path.join(self.save_dir, f"model_epoch_{epoch}.ckpt"),
+                               epoch)
+
+                if test_data_path is not None:
+                    self._predict_test_folder(epoch, test_data_path, result_path,
+                                              test_resize_dim)
+        finally:
+            if self.profile_dir:
+                jax.profiler.stop_trace()
+            if self.writer is not None:
+                self.writer.flush()
+        return self.best_loss
+
+    def _predict_test_folder(self, epoch, test_data_path, result_path, resize_dim):
+        import glob as _glob
+
+        from ..predict import Predict
+
+        print("\nPredicting test data...")
+        ckpt = os.path.join(self.save_dir, f"model_epoch_{epoch}.ckpt")
+        if not os.path.exists(ckpt):
+            self._save(ckpt, epoch)
+        os.makedirs(result_path, exist_ok=True)
+        for file in _glob.glob(os.path.join(test_data_path, "*.tif")):
+            from ..data import tiff
+
+            img = tiff.imread(file)
+            Predict(img,
+                    os.path.join(result_path,
+                                 os.path.basename(file) + f"epoch_{epoch}.tif"),
+                    ckpt, resize_dim=resize_dim, show_progress=False)

@@ -1,0 +1,242 @@
+"""Predict family tests: stitcher semantics vs independent NaN-stack
+implementations, end-to-end parity against the torch reference model with
+imported weights, and the streaming siam movie path."""
+
+import importlib.util
+import os
+
+import numpy as np
+import pytest
+
+from bio_image_unet_tpu import checkpoint
+from bio_image_unet_tpu.data import tiff
+from bio_image_unet_tpu.predict import (
+    Predict,
+    Predict3D,
+    PredictMultiOutput,
+    PredictMultiOutput3D,
+    PredictSiam,
+    grid_starts,
+    overlap_starts,
+    stitch_blend3d,
+    stitch_margin,
+    stitch_mean,
+)
+
+
+# --- grids -------------------------------------------------------------------
+
+
+def test_grid_starts_matches_reference():
+    # unet/predict.py:154-172: N = ceil(extent/tile) + add_tile, linspace
+    np.testing.assert_array_equal(grid_starts(96, 64, 0), [0, 32])
+    np.testing.assert_array_equal(grid_starts(96, 64, 1), [0, 16, 32])
+    np.testing.assert_array_equal(grid_starts(64, 64, 0), [0])
+
+
+def test_overlap_starts_matches_reference():
+    # multi_output_unet3d/predict.py:134-148
+    assert overlap_starts(100, 32, 0.1) == [0, 28, 56, 68]
+    assert overlap_starts(32, 32, 0.5) == [0]
+
+
+# --- stitchers vs independent NaN-stack implementations -----------------------
+
+
+def _nanmean_stitch(patches, xs, ys, out_shape):
+    """The reference's stitch (unet/predict.py:204-229), literally."""
+    stack = np.full((len(patches),) + tuple(out_shape), np.nan, dtype=np.float64)
+    n = 0
+    for x0 in xs:
+        for y0 in ys:
+            stack[n, x0 : x0 + patches.shape[1], y0 : y0 + patches.shape[2]] = patches[n, ..., 0]
+            n += 1
+    return np.nanmean(stack, axis=0)
+
+
+def test_stitch_mean_equals_nanmean(rng):
+    xs, ys = grid_starts(96, 64), grid_starts(80, 64)
+    patches = rng.integers(0, 255, (len(xs) * len(ys), 64, 64, 1)).astype(np.float32)
+    got = stitch_mean(patches, (xs, ys), (96, 80))[..., 0]
+    expected = _nanmean_stitch(patches, xs, ys, (96, 80))
+    np.testing.assert_allclose(got, expected, rtol=1e-6)
+
+
+def test_stitch_margin_constant_patches(rng):
+    xs, ys = grid_starts(96, 64), grid_starts(96, 64)
+    patches = np.full((len(xs) * len(ys), 64, 64, 1), 7.0, dtype=np.float32)
+    out = stitch_margin(patches, (xs, ys), (96, 96), safe_margin=20)
+    np.testing.assert_allclose(out, 7.0)
+
+
+def test_stitch_blend3d_constant(rng):
+    zs, xs, ys = [0], overlap_starts(48, 32, 0.25), overlap_starts(48, 32, 0.25)
+    n = len(zs) * len(xs) * len(ys)
+    patches = np.full((n, 8, 32, 32, 1), 3.0, dtype=np.float32)
+    out = stitch_blend3d(patches, (zs, xs, ys), (8, 48, 48), blend_margin=8)
+    np.testing.assert_allclose(out, 3.0, rtol=1e-6)
+
+
+# --- end-to-end parity with the torch reference ------------------------------
+
+
+def _ref_module(rel):
+    spec = importlib.util.spec_from_file_location(
+        rel.replace("/", "_"), f"/root/reference/bio_image_unet/{rel}"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def torch_unet_ckpt(tmp_path_factory):
+    import torch
+
+    torch.manual_seed(0)
+    mod = _ref_module("unet/unet.py")
+    net = mod.Unet(in_channels=1, out_channels=1, n_filter=8)
+    net.train()
+    with torch.no_grad():
+        for _ in range(3):
+            net(torch.randn(2, 1, 64, 64))
+    net.eval()
+    path = str(tmp_path_factory.mktemp("ckpt") / "model.pt")
+    torch.save({"state_dict": net.state_dict(), "epoch": 0, "best_loss": 1.0,
+                "model_name": "Unet", "n_filter": 8, "in_channels": 1,
+                "out_channels": 1}, path)
+    return path, net
+
+
+def test_predict_parity_with_reference(tmp_path, rng, torch_unet_ckpt):
+    import torch
+
+    ckpt_path, net = torch_unet_ckpt
+    movie = rng.integers(0, 255, (2, 96, 96), dtype=np.uint8)
+    out_path = str(tmp_path / "result.tif")
+    pred = Predict(movie, out_path, ckpt_path, resize_dim=(64, 64),
+                   show_progress=False, batch_size=4)
+
+    # independent reference computation: normalize per frame, uint8 patches,
+    # torch forward per patch, nanmean stitch, uint8 quantization
+    from bio_image_unet_tpu.predict.predictor import _normalize_stack
+
+    imgs = _normalize_stack(movie.astype(np.float32), "single", (0.0, 99.8))
+    xs, ys = grid_starts(96, 64), grid_starts(96, 64)
+    expected = []
+    with torch.no_grad():
+        for img in imgs:
+            patches = []
+            for x0 in xs:
+                for y0 in ys:
+                    p = img[x0 : x0 + 64, y0 : y0 + 64].astype(np.uint8)
+                    t = torch.from_numpy(p.astype(np.float32) / 255)[None, None]
+                    res = net(t)[0].numpy()[0, 0]
+                    patches.append((res * 255).astype(np.uint8)[..., None])
+            expected.append(
+                _nanmean_stitch(np.stack(patches).astype(np.float32), xs, ys, (96, 96))
+            )
+    expected = np.stack(expected).astype(np.uint8)
+    # allow off-by-one from uint8 rounding of float32-vs-float64 sigmoid tails
+    diff = np.abs(pred.result.astype(int) - expected.astype(int))
+    assert diff.max() <= 1, diff.max()
+    # saved as float16 tif
+    saved = tiff.imread(out_path)
+    assert saved.dtype == np.float16 and saved.shape == (2, 96, 96)
+
+
+def test_predict_single_image_and_small_input(tmp_path, rng, torch_unet_ckpt):
+    ckpt_path, _ = torch_unet_ckpt
+    img = rng.integers(0, 255, (48, 48), dtype=np.uint8)  # smaller than tile
+    pred = Predict(img, None, ckpt_path, resize_dim=(64, 64), show_progress=False)
+    assert pred.result.shape == (48, 48)
+
+
+def test_predict_siam_streaming(tmp_path, rng):
+    import torch
+
+    torch.manual_seed(0)
+    mod = _ref_module("siam_unet/siam_unet.py")
+    net = mod.Siam_UNet(n_filter=4, mode="max")
+    net.eval()
+    ckpt = str(tmp_path / "siam.pt")
+    torch.save({"state_dict": net.state_dict(), "model_name": "Siam_UNet",
+                "n_filter": 4, "mode": "max"}, ckpt)
+
+    movie_path = str(tmp_path / "movie.tif")
+    tiff.imwrite(movie_path, rng.integers(0, 255, (4, 48, 48), dtype=np.uint8))
+    out = str(tmp_path / "out.tif")
+    PredictSiam(movie_path, out, ckpt, resize_dim=(48, 48), show_progress=False)
+    result = tiff.imread(out)
+    assert result.shape == (4, 48, 48)
+
+    # single-frame movie pairs frame 0 with itself (siam_unet/predict.py:109-112)
+    single_path = str(tmp_path / "single.tif")
+    tiff.imwrite(single_path, rng.integers(0, 255, (48, 48), dtype=np.uint8))
+    out1 = str(tmp_path / "out1.tif")
+    PredictSiam(single_path, out1, ckpt, resize_dim=(48, 48), show_progress=False)
+    assert tiff.imread(out1).shape == (48, 48)
+
+
+def test_predict_3d(tmp_path, rng):
+    import jax
+    import jax.numpy as jnp
+
+    from bio_image_unet_tpu.models import UNet3D
+
+    model = UNet3D(n_filter=4)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 16, 16, 1)))
+    ckpt = str(tmp_path / "u3d.ckpt")
+    checkpoint.save(ckpt, variables, {"model_name": "UNet3D", "n_filter": 4})
+
+    vol = rng.integers(0, 255, (12, 24, 24), dtype=np.uint8)
+    pred = Predict3D(vol, str(tmp_path / "r.tif"), ckpt, resize_dim=(8, 16, 16),
+                     show_progress=False, batch_size=2)
+    assert pred.result.shape == (12, 24, 24)
+    assert pred.result.dtype == np.uint8
+
+
+def test_predict_multi_output(tmp_path, rng):
+    import jax
+    import jax.numpy as jnp
+
+    from bio_image_unet_tpu.models import MultiOutputUnet
+
+    heads = {"mask": {"channels": 1, "activation": "sigmoid"},
+             "orientation": {"channels": 2, "activation": None}}
+    model = MultiOutputUnet(n_filter=4, output_heads=heads)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))
+    ckpt = str(tmp_path / "mo.ckpt")
+    checkpoint.save(ckpt, variables, {"model_name": "MultiOutputUnet",
+                                      "n_filter": 4, "in_channels": 1,
+                                      "output_heads": heads})
+
+    imgs = rng.integers(0, 255, (2, 48, 48), dtype=np.uint8)
+    pred = PredictMultiOutput(imgs, ckpt, result_path=str(tmp_path / "res"),
+                              max_patch_size=(32, 32), show_progress=False,
+                              batch_size=4, safe_margin=4)
+    assert pred.result["mask"].shape == (2, 48, 48)
+    assert pred.result["orientation"].shape == (2, 2, 48, 48)
+    assert np.isfinite(pred.result["mask"]).all()
+    assert os.path.exists(str(tmp_path / "res" / "mask.tif"))
+
+
+def test_predict_multi_output_3d(tmp_path, rng):
+    import jax
+    import jax.numpy as jnp
+
+    from bio_image_unet_tpu.models import MultiOutputUnet3D
+
+    heads = {"mask": {"channels": 1, "activation": "sigmoid"}}
+    model = MultiOutputUnet3D(n_filter=4, output_heads=heads)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 16, 16, 1)))
+    ckpt = str(tmp_path / "mo3d.ckpt")
+    checkpoint.save(ckpt, variables, {"model_name": "MultiOutputUnet3D",
+                                      "n_filter": 4, "output_heads": heads})
+
+    vol = rng.integers(0, 255, (12, 24, 24), dtype=np.uint8)
+    pred = PredictMultiOutput3D(vol, ckpt, result_path=str(tmp_path / "res"),
+                                max_patch_size=(8, 16, 16), overlap_factor=0.25,
+                                show_progress=False, batch_size=2, blend_margin=4)
+    assert pred.result["mask"].shape == (12, 24, 24)
+    assert np.isfinite(pred.result["mask"]).all()
