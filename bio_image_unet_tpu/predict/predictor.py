@@ -56,7 +56,17 @@ def _normalize_stack(imgs: np.ndarray, mode: str, clip_threshold, invert: bool =
 
 
 class _Engine:
-    """Shared model loading + fixed-shape batched forward."""
+    """Shared model loading + single-dispatch batched forward.
+
+    The whole patch set moves to the device once (uint8 when the caller's
+    data is uint8 — 4× less PCIe/tunnel traffic than float32), a jitted
+    ``lax.map`` loops over fixed-size batches *on device* (bounding
+    activation memory), and results come back in one transfer, quantized
+    on-device (uint8 for the single-head family ≙ unet/predict.py:200,
+    float16 for multi-output ≙ multi_output_unet/predict.py:193).  This
+    replaces the reference's per-patch batch-1 host↔device round-trip
+    (unet/predict.py:184-202) — the dominant cost of its inference path.
+    """
 
     def __init__(self, model_params, network=None, batch_size: int = 8,
                  half_precision: bool = False):
@@ -73,23 +83,45 @@ class _Engine:
         self.variables = state["variables"]
         self.batch_size = batch_size
         self.dtype = jnp.bfloat16 if half_precision else jnp.float32
-        self._jitted = jax.jit(self._forward)
+        self._jitted = {}  # keyed by (with_prev, quantize) → compiled map
 
-    def _forward(self, x, prev=None):
-        x = x.astype(self.dtype)
-        args = (x,) if prev is None else (x, prev.astype(self.dtype))
+    def _forward(self, x, prev, quantize: bool):
+        scale = 1.0 / 255.0 if x.dtype == jnp.uint8 else 1.0
+        xf = x.astype(self.dtype) * scale
+        args = (xf,) if prev is None else (xf, prev.astype(self.dtype) * scale)
         out = self.model.apply(self.variables, *args, train=False)
         if isinstance(out, dict):
-            return {k: v.astype(jnp.float32) for k, v in out.items()}
-        return out[0].astype(jnp.float32)  # sigmoid output
+            return {k: v.astype(jnp.float16) for k, v in out.items()}
+        probs = out[0]
+        if quantize:
+            return (probs.astype(jnp.float32) * 255.0).astype(jnp.uint8)
+        return probs.astype(jnp.float32)
+
+    def _get_runner(self, with_prev: bool, quantize: bool):
+        key = (with_prev, quantize)
+        if key not in self._jitted:
+
+            def run_all(batches, prev_batches=None):
+                if with_prev:
+                    return jax.lax.map(
+                        lambda ab: self._forward(ab[0], ab[1], quantize),
+                        (batches, prev_batches),
+                    )
+                return jax.lax.map(lambda b: self._forward(b, None, quantize), batches)
+
+            self._jitted[key] = jax.jit(run_all)
+        return self._jitted[key]
 
     def predict_patches(self, patches: np.ndarray, prev: Optional[np.ndarray] = None,
-                        progress=None):
-        """Run (N, *tile, C) patches through the model in fixed-size batches;
-        returns float32 probabilities (single-head) or a dict of arrays."""
+                        progress=None, quantize: bool = False):
+        """Run (N, *tile, C) patches through the model.  uint8 inputs are
+        normalized by 255 on device.  Returns uint8 probabilities·255 when
+        ``quantize`` (single-head) else float16/float32 arrays or a per-head
+        dict."""
         n = patches.shape[0]
         bs = self.batch_size
-        n_pad = int(np.ceil(n / bs)) * bs
+        n_batches = int(np.ceil(n / bs))
+        n_pad = n_batches * bs
         if n_pad != n:  # pad with the last patch → static shapes for jit
             pad = np.broadcast_to(patches[-1:], (n_pad - n,) + patches.shape[1:])
             patches = np.concatenate([patches, pad])
@@ -97,18 +129,21 @@ class _Engine:
                 prev = np.concatenate(
                     [prev, np.broadcast_to(prev[-1:], (n_pad - n,) + prev.shape[1:])]
                 )
-        chunks = []
-        steps = range(0, n_pad, bs)
+        batches = patches.reshape((n_batches, bs) + patches.shape[1:])
+        runner = self._get_runner(prev is not None, quantize)
+        if prev is not None:
+            prev_batches = prev.reshape((n_batches, bs) + prev.shape[1:])
+            out = runner(jnp.asarray(batches), jnp.asarray(prev_batches))
+        else:
+            out = runner(jnp.asarray(batches))
         if progress is not None:
-            steps = progress.iterator(steps)
-        for start in steps:
-            xb = jnp.asarray(patches[start : start + bs])
-            pb = None if prev is None else jnp.asarray(prev[start : start + bs])
-            chunks.append(jax.device_get(self._jitted(xb) if pb is None
-                                         else self._jitted(xb, pb)))
-        if isinstance(chunks[0], dict):
-            return {k: np.concatenate([c[k] for c in chunks])[:n] for k in chunks[0]}
-        return np.concatenate(chunks)[:n]
+            # single-dispatch execution: report one completed unit
+            for _ in progress.iterator(range(1)):
+                pass
+        out = jax.device_get(out)
+        if isinstance(out, dict):
+            return {k: v.reshape((-1,) + v.shape[2:])[:n] for k, v in out.items()}
+        return out.reshape((-1,) + out.shape[2:])[:n]
 
 
 class Predict:
@@ -154,8 +189,8 @@ class Predict:
         )
         if show_progress:
             print("Predicting data ...")
-        probs = engine.predict_patches(patches[..., None].astype(np.float32) / 255.0, progress=progress)
-        probs = (probs * 255).astype(np.uint8)  # reference quantization
+        probs = engine.predict_patches(patches[..., None], progress=progress,
+                                       quantize=True)  # uint8·255 ≙ reference
         del patches
 
         # stitch per frame
@@ -250,9 +285,8 @@ class PredictSiam:
                 ).astype(np.uint8)
                 patches, prev_patches = self._split_pair(pair, xs, ys)
                 probs = engine.predict_patches(
-                    patches[..., None].astype(np.float32) / 255.0, prev_patches[..., None].astype(np.float32) / 255.0
+                    patches[..., None], prev_patches[..., None], quantize=True
                 )
-                probs = (probs * 255).astype(np.uint8)
                 out_h = max(self.resize_dim[0], frame_shape[0])
                 out_w = max(self.resize_dim[1], frame_shape[1])
                 frame = stitch_mean(probs, (xs, ys), (out_h, out_w))
@@ -325,8 +359,8 @@ class Predict3D:
         )
         if show_progress:
             print("Predicting data ...")
-        probs = engine.predict_patches(patches[..., None].astype(np.float32) / 255.0, progress=progress)
-        probs = (probs * 255).astype(np.uint8)
+        probs = engine.predict_patches(patches[..., None], progress=progress,
+                                       quantize=True)
 
         out_shape = tuple(max(self.resize_dim[a], self.vol_shape[a]) for a in range(3))
         result = stitch_mean(probs, (zs, xs, ys), out_shape)

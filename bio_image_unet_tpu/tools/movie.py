@@ -1,0 +1,101 @@
+"""Movie export & frame extraction
+(reference siam_unet/helpers/tif_to_mp4.py, extract_frame_of_movie.py,
+util.py ffmpeg comparisons).  ffmpeg is invoked via subprocess and gated."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import tempfile
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..data import morphology, tiff
+
+
+def _require_ffmpeg() -> str:
+    path = shutil.which("ffmpeg")
+    if path is None:
+        raise RuntimeError("ffmpeg not found on PATH — movie export unavailable")
+    return path
+
+
+def tif_to_mp4(tif_path, mp4_path, fps: int = 12, threshold: Optional[float] = None,
+               invert: bool = False, normalize: bool = True,
+               opening: bool = False, crf: int = 17) -> None:
+    """Render a tif movie to H.264 mp4 (reference tif_to_mp4.py:19-57):
+    optional threshold/invert/normalize/morphological-opening per frame,
+    frames dumped as PNGs, encoded with libx264."""
+    import cv2
+
+    ffmpeg = _require_ffmpeg()
+    tmp = tempfile.mkdtemp(prefix="tif2mp4_")
+    try:
+        with tiff.TiffReader(tif_path) as reader:
+            for i, frame in enumerate(reader.iter_pages()):
+                frame = np.asarray(frame, dtype=np.float32)
+                if threshold is not None:
+                    frame = np.where(frame >= threshold, 255.0, 0.0)
+                if opening:
+                    frame = morphology.binary_opening(frame > 0).astype(np.float32) * 255
+                if invert:
+                    frame = frame.max() - frame
+                if normalize and frame.max() > 0:
+                    frame = frame / frame.max() * 255
+                cv2.imwrite(os.path.join(tmp, f"{i:06d}.png"), frame.astype(np.uint8))
+        subprocess.run(
+            [ffmpeg, "-y", "-framerate", str(fps), "-i",
+             os.path.join(tmp, "%06d.png"), "-c:v", "libx264", "-crf", str(crf),
+             "-pix_fmt", "yuv420p", str(mp4_path)],
+            check=True, capture_output=True,
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def extract_frames(movie_path, frames: Sequence[int], output_dir,
+                   prefix: str = "frame") -> list:
+    """Dump selected frames of a movie as single tifs
+    (reference extract_frame_of_movie.py)."""
+    os.makedirs(output_dir, exist_ok=True)
+    written = []
+    with tiff.TiffReader(movie_path) as reader:
+        for f in frames:
+            arr = reader.read_page(f)
+            path = os.path.join(output_dir, f"{prefix}_{f}.tif")
+            tiff.imwrite(path, arr)
+            written.append(path)
+    return written
+
+
+def compare_videos_vstack(inputs: Sequence[str], output: str) -> None:
+    """Stack 2 videos vertically / 4 or 6 in a grid for visual comparison
+    (reference util.py:54-98)."""
+    ffmpeg = _require_ffmpeg()
+    n = len(inputs)
+    if n == 2:
+        filter_ = "vstack=inputs=2"
+    elif n == 4:
+        filter_ = "[0:v][1:v]hstack[top];[2:v][3:v]hstack[bottom];[top][bottom]vstack"
+    elif n == 6:
+        filter_ = ("[0:v][1:v][2:v]hstack=inputs=3[top];"
+                   "[3:v][4:v][5:v]hstack=inputs=3[bottom];[top][bottom]vstack")
+    else:
+        raise ValueError("compare_videos_vstack supports 2, 4 or 6 inputs")
+    cmd = [ffmpeg, "-y"]
+    for p in inputs:
+        cmd += ["-i", str(p)]
+    cmd += ["-filter_complex", filter_, str(output)]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def crop_zoom(input_video, output_video, w: str, h: str, x: str, y: str) -> None:
+    """ffmpeg crop+scale-back zoom (reference util.py:39-43)."""
+    ffmpeg = _require_ffmpeg()
+    subprocess.run(
+        [ffmpeg, "-y", "-i", str(input_video), "-vf",
+         f"crop={w}:{h}:{x}:{y},scale=iw:ih", str(output_video)],
+        check=True, capture_output=True,
+    )
