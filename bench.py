@@ -81,8 +81,8 @@ def measure_ours():
     rng = np.random.default_rng(0)
     movie = rng.integers(0, 255, (FRAMES, H, W), dtype=np.uint8)
 
-    # warm-up run (compile)
-    Predict(movie[:1], None, ckpt, resize_dim=(PATCH, PATCH),
+    # warm-up run (compile) — same shapes as the timed run
+    Predict(movie, None, ckpt, resize_dim=(PATCH, PATCH),
             show_progress=False, batch_size=8, half_precision=True)
     t0 = time.perf_counter()
     Predict(movie, None, ckpt, resize_dim=(PATCH, PATCH),

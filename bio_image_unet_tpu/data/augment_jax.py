@@ -1,0 +1,128 @@
+"""Device-side (jit) batched augmentation for the training hot path.
+
+The reference augments offline only, multiplying the dataset on disk
+(unet/data.py:217-245, aug_factor copies per tile).  On TPU it is cheaper to
+keep one copy of the tiles and draw fresh augmentations *on device every
+epoch* — these ops are elementwise/gather work that XLA fuses into the train
+step, so they are effectively free against the conv FLOPs.  Enabled with
+``Trainer(device_augment=True)``.
+
+Per-sample spatial ops (shared image↔mask): rot90 k∈{0..3}, H/V flips.
+Per-sample intensity ops (image only): brightness/contrast
+(≙ RandomBrightnessContrast), elementwise multiplicative noise
+(≙ MultiplicativeNoise), additive Gaussian noise (≙ GaussNoise).
+
+All functions take explicit PRNG keys and are shape-polymorphic over batch;
+rot90 requires square tiles (the pipelines' dim_out is square by default).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _rot90_single(x, k):
+    """rot90 by a traced k∈{0,1,2,3} on an (H, W, C) tile (H == W)."""
+    return jax.lax.switch(
+        k,
+        [
+            lambda t: t,
+            lambda t: jnp.rot90(t, 1),
+            lambda t: jnp.rot90(t, 2),
+            lambda t: jnp.rot90(t, 3),
+        ],
+        x,
+    )
+
+
+def random_rot90_flip(key, *arrays):
+    """Apply the same per-sample random rot90 + H/V flips to every array in
+    ``arrays`` (each (B, H, W, C), H == W).  Returns the transformed arrays."""
+    b = arrays[0].shape[0]
+    k_rot, k_h, k_v = jax.random.split(key, 3)
+    ks = jax.random.randint(k_rot, (b,), 0, 4)
+    flip_h = jax.random.bernoulli(k_h, 0.5, (b,))
+    flip_v = jax.random.bernoulli(k_v, 0.5, (b,))
+
+    def tx(x, k, fh, fv):
+        x = _rot90_single(x, k)
+        x = jnp.where(fh, x[:, ::-1], x)
+        x = jnp.where(fv, x[::-1], x)
+        return x
+
+    return tuple(jax.vmap(tx)(a, ks, flip_h, flip_v) for a in arrays)
+
+
+def random_brightness_contrast(key, image, brightness: float = 0.25,
+                               contrast: float = 0.25, p: float = 0.5,
+                               max_value: float = 1.0):
+    """Per-sample out = img·(1+c) + b·max_value with probability p
+    (≙ albumentations RandomBrightnessContrast, unet/data.py:221-222)."""
+    b = image.shape[0]
+    k_apply, k_a, k_b = jax.random.split(key, 3)
+    apply = jax.random.bernoulli(k_apply, p, (b,))
+    alpha = 1.0 + jax.random.uniform(k_a, (b,), minval=-contrast, maxval=contrast)
+    beta = jax.random.uniform(k_b, (b,), minval=-brightness, maxval=brightness)
+    shape = (b,) + (1,) * (image.ndim - 1)
+    out = image * alpha.reshape(shape) + (beta * max_value).reshape(shape)
+    return jnp.where(apply.reshape(shape), jnp.clip(out, 0.0, max_value), image)
+
+
+def random_multiplicative_noise(key, image, multiplier: Tuple[float, float] = (0.5, 1.2),
+                                p: float = 0.3, max_value: float = 1.0):
+    """Per-pixel uniform multiplier (≙ MultiplicativeNoise(elementwise=True),
+    unet/data.py:224)."""
+    b = image.shape[0]
+    k_apply, k_m = jax.random.split(key)
+    apply = jax.random.bernoulli(k_apply, p, (b,) + (1,) * (image.ndim - 1))
+    m = jax.random.uniform(k_m, image.shape, minval=multiplier[0], maxval=multiplier[1])
+    return jnp.where(apply, jnp.clip(image * m, 0.0, max_value), image)
+
+
+def random_gauss_noise(key, image, sigma: float = 0.04, p: float = 0.3,
+                       max_value: float = 1.0):
+    """Additive Gaussian noise (≙ GaussNoise, siam_unet/data.py:239;
+    sigma in units of max_value)."""
+    b = image.shape[0]
+    k_apply, k_n = jax.random.split(key)
+    apply = jax.random.bernoulli(k_apply, p, (b,) + (1,) * (image.ndim - 1))
+    noise = sigma * max_value * jax.random.normal(k_n, image.shape)
+    return jnp.where(apply, jnp.clip(image + noise, 0.0, max_value), image)
+
+
+def augment_batch(key, image, mask, prev_image=None,
+                  brightness_contrast: Tuple[float, float] = (0.25, 0.25),
+                  noise_mult: Optional[Tuple[float, float]] = (0.5, 1.2),
+                  gauss_sigma: Optional[float] = None,
+                  p_pipeline: float = 0.8):
+    """One full augmentation draw (≙ the reference's offline Compose,
+    unet/data.py:217-226, re-expressed on device): per-sample rot90+flips on
+    all spatial targets, then intensity ops on the image(s) only.  The whole
+    pipeline applies with probability ``p_pipeline`` per sample."""
+    k_gate, k_spatial, k_bc, k_mult, k_gauss, k_bc2 = jax.random.split(key, 6)
+    b = image.shape[0]
+    gate = jax.random.bernoulli(k_gate, p_pipeline, (b,) + (1,) * (image.ndim - 1))
+
+    targets = (image, mask) if prev_image is None else (image, mask, prev_image)
+    spatial = random_rot90_flip(k_spatial, *targets)
+
+    def intensity(img, k_bc_i):
+        out = random_brightness_contrast(k_bc_i, img, *brightness_contrast)
+        if noise_mult is not None:
+            out = random_multiplicative_noise(k_mult, out, noise_mult)
+        if gauss_sigma is not None:
+            out = random_gauss_noise(k_gauss, out, gauss_sigma)
+        return out
+
+    aug_image = intensity(spatial[0], k_bc)
+    aug_mask = spatial[1]
+    out_image = jnp.where(gate, aug_image, image)
+    out_mask = jnp.where(gate, aug_mask, mask)
+    if prev_image is None:
+        return out_image, out_mask
+    aug_prev = intensity(spatial[2], k_bc2)
+    return out_image, out_mask, jnp.where(gate, aug_prev, prev_image)

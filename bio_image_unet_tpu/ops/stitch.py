@@ -1,0 +1,137 @@
+"""On-device patch stitching (scatter-accumulate) — Pallas TPU kernel with an
+XLA fallback.
+
+The reference stitches on host with NaN stacks (unet/predict.py:204-229); the
+host numpy rewrite lives in predict/tiling.py.  This module moves the
+accumulation onto the TPU so the only device→host transfer is the stitched
+frame itself (patch sets are overlap-inflated by up to (1+add_tile)² — on a
+tunneled/PCIe-attached TPU the transfer is the predict path's main cost).
+
+Kernel structure: grid over patches; the (x, y) start offsets are
+scalar-prefetch operands (pltpu.PrefetchScalarGridSpec) so the output-block
+dynamic slice is known before the body runs; the full (H, W, C) result and
+weight planes live in VMEM across grid steps (TPU grid steps execute
+sequentially, making read-modify-write accumulation well-defined).  Falls
+back to a lax.scan of dynamic_update_slice adds when the planes exceed the
+VMEM budget or on non-TPU backends.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024  # leave headroom of the ~16 MB/core
+
+
+def _starts_product(starts_per_axis: Sequence[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
+    xs, ys = starts_per_axis
+    gx, gy = np.meshgrid(np.asarray(xs), np.asarray(ys), indexing="ij")
+    return gx.ravel().astype(np.int32), gy.ravel().astype(np.int32)
+
+
+def _stitch_pallas(patches, x_starts, y_starts, out_h: int, out_w: int):
+    """patches: (N, th, tw, C) f32 on device → (H, W, C) sum and count."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, th, tw, c = patches.shape
+
+    def kernel(xs_ref, ys_ref, patch_ref, out_ref, cnt_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+            cnt_ref[:] = jnp.zeros_like(cnt_ref)
+
+        x0, y0 = xs_ref[i], ys_ref[i]
+        block = out_ref[pl.ds(x0, th), pl.ds(y0, tw), :]
+        out_ref[pl.ds(x0, th), pl.ds(y0, tw), :] = block + patch_ref[:]
+        cnt = cnt_ref[pl.ds(x0, th), pl.ds(y0, tw), :]
+        cnt_ref[pl.ds(x0, th), pl.ds(y0, tw), :] = cnt + 1.0
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, th, tw, c), lambda i, xs, ys: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((out_h, out_w, c), lambda i, xs, ys: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((out_h, out_w, c), lambda i, xs, ys: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+
+    def kernel_wrap(xs_ref, ys_ref, patch_ref, out_ref, cnt_ref):
+        kernel(xs_ref, ys_ref, patch_ref[0], out_ref, cnt_ref)
+
+    out, cnt = pl.pallas_call(
+        kernel_wrap,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((out_h, out_w, c), jnp.float32),
+            jax.ShapeDtypeStruct((out_h, out_w, c), jnp.float32),
+        ),
+    )(x_starts, y_starts, patches)
+    return out, cnt
+
+
+def _stitch_xla(patches, x_starts, y_starts, out_h: int, out_w: int):
+    n, th, tw, c = patches.shape
+
+    def body(carry, inp):
+        out, cnt = carry
+        patch, x0, y0 = inp
+        block = lax.dynamic_slice(out, (x0, y0, 0), (th, tw, c))
+        out = lax.dynamic_update_slice(out, block + patch, (x0, y0, 0))
+        cblock = lax.dynamic_slice(cnt, (x0, y0, 0), (th, tw, c))
+        cnt = lax.dynamic_update_slice(cnt, cblock + 1.0, (x0, y0, 0))
+        return (out, cnt), None
+
+    init = (jnp.zeros((out_h, out_w, c), jnp.float32),
+            jnp.zeros((out_h, out_w, c), jnp.float32))
+    (out, cnt), _ = lax.scan(body, init, (patches, x_starts, y_starts))
+    return out, cnt
+
+
+@partial(jax.jit, static_argnames=("out_h", "out_w", "use_pallas", "quantize_u8"))
+def _stitch_device(patches, x_starts, y_starts, out_h: int, out_w: int,
+                   use_pallas: bool, quantize_u8: bool):
+    patches = patches.astype(jnp.float32)
+    if use_pallas:
+        out, cnt = _stitch_pallas(patches, x_starts, y_starts, out_h, out_w)
+    else:
+        out, cnt = _stitch_xla(patches, x_starts, y_starts, out_h, out_w)
+    result = out / jnp.maximum(cnt, 1.0)
+    if quantize_u8:
+        result = result.astype(jnp.uint8)  # truncation ≙ unet/predict.py:223
+    return result
+
+
+def stitch_mean_device(patches, starts_per_axis, out_spatial: Tuple[int, int],
+                       quantize_u8: bool = False):
+    """Device-side mean-overlap stitch of one frame's 2D patches.
+
+    ``patches``: (N, th, tw, C) device or host array in grid order
+    (x-major, matching ``predict.tiling.stitch_mean``).  Returns the
+    (H, W, C) stitched frame as a device array (uint8 when ``quantize_u8`` —
+    the reference's output quantization, minimizing device→host traffic).
+    """
+    out_h, out_w = int(out_spatial[0]), int(out_spatial[1])
+    xs, ys = _starts_product(starts_per_axis)
+    c = patches.shape[-1]
+    plane_bytes = out_h * out_w * c * 4 * 2
+    use_pallas = (
+        jax.default_backend() == "tpu" and plane_bytes < _VMEM_BUDGET_BYTES
+    )
+    return _stitch_device(jnp.asarray(patches), jnp.asarray(xs), jnp.asarray(ys),
+                          out_h, out_w, use_pallas, quantize_u8)

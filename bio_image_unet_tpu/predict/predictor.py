@@ -97,6 +97,11 @@ class _Engine:
             return (probs.astype(jnp.float32) * 255.0).astype(jnp.uint8)
         return probs.astype(jnp.float32)
 
+    # batches per compiled super-chunk: every dispatch sees the same static
+    # shape (CHUNK_BATCHES, bs, *tile, C), so a movie of ANY length reuses
+    # the same two compiled programs (full chunk + padded tail chunk)
+    CHUNK_BATCHES = 8
+
     def _get_runner(self, with_prev: bool, quantize: bool):
         key = (with_prev, quantize)
         if key not in self._jitted:
@@ -112,38 +117,54 @@ class _Engine:
             self._jitted[key] = jax.jit(run_all)
         return self._jitted[key]
 
+    @staticmethod
+    def _pad_to(arr: np.ndarray, n_pad: int) -> np.ndarray:
+        n = arr.shape[0]
+        if n_pad == n:
+            return arr
+        pad = np.broadcast_to(arr[-1:], (n_pad - n,) + arr.shape[1:])
+        return np.concatenate([arr, pad])
+
     def predict_patches(self, patches: np.ndarray, prev: Optional[np.ndarray] = None,
-                        progress=None, quantize: bool = False):
+                        progress=None, quantize: bool = False,
+                        return_device: bool = False):
         """Run (N, *tile, C) patches through the model.  uint8 inputs are
         normalized by 255 on device.  Returns uint8 probabilities·255 when
         ``quantize`` (single-head) else float16/float32 arrays or a per-head
-        dict."""
+        dict.  ``return_device`` keeps the result on device (single-head only)
+        for downstream device-side stitching."""
         n = patches.shape[0]
         bs = self.batch_size
-        n_batches = int(np.ceil(n / bs))
-        n_pad = n_batches * bs
-        if n_pad != n:  # pad with the last patch → static shapes for jit
-            pad = np.broadcast_to(patches[-1:], (n_pad - n,) + patches.shape[1:])
-            patches = np.concatenate([patches, pad])
-            if prev is not None:
-                prev = np.concatenate(
-                    [prev, np.broadcast_to(prev[-1:], (n_pad - n,) + prev.shape[1:])]
-                )
-        batches = patches.reshape((n_batches, bs) + patches.shape[1:])
-        runner = self._get_runner(prev is not None, quantize)
+        chunk = self.CHUNK_BATCHES * bs
+        n_pad = int(np.ceil(n / chunk)) * chunk if n > chunk else int(np.ceil(n / bs)) * bs
+        patches = self._pad_to(patches, n_pad)
         if prev is not None:
-            prev_batches = prev.reshape((n_batches, bs) + prev.shape[1:])
-            out = runner(jnp.asarray(batches), jnp.asarray(prev_batches))
-        else:
-            out = runner(jnp.asarray(batches))
-        if progress is not None:
-            # single-dispatch execution: report one completed unit
-            for _ in progress.iterator(range(1)):
-                pass
-        out = jax.device_get(out)
-        if isinstance(out, dict):
-            return {k: v.reshape((-1,) + v.shape[2:])[:n] for k, v in out.items()}
-        return out.reshape((-1,) + out.shape[2:])[:n]
+            prev = self._pad_to(prev, n_pad)
+        runner = self._get_runner(prev is not None, quantize)
+
+        # dispatch all chunks asynchronously, fetch once at the end
+        pending = []
+        steps = list(range(0, n_pad, chunk))
+        it = progress.iterator(steps) if progress is not None else steps
+        for start in it:
+            stop = min(start + chunk, n_pad)
+            nb = (stop - start) // bs
+            b = patches[start:stop].reshape((nb, bs) + patches.shape[1:])
+            if prev is not None:
+                pb = prev[start:stop].reshape((nb, bs) + prev.shape[1:])
+                pending.append(runner(jnp.asarray(b), jnp.asarray(pb)))
+            else:
+                pending.append(runner(jnp.asarray(b)))
+        if return_device and not isinstance(pending[0], dict):
+            flat = [p.reshape((-1,) + p.shape[2:]) for p in pending]
+            return jnp.concatenate(flat)[:n] if len(flat) > 1 else flat[0][:n]
+        chunks = [jax.device_get(p) for p in pending]
+        if isinstance(chunks[0], dict):
+            return {
+                k: np.concatenate([c[k].reshape((-1,) + c[k].shape[2:]) for c in chunks])[:n]
+                for k in chunks[0]
+            }
+        return np.concatenate([c.reshape((-1,) + c.shape[2:]) for c in chunks])[:n]
 
 
 class Predict:
@@ -190,20 +211,25 @@ class Predict:
         if show_progress:
             print("Predicting data ...")
         probs = engine.predict_patches(patches[..., None], progress=progress,
-                                       quantize=True)  # uint8·255 ≙ reference
+                                       quantize=True,  # uint8·255 ≙ reference
+                                       return_device=True)
         del patches
 
-        # stitch per frame
+        # stitch per frame ON DEVICE (Pallas scatter-accumulate on TPU) —
+        # only the stitched uint8 frames cross back to the host
+        from ..ops.stitch import stitch_mean_device
+
         n_frames = self.imgs_shape[0]
         per = len(xs) * len(ys)
         out_h = max(self.resize_dim[0], self.imgs_shape[1])
         out_w = max(self.resize_dim[1], self.imgs_shape[2])
-        frames = [
-            stitch_mean(probs[i * per : (i + 1) * per], (xs, ys), (out_h, out_w))
+        frames_dev = [
+            stitch_mean_device(probs[i * per : (i + 1) * per], (xs, ys),
+                               (out_h, out_w), quantize_u8=True)
             for i in range(n_frames)
         ]
-        result = np.stack(frames)[:, : self.imgs_shape[1], : self.imgs_shape[2]]
-        result = result.astype(np.uint8)
+        result = np.stack([np.asarray(f) for f in frames_dev])
+        result = result[:, : self.imgs_shape[1], : self.imgs_shape[2]]
         if out_ch == 1:
             result = result[..., 0]
         else:

@@ -119,6 +119,7 @@ class Trainer:
         scheduler_factor: float = 0.1,
         mesh=None,
         seed: int = 0,
+        device_augment: bool = False,
         tensorboard: bool = False,
         log_images: bool = False,
         profile_dir: Optional[str] = None,
@@ -143,6 +144,7 @@ class Trainer:
         self.save_dir = save_dir
         self.save_name = save_name
         self.save_iter = save_iter
+        self.device_augment = device_augment
         self.log_images = log_images
         self.profile_dir = profile_dir
         self.best_loss = float("inf")
@@ -218,6 +220,11 @@ class Trainer:
         sample = dataset[0]
         self.sample_keys = list(sample.keys())
         self.input_key = "volume" if "volume" in sample else "image"
+        if device_augment and (self.multi_output or self.input_key == "volume"):
+            raise ValueError(
+                "device_augment currently supports the 2D single-/siam-head "
+                "flows (image+mask[+prev_image]) only"
+            )
         init_args = [jnp.zeros((1,) + sample[self.input_key].shape)]
         if self.mode is not None:
             init_args.append(jnp.zeros((1,) + sample["prev_image"].shape))
@@ -351,6 +358,23 @@ class Trainer:
 
     def _train_step(self, carry, batch, rng):
         params, batch_stats, opt_state = carry
+        rng, aug_rng = jax.random.split(rng)
+        if self.device_augment:
+            # fresh on-device augmentation draw per step (augment_jax.py) —
+            # replaces the reference's aug_factor disk copies
+            from ..data.augment_jax import augment_batch
+
+            if self.mode is not None:
+                img, mask, prev = augment_batch(
+                    aug_rng, batch[self.input_key], batch["mask"],
+                    batch["prev_image"],
+                )
+                batch = {**batch, self.input_key: img, "mask": mask,
+                         "prev_image": prev}
+            else:
+                img, mask = augment_batch(aug_rng, batch[self.input_key],
+                                          batch["mask"])
+                batch = {**batch, self.input_key: img, "mask": mask}
 
         def loss_fn(p):
             variables = {"params": p}
