@@ -377,7 +377,18 @@ def imwrite(path, data: np.ndarray, compress: Optional[int] = None) -> None:
 
 def imread(path) -> np.ndarray:
     """Read a TIFF as an array ((H,W[,C]) single page, (N,H,W[,C]) stack).
-    Falls back to imageio/PIL for container features this codec doesn't parse."""
+
+    Fast path: the multithreaded C++ decoder (bio_image_unet_tpu.native,
+    native/biotiff.cpp) when built; falls back to the pure-Python reader,
+    then to imageio/PIL for container features neither parses."""
+    try:
+        from .. import native
+
+        arr = native.imread(path)
+        if arr is not None:
+            return arr
+    except Exception:
+        pass
     try:
         with TiffReader(path) as tr:
             return tr.asarray()

@@ -1,0 +1,148 @@
+"""ctypes bindings for libbiotiff (native/biotiff.cpp) — the multithreaded
+C++ TIFF decoder that accelerates the framework's file-per-tile host data
+path (SURVEY.md §7.4 "Host I/O pipeline throughput").
+
+The library is compiled on first use with the system g++ (cached next to the
+source); everything degrades gracefully to the pure-Python codec in
+``bio_image_unet_tpu.data.tiff`` when a compiler or zlib is unavailable, or
+for container features the native decoder doesn't parse (big-endian, tiled,
+LZW, predictors).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_DTYPES = {
+    1: np.uint8, 2: np.uint16, 3: np.uint32,
+    4: np.int8, 5: np.int16, 6: np.int32,
+    7: np.float16, 8: np.float32, 9: np.float64,
+}
+
+_lib = None
+_lib_lock = threading.Lock()
+_lib_failed = False
+
+_SRC_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "native")
+
+
+def _build() -> Optional[str]:
+    src = os.path.join(_SRC_DIR, "biotiff.cpp")
+    so = os.path.join(_SRC_DIR, "libbiotiff.so")
+    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
+        return so
+    if not os.path.exists(src):
+        return None
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-fPIC", "-std=c++17", "-shared", src, "-o", so,
+             "-lz", "-pthread"],
+            check=True, capture_output=True, timeout=120,
+        )
+        return so
+    except Exception:
+        return None
+
+
+def get_lib():
+    """Load (building if needed) libbiotiff; None when unavailable."""
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
+        return _lib
+    with _lib_lock:
+        if _lib is not None or _lib_failed:
+            return _lib
+        so = _build()
+        if so is None:
+            _lib_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError:
+            _lib_failed = True
+            return None
+        lib.biotiff_probe.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.biotiff_probe.restype = ctypes.c_int
+        lib.biotiff_read.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.biotiff_read.restype = ctypes.c_int
+        lib.biotiff_read_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int,
+        ]
+        lib.biotiff_read_batch.restype = ctypes.c_int
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def imread(path) -> Optional[np.ndarray]:
+    """Native read of a (multipage) TIFF → (N,H,W[,C]) / (H,W[,C]) array,
+    or None when the native path can't handle the file."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    shape = (ctypes.c_int64 * 4)()
+    dtype = ctypes.c_int()
+    rc = lib.biotiff_probe(str(path).encode(), shape, ctypes.byref(dtype))
+    if rc != 0 or dtype.value not in _DTYPES:
+        return None
+    np_dtype = np.dtype(_DTYPES[dtype.value])
+    n, h, w, c = (int(shape[i]) for i in range(4))
+    out = np.empty(n * h * w * c, dtype=np_dtype)
+    rc = lib.biotiff_read(str(path).encode(),
+                          out.ctypes.data_as(ctypes.c_void_p),
+                          out.nbytes, shape, ctypes.byref(dtype))
+    if rc != 0:
+        return None
+    arr = out.reshape(n, h, w, c)
+    if c == 1:
+        arr = arr[..., 0]
+    if n == 1:
+        arr = arr[0]
+    return arr
+
+
+def imread_batch(paths: List[str], n_threads: int = 0) -> Optional[np.ndarray]:
+    """Decode equal-shaped TIFFs in parallel → one stacked array
+    (N_files, ...), or None when unavailable/heterogeneous."""
+    lib = get_lib()
+    if lib is None or not paths:
+        return None
+    shape = (ctypes.c_int64 * 4)()
+    dtype = ctypes.c_int()
+    rc = lib.biotiff_probe(str(paths[0]).encode(), shape, ctypes.byref(dtype))
+    if rc != 0 or dtype.value not in _DTYPES:
+        return None
+    np_dtype = np.dtype(_DTYPES[dtype.value])
+    n, h, w, c = (int(shape[i]) for i in range(4))
+    item_bytes = n * h * w * c * np_dtype.itemsize
+    out = np.empty(len(paths) * n * h * w * c, dtype=np_dtype)
+    c_paths = (ctypes.c_char_p * len(paths))(*[str(p).encode() for p in paths])
+    rc = lib.biotiff_read_batch(c_paths, len(paths),
+                                out.ctypes.data_as(ctypes.c_void_p),
+                                item_bytes,
+                                n_threads or min(os.cpu_count() or 4, 16))
+    if rc != 0:
+        return None
+    arr = out.reshape((len(paths), n, h, w, c))
+    if c == 1:
+        arr = arr[..., 0]
+    if n == 1:
+        arr = arr[:, 0]
+    return arr

@@ -1,0 +1,276 @@
+// biotiff — minimal multithreaded TIFF decoder for the bio_image_unet_tpu
+// data path.
+//
+// The framework's training pipelines are file-per-tile on disk (the
+// reference's documented data layout, bio_image_unet/unet/data.py:98-122);
+// keeping a TPU fed means decoding thousands of small TIFFs per epoch.  This
+// library parses the TIFF 6.0 subset the framework writes (little-endian,
+// strip-based, raw or zlib/deflate, uint8/16/32, int8/16/32, float16/32/64,
+// chunky planar) and decodes batches of files on a std::thread pool.
+//
+// C ABI (consumed via ctypes from bio_image_unet_tpu/native/__init__.py):
+//   biotiff_probe(path, shape[4], &dtype_code)      -> 0 ok / negative error
+//   biotiff_read(path, out, capacity)               -> 0 ok / negative error
+//   biotiff_read_batch(paths, n, out, item_bytes, n_threads)
+//                                                   -> 0 ok / first error
+//
+// dtype codes: 1 u8, 2 u16, 3 u32, 4 i8, 5 i16, 6 i32, 7 f16, 8 f32, 9 f64.
+
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+#include <zlib.h>
+
+namespace {
+
+constexpr int ERR_OPEN = -1;
+constexpr int ERR_FORMAT = -2;
+constexpr int ERR_UNSUPPORTED = -3;
+constexpr int ERR_CAPACITY = -4;
+constexpr int ERR_INFLATE = -5;
+constexpr int ERR_INCONSISTENT = -6;
+
+struct Tag {
+    uint16_t id;
+    uint16_t type;
+    uint32_t count;
+    uint32_t value_or_offset;
+};
+
+struct PageInfo {
+    uint32_t width = 0, height = 0;
+    uint16_t bits = 8, samples = 1, compression = 1, sample_format = 1;
+    std::vector<uint64_t> strip_offsets;
+    std::vector<uint64_t> strip_counts;
+};
+
+struct FileBuf {
+    std::vector<uint8_t> data;
+};
+
+bool read_file(const char* path, FileBuf& buf) {
+    FILE* fh = std::fopen(path, "rb");
+    if (!fh) return false;
+    std::fseek(fh, 0, SEEK_END);
+    long size = std::ftell(fh);
+    std::fseek(fh, 0, SEEK_SET);
+    if (size < 8) { std::fclose(fh); return false; }
+    buf.data.resize(static_cast<size_t>(size));
+    size_t got = std::fread(buf.data.data(), 1, buf.data.size(), fh);
+    std::fclose(fh);
+    return got == buf.data.size();
+}
+
+uint16_t rd16(const uint8_t* p) { return static_cast<uint16_t>(p[0] | (p[1] << 8)); }
+uint32_t rd32(const uint8_t* p) {
+    return static_cast<uint32_t>(p[0]) | (static_cast<uint32_t>(p[1]) << 8) |
+           (static_cast<uint32_t>(p[2]) << 16) | (static_cast<uint32_t>(p[3]) << 24);
+}
+
+int type_size(uint16_t t) {
+    switch (t) {
+        case 1: case 2: case 6: case 7: return 1;
+        case 3: case 8: return 2;
+        case 4: case 9: case 11: return 4;
+        case 5: case 10: case 12: return 8;
+        default: return 0;
+    }
+}
+
+// Read tag values as uint64 (SHORT or LONG).
+bool tag_values(const FileBuf& f, const Tag& tag, std::vector<uint64_t>& out) {
+    int ts = type_size(tag.type);
+    if (ts == 0 || (tag.type != 3 && tag.type != 4)) return false;
+    size_t total = static_cast<size_t>(ts) * tag.count;
+    const uint8_t* src;
+    uint8_t inline_buf[4];
+    if (total <= 4) {
+        std::memcpy(inline_buf, &tag.value_or_offset, 4);  // little-endian host
+        src = inline_buf;
+    } else {
+        if (tag.value_or_offset + total > f.data.size()) return false;
+        src = f.data.data() + tag.value_or_offset;
+    }
+    out.resize(tag.count);
+    for (uint32_t i = 0; i < tag.count; ++i) {
+        out[i] = (tag.type == 3) ? rd16(src + 2 * i) : rd32(src + 4 * i);
+    }
+    return true;
+}
+
+int dtype_code(uint16_t bits, uint16_t fmt) {
+    if (fmt == 1) {  // unsigned
+        if (bits == 8) return 1;
+        if (bits == 16) return 2;
+        if (bits == 32) return 3;
+    } else if (fmt == 2) {  // signed
+        if (bits == 8) return 4;
+        if (bits == 16) return 5;
+        if (bits == 32) return 6;
+    } else if (fmt == 3) {  // float
+        if (bits == 16) return 7;
+        if (bits == 32) return 8;
+        if (bits == 64) return 9;
+    }
+    return 0;
+}
+
+int parse_pages(const FileBuf& f, std::vector<PageInfo>& pages) {
+    const auto& d = f.data;
+    if (d.size() < 8 || d[0] != 'I' || d[1] != 'I' || rd16(&d[2]) != 42)
+        return ERR_FORMAT;  // big-endian TIFF routed to the Python fallback
+    uint32_t off = rd32(&d[4]);
+    size_t guard = 0;
+    while (off && guard++ < 65536) {
+        if (off + 2 > d.size()) return ERR_FORMAT;
+        uint16_t n = rd16(&d[off]);
+        if (off + 2 + 12ul * n + 4 > d.size()) return ERR_FORMAT;
+        PageInfo page;
+        for (uint16_t i = 0; i < n; ++i) {
+            const uint8_t* e = &d[off + 2 + 12ul * i];
+            Tag tag{rd16(e), rd16(e + 2), rd32(e + 4), rd32(e + 8)};
+            std::vector<uint64_t> vals;
+            switch (tag.id) {
+                case 256: if (!tag_values(f, tag, vals)) return ERR_FORMAT;
+                          page.width = static_cast<uint32_t>(vals[0]); break;
+                case 257: if (!tag_values(f, tag, vals)) return ERR_FORMAT;
+                          page.height = static_cast<uint32_t>(vals[0]); break;
+                case 258: if (!tag_values(f, tag, vals)) return ERR_FORMAT;
+                          page.bits = static_cast<uint16_t>(vals[0]); break;
+                case 259: if (!tag_values(f, tag, vals)) return ERR_FORMAT;
+                          page.compression = static_cast<uint16_t>(vals[0]); break;
+                case 273: if (!tag_values(f, tag, vals)) return ERR_FORMAT;
+                          page.strip_offsets.assign(vals.begin(), vals.end()); break;
+                case 277: if (!tag_values(f, tag, vals)) return ERR_FORMAT;
+                          page.samples = static_cast<uint16_t>(vals[0]); break;
+                case 279: if (!tag_values(f, tag, vals)) return ERR_FORMAT;
+                          page.strip_counts.assign(vals.begin(), vals.end()); break;
+                case 284: if (!tag_values(f, tag, vals)) return ERR_FORMAT;
+                          if (vals[0] != 1) return ERR_UNSUPPORTED; break;
+                case 317: if (!tag_values(f, tag, vals)) return ERR_FORMAT;
+                          if (vals[0] != 1) return ERR_UNSUPPORTED; break;
+                case 339: if (!tag_values(f, tag, vals)) return ERR_FORMAT;
+                          page.sample_format = static_cast<uint16_t>(vals[0]); break;
+                default: break;
+            }
+        }
+        if (page.compression != 1 && page.compression != 8 && page.compression != 32946)
+            return ERR_UNSUPPORTED;
+        if (!page.width || !page.height || page.strip_offsets.empty() ||
+            page.strip_offsets.size() != page.strip_counts.size())
+            return ERR_FORMAT;
+        if (dtype_code(page.bits, page.sample_format) == 0) return ERR_UNSUPPORTED;
+        pages.push_back(std::move(page));
+        off = rd32(&d[off + 2 + 12ul * n]);
+    }
+    return pages.empty() ? ERR_FORMAT : 0;
+}
+
+int decode_page(const FileBuf& f, const PageInfo& page, uint8_t* out,
+                size_t out_bytes) {
+    size_t expect = static_cast<size_t>(page.width) * page.height *
+                    page.samples * (page.bits / 8);
+    if (expect > out_bytes) return ERR_CAPACITY;
+    size_t written = 0;
+    for (size_t s = 0; s < page.strip_offsets.size(); ++s) {
+        uint64_t off = page.strip_offsets[s];
+        uint64_t cnt = page.strip_counts[s];
+        if (off + cnt > f.data.size()) return ERR_FORMAT;
+        const uint8_t* src = f.data.data() + off;
+        if (page.compression == 1) {
+            if (written + cnt > expect) return ERR_FORMAT;
+            std::memcpy(out + written, src, cnt);
+            written += cnt;
+        } else {  // deflate
+            uLongf dest_len = static_cast<uLongf>(expect - written);
+            int rc = uncompress(out + written, &dest_len, src,
+                                static_cast<uLong>(cnt));
+            if (rc != Z_OK) return ERR_INFLATE;
+            written += dest_len;
+        }
+    }
+    return written == expect ? 0 : ERR_FORMAT;
+}
+
+int read_one(const char* path, uint8_t* out, int64_t capacity,
+             int64_t shape_out[4], int* dtype_out) {
+    FileBuf f;
+    if (!read_file(path, f)) return ERR_OPEN;
+    std::vector<PageInfo> pages;
+    int rc = parse_pages(f, pages);
+    if (rc != 0) return rc;
+    const PageInfo& p0 = pages[0];
+    int dt = dtype_code(p0.bits, p0.sample_format);
+    size_t page_bytes = static_cast<size_t>(p0.width) * p0.height * p0.samples *
+                        (p0.bits / 8);
+    size_t total = page_bytes * pages.size();
+    if (shape_out) {
+        shape_out[0] = static_cast<int64_t>(pages.size());
+        shape_out[1] = p0.height;
+        shape_out[2] = p0.width;
+        shape_out[3] = p0.samples;
+    }
+    if (dtype_out) *dtype_out = dt;
+    if (out == nullptr) return 0;  // probe-only
+    if (static_cast<int64_t>(total) > capacity) return ERR_CAPACITY;
+    for (size_t i = 0; i < pages.size(); ++i) {
+        const PageInfo& p = pages[i];
+        if (p.width != p0.width || p.height != p0.height ||
+            p.samples != p0.samples || p.bits != p0.bits ||
+            p.sample_format != p0.sample_format)
+            return ERR_INCONSISTENT;
+        int rc2 = decode_page(f, p, out + i * page_bytes, page_bytes);
+        if (rc2 != 0) return rc2;
+    }
+    return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+int biotiff_probe(const char* path, int64_t shape_out[4], int* dtype_out) {
+    return read_one(path, nullptr, 0, shape_out, dtype_out);
+}
+
+int biotiff_read(const char* path, uint8_t* out, int64_t capacity,
+                 int64_t shape_out[4], int* dtype_out) {
+    return read_one(path, out, capacity, shape_out, dtype_out);
+}
+
+// Decode n equal-shaped files in parallel into one contiguous buffer.
+int biotiff_read_batch(const char** paths, int n, uint8_t* out,
+                       int64_t item_bytes, int n_threads) {
+    if (n <= 0) return 0;
+    std::atomic<int> next{0};
+    std::atomic<int> first_error{0};
+    int workers = n_threads > 0 ? n_threads : 4;
+    if (workers > n) workers = n;
+
+    auto work = [&]() {
+        int64_t shape[4];
+        int dtype;
+        while (true) {
+            int i = next.fetch_add(1);
+            if (i >= n || first_error.load() != 0) return;
+            int rc = read_one(paths[i], out + static_cast<int64_t>(i) * item_bytes,
+                              item_bytes, shape, &dtype);
+            if (rc != 0) {
+                int expected = 0;
+                first_error.compare_exchange_strong(expected, rc);
+                return;
+            }
+        }
+    };
+    std::vector<std::thread> threads;
+    threads.reserve(workers);
+    for (int i = 0; i < workers; ++i) threads.emplace_back(work);
+    for (auto& t : threads) t.join();
+    return first_error.load();
+}
+
+}  // extern "C"

@@ -1,0 +1,79 @@
+"""Native C++ TIFF decoder (native/biotiff.cpp via ctypes) must agree with
+the pure-Python codec on everything the framework writes."""
+
+import numpy as np
+import pytest
+
+from bio_image_unet_tpu import native
+from bio_image_unet_tpu.data.tiff import TiffReader, TiffWriter, imwrite
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native biotiff unavailable (no g++/zlib)")
+
+
+def _python_read(path):
+    with TiffReader(path) as r:
+        return r.asarray()
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16, np.float16, np.float32,
+                                   np.int16, np.float64])
+def test_single_page_dtypes(tmp_path, rng, dtype):
+    if np.issubdtype(dtype, np.floating):
+        arr = rng.standard_normal((33, 47)).astype(dtype)
+    else:
+        arr = rng.integers(0, 100, (33, 47)).astype(dtype)
+    p = str(tmp_path / "x.tif")
+    imwrite(p, arr)
+    got = native.imread(p)
+    np.testing.assert_array_equal(got, _python_read(p))
+    np.testing.assert_array_equal(got, arr)
+
+
+def test_multipage_and_multisample(tmp_path, rng):
+    stack = rng.integers(0, 255, (7, 20, 24), dtype=np.uint8)
+    p = str(tmp_path / "stack.tif")
+    imwrite(p, stack)
+    np.testing.assert_array_equal(native.imread(p), stack)
+
+    hwc = rng.integers(0, 255, (20, 24, 3), dtype=np.uint8)
+    p2 = str(tmp_path / "hwc.tif")
+    imwrite(p2, hwc)
+    np.testing.assert_array_equal(native.imread(p2), hwc)
+
+
+def test_deflate_compression(tmp_path, rng):
+    arr = rng.integers(0, 50, (64, 64), dtype=np.uint8)
+    p = str(tmp_path / "z.tif")
+    imwrite(p, arr, compress=6)
+    np.testing.assert_array_equal(native.imread(p), arr)
+
+
+def test_streamed_multistrip(tmp_path, rng):
+    # streaming writer: one strip per page, back-patched IFD chain
+    frames = rng.integers(0, 255, (5, 16, 16), dtype=np.uint8)
+    p = str(tmp_path / "s.tif")
+    with TiffWriter(p) as w:
+        for f in frames:
+            w.write(f)
+    np.testing.assert_array_equal(native.imread(p), frames)
+
+
+def test_batch_read(tmp_path, rng):
+    paths = []
+    arrays = []
+    for i in range(12):
+        a = rng.integers(0, 255, (32, 32), dtype=np.uint8)
+        p = str(tmp_path / f"t{i}.tif")
+        imwrite(p, a)
+        paths.append(p)
+        arrays.append(a)
+    batch = native.imread_batch(paths, n_threads=4)
+    assert batch.shape == (12, 32, 32)
+    np.testing.assert_array_equal(batch, np.stack(arrays))
+
+
+def test_graceful_none_on_garbage(tmp_path):
+    p = tmp_path / "bad.tif"
+    p.write_bytes(b"not a tiff at all")
+    assert native.imread(str(p)) is None
