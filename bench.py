@@ -72,7 +72,8 @@ def measure_ours():
     from bio_image_unet_tpu.models import Unet
 
     model = Unet(n_filter=N_FILTER)
-    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, PATCH, PATCH, 1)))
+    with jax.default_device(jax.devices("cpu")[0]):  # init compile off-TPU
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, PATCH, PATCH, 1)))
     ckpt = "/tmp/bench_model.ckpt"
     checkpoint.save(ckpt, variables,
                     {"model_name": "Unet", "n_filter": N_FILTER,

@@ -13,8 +13,10 @@ from .blocks import (
     TorchBatchNorm,
     VGGBlock,
 )
+from .stitch import stitch_mean_device
 
 __all__ = [
+    "stitch_mean_device",
     "max_pool",
     "depthwise_xcorr",
     "upsample_nearest",

@@ -36,11 +36,15 @@ def _starts_product(starts_per_axis: Sequence[np.ndarray]) -> Tuple[np.ndarray, 
 
 
 def _stitch_pallas(patches, x_starts, y_starts, out_h: int, out_w: int):
-    """patches: (N, th, tw, C) f32 on device → (H, W, C) sum and count."""
+    """patches: (N, th, tw, 1) f32 on device → (H, W, 1) sum and count.
+
+    2D refs (channel squeezed) keep the lane dimension = W; offsets are
+    pre-checked for sublane/lane alignment by the caller (``_pallas_ok``)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    n, th, tw, c = patches.shape
+    n, th, tw, _ = patches.shape
+    patches2d = patches[..., 0]
 
     def kernel(xs_ref, ys_ref, patch_ref, out_ref, cnt_ref):
         i = pl.program_id(0)
@@ -50,39 +54,37 @@ def _stitch_pallas(patches, x_starts, y_starts, out_h: int, out_w: int):
             out_ref[:] = jnp.zeros_like(out_ref)
             cnt_ref[:] = jnp.zeros_like(cnt_ref)
 
-        x0, y0 = xs_ref[i], ys_ref[i]
-        block = out_ref[pl.ds(x0, th), pl.ds(y0, tw), :]
-        out_ref[pl.ds(x0, th), pl.ds(y0, tw), :] = block + patch_ref[:]
-        cnt = cnt_ref[pl.ds(x0, th), pl.ds(y0, tw), :]
-        cnt_ref[pl.ds(x0, th), pl.ds(y0, tw), :] = cnt + 1.0
+        x0 = pl.multiple_of(xs_ref[i], 8)
+        y0 = pl.multiple_of(ys_ref[i], 128)
+        block = out_ref[pl.ds(x0, th), pl.ds(y0, tw)]
+        out_ref[pl.ds(x0, th), pl.ds(y0, tw)] = block + patch_ref[0]
+        cnt = cnt_ref[pl.ds(x0, th), pl.ds(y0, tw)]
+        cnt_ref[pl.ds(x0, th), pl.ds(y0, tw)] = cnt + 1.0
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n,),
         in_specs=[
-            pl.BlockSpec((1, th, tw, c), lambda i, xs, ys: (i, 0, 0, 0),
+            pl.BlockSpec((1, th, tw), lambda i, xs, ys: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((out_h, out_w, c), lambda i, xs, ys: (0, 0, 0),
+            pl.BlockSpec((out_h, out_w), lambda i, xs, ys: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((out_h, out_w, c), lambda i, xs, ys: (0, 0, 0),
+            pl.BlockSpec((out_h, out_w), lambda i, xs, ys: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
     )
 
-    def kernel_wrap(xs_ref, ys_ref, patch_ref, out_ref, cnt_ref):
-        kernel(xs_ref, ys_ref, patch_ref[0], out_ref, cnt_ref)
-
     out, cnt = pl.pallas_call(
-        kernel_wrap,
+        kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((out_h, out_w, c), jnp.float32),
-            jax.ShapeDtypeStruct((out_h, out_w, c), jnp.float32),
+            jax.ShapeDtypeStruct((out_h, out_w), jnp.float32),
+            jax.ShapeDtypeStruct((out_h, out_w), jnp.float32),
         ),
-    )(x_starts, y_starts, patches)
-    return out, cnt
+    )(x_starts, y_starts, patches2d)
+    return out[..., None], cnt[..., None]
 
 
 def _stitch_xla(patches, x_starts, y_starts, out_h: int, out_w: int):
@@ -126,12 +128,27 @@ def stitch_mean_device(patches, starts_per_axis, out_spatial: Tuple[int, int],
     (H, W, C) stitched frame as a device array (uint8 when ``quantize_u8`` —
     the reference's output quantization, minimizing device→host traffic).
     """
+    import os
+
     out_h, out_w = int(out_spatial[0]), int(out_spatial[1])
     xs, ys = _starts_product(starts_per_axis)
     c = patches.shape[-1]
     plane_bytes = out_h * out_w * c * 4 * 2
+    # The XLA dynamic_update_slice scan measured FASTER than the Pallas
+    # kernel on v5e (0.06s vs 0.14s per 4×(1024² from 16×256²) — full-plane
+    # VMEM read-modify-write loses to XLA's in-place DUS), so XLA is the
+    # default; BIU_TPU_STITCH=pallas opts into the kernel, which additionally
+    # needs tile alignment: sublane (8) x offsets, lane (128) y offsets,
+    # single channel, both planes resident in VMEM.
     use_pallas = (
-        jax.default_backend() == "tpu" and plane_bytes < _VMEM_BUDGET_BYTES
+        os.environ.get("BIU_TPU_STITCH") == "pallas"
+        and jax.default_backend() == "tpu"
+        and c == 1
+        and plane_bytes < _VMEM_BUDGET_BYTES
+        and out_w % 128 == 0
+        and patches.shape[2] % 128 == 0
+        and bool(np.all(xs % 8 == 0))
+        and bool(np.all(ys % 128 == 0))
     )
     return _stitch_device(jnp.asarray(patches), jnp.asarray(xs), jnp.asarray(ys),
                           out_h, out_w, use_pallas, quantize_u8)

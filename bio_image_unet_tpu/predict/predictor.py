@@ -68,8 +68,16 @@ class _Engine:
     (unet/predict.py:184-202) — the dominant cost of its inference path.
     """
 
+    # Compiled runners are cached at MODULE level, keyed by the model's full
+    # config — repeated Predict(...) calls in one process (e.g. per-epoch test
+    # prediction, unet/train.py:190-197) must NOT recompile: an un-cached
+    # recompile costs minutes on a tunneled TPU vs <1s of actual compute.
+    _RUNNER_CACHE: dict = {}
+
     def __init__(self, model_params, network=None, batch_size: int = 8,
                  half_precision: bool = False):
+        import json
+
         state = checkpoint.load(model_params)
         hp = dict(state["hyperparams"])
         self.hyperparams = hp
@@ -83,13 +91,17 @@ class _Engine:
         self.variables = state["variables"]
         self.batch_size = batch_size
         self.dtype = jnp.bfloat16 if half_precision else jnp.float32
-        self._jitted = {}  # keyed by (with_prev, quantize) → compiled map
+        self._cache_key = (
+            type(self.model).__name__,
+            json.dumps({k: repr(v) for k, v in hp.items()}, sort_keys=True),
+            str(self.dtype),
+        )
 
-    def _forward(self, x, prev, quantize: bool):
+    def _forward(self, x, prev, quantize: bool, variables):
         scale = 1.0 / 255.0 if x.dtype == jnp.uint8 else 1.0
         xf = x.astype(self.dtype) * scale
         args = (xf,) if prev is None else (xf, prev.astype(self.dtype) * scale)
-        out = self.model.apply(self.variables, *args, train=False)
+        out = self.model.apply(variables, *args, train=False)
         if isinstance(out, dict):
             return {k: v.astype(jnp.float16) for k, v in out.items()}
         probs = out[0]
@@ -103,19 +115,21 @@ class _Engine:
     CHUNK_BATCHES = 8
 
     def _get_runner(self, with_prev: bool, quantize: bool):
-        key = (with_prev, quantize)
-        if key not in self._jitted:
+        key = self._cache_key + (with_prev, quantize)
+        if key not in _Engine._RUNNER_CACHE:
 
-            def run_all(batches, prev_batches=None):
+            def run_all(variables, batches, prev_batches=None):
                 if with_prev:
                     return jax.lax.map(
-                        lambda ab: self._forward(ab[0], ab[1], quantize),
+                        lambda ab: self._forward(ab[0], ab[1], quantize, variables),
                         (batches, prev_batches),
                     )
-                return jax.lax.map(lambda b: self._forward(b, None, quantize), batches)
+                return jax.lax.map(
+                    lambda b: self._forward(b, None, quantize, variables), batches
+                )
 
-            self._jitted[key] = jax.jit(run_all)
-        return self._jitted[key]
+            _Engine._RUNNER_CACHE[key] = jax.jit(run_all)
+        return _Engine._RUNNER_CACHE[key]
 
     @staticmethod
     def _pad_to(arr: np.ndarray, n_pad: int) -> np.ndarray:
@@ -152,9 +166,9 @@ class _Engine:
             b = patches[start:stop].reshape((nb, bs) + patches.shape[1:])
             if prev is not None:
                 pb = prev[start:stop].reshape((nb, bs) + prev.shape[1:])
-                pending.append(runner(jnp.asarray(b), jnp.asarray(pb)))
+                pending.append(runner(self.variables, jnp.asarray(b), jnp.asarray(pb)))
             else:
-                pending.append(runner(jnp.asarray(b)))
+                pending.append(runner(self.variables, jnp.asarray(b)))
         if return_device and not isinstance(pending[0], dict):
             flat = [p.reshape((-1,) + p.shape[2:]) for p in pending]
             return jnp.concatenate(flat)[:n] if len(flat) > 1 else flat[0][:n]

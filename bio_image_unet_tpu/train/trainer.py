@@ -50,6 +50,19 @@ from ..models import MODEL_REGISTRY, get_model
 from ..parallel import data_sharding, get_mesh, replicated
 
 
+def _init_on_cpu(model, rng, *args):
+    """Run flax init on the host CPU backend: initialization is a one-shot
+    program whose accelerator compile can cost minutes on a tunneled TPU
+    (measured ~95s for the 32-filter U-Net) vs ~1s on CPU; the parameters
+    are transferred to the mesh right afterwards anyway."""
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        return model.init(rng, *args)
+    with jax.default_device(cpu):
+        return model.init(rng, *args)
+
+
 def _model_name(model) -> str:
     for name, cls in MODEL_REGISTRY.items():
         if type(model) is cls:
@@ -228,7 +241,7 @@ class Trainer:
         init_args = [jnp.zeros((1,) + sample[self.input_key].shape)]
         if self.mode is not None:
             init_args.append(jnp.zeros((1,) + sample["prev_image"].shape))
-        variables = self.model.init(init_rng, *init_args)
+        variables = _init_on_cpu(self.model, init_rng, *init_args)
         self.params = variables["params"]
         self.batch_stats = variables.get("batch_stats", {})
         self.opt_state = self.tx.init(self.params)

@@ -1,0 +1,63 @@
+"""Round-trip export: our variables → torch .pt → loaded by the actual
+reference torch model → same outputs as our forward."""
+
+import importlib.util
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bio_image_unet_tpu.interop.torch_export import (
+    export_torch_checkpoint,
+    variables_to_torch_state_dict,
+)
+from bio_image_unet_tpu.models import AttentionUnet, Unet
+
+
+def _ref(rel, name):
+    spec = importlib.util.spec_from_file_location(name, f"/root/reference/bio_image_unet/{rel}")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.parametrize("cls,ref_rel,ref_name,kwargs", [
+    (Unet, "unet/unet.py", "Unet", dict(n_filter=4)),
+    (AttentionUnet, "unet/attention_unet.py", "AttentionUnet", dict(n_filter=4)),
+])
+def test_export_roundtrip(tmp_path, rng, cls, ref_rel, ref_name, kwargs):
+    import torch
+
+    model = cls(**kwargs)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))
+    sd = variables_to_torch_state_dict(variables)
+
+    mod = _ref(ref_rel, ref_name)
+    net = getattr(mod, ref_name)(in_channels=1, out_channels=1, **kwargs)
+    missing, unexpected = net.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=True,
+    )
+    assert not missing and not unexpected
+    net.eval()
+
+    x = rng.random((2, 32, 32, 1)).astype(np.float32)
+    ours = np.asarray(model.apply(variables, jnp.asarray(x))[0])
+    with torch.no_grad():
+        theirs = net(torch.from_numpy(np.moveaxis(x, -1, 1)))[0].numpy()
+    np.testing.assert_allclose(ours, np.moveaxis(theirs, 1, -1), atol=2e-5)
+
+
+def test_export_file(tmp_path, rng):
+    import torch
+
+    model = Unet(n_filter=4)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))
+    p = str(tmp_path / "export.pt")
+    export_torch_checkpoint(p, variables, {"n_filter": 4, "in_channels": 1,
+                                           "out_channels": 1}, epoch=3, best_loss=0.2)
+    ckpt = torch.load(p, weights_only=False)
+    assert ckpt["epoch"] == 3 and ckpt["n_filter"] == 4
+    assert "encode1.0.weight" in ckpt["state_dict"]
