@@ -63,7 +63,9 @@ def measure_ours():
 
     from bio_image_unet_tpu import checkpoint
     from bio_image_unet_tpu.predict import Predict
+    from bio_image_unet_tpu.utils.utils import enable_compilation_cache
 
+    enable_compilation_cache()  # compiles survive across bench runs
     jax.config.update("jax_default_matmul_precision", "default")  # MXU bf16 ok
 
     # random-weight checkpoint (throughput does not depend on weights)

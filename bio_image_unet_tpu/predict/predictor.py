@@ -75,7 +75,7 @@ class _Engine:
     _RUNNER_CACHE: dict = {}
 
     def __init__(self, model_params, network=None, batch_size: int = 8,
-                 half_precision: bool = False):
+                 half_precision: bool = False, mesh=None):
         import json
 
         state = checkpoint.load(model_params)
@@ -96,6 +96,24 @@ class _Engine:
             json.dumps({k: repr(v) for k, v in hp.items()}, sort_keys=True),
             str(self.dtype),
         )
+        # multi-chip data parallelism: each lax.map step's batch axis is
+        # sharded over the mesh's `data` axis (SURVEY.md §2.8 — the predict
+        # path is embarrassingly parallel over patches); XLA partitions the
+        # convs and the per-device batch slices ride ICI-free
+        self.mesh = mesh
+        self._batch_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            if batch_size % mesh.shape["data"] != 0:
+                raise ValueError(
+                    f"batch_size {batch_size} must be divisible by the mesh "
+                    f"data axis ({mesh.shape['data']})"
+                )
+            self._batch_sharding = NamedSharding(mesh, P(None, "data"))
+            from ..parallel import replicated
+
+            self.variables = jax.device_put(self.variables, replicated(mesh))
 
     def _forward(self, x, prev, quantize: bool, variables):
         scale = 1.0 / 255.0 if x.dtype == jnp.uint8 else 1.0
@@ -160,15 +178,20 @@ class _Engine:
         pending = []
         steps = list(range(0, n_pad, chunk))
         it = progress.iterator(steps) if progress is not None else steps
+        def _put(arr):
+            if self._batch_sharding is not None:
+                return jax.device_put(arr, self._batch_sharding)
+            return jnp.asarray(arr)
+
         for start in it:
             stop = min(start + chunk, n_pad)
             nb = (stop - start) // bs
             b = patches[start:stop].reshape((nb, bs) + patches.shape[1:])
             if prev is not None:
                 pb = prev[start:stop].reshape((nb, bs) + prev.shape[1:])
-                pending.append(runner(self.variables, jnp.asarray(b), jnp.asarray(pb)))
+                pending.append(runner(self.variables, _put(b), _put(pb)))
             else:
-                pending.append(runner(self.variables, jnp.asarray(b)))
+                pending.append(runner(self.variables, _put(b)))
         if return_device and not isinstance(pending[0], dict):
             flat = [p.reshape((-1,) + p.shape[2:]) for p in pending]
             return jnp.concatenate(flat)[:n] if len(flat) > 1 else flat[0][:n]
@@ -195,7 +218,7 @@ class Predict:
                  resize_dim=(512, 512), invert=False, normalization_mode="single",
                  clip_threshold=(0.0, 99.8), add_tile=0, normalize_result=False,
                  show_progress=True, batch_size: int = 8, half_precision=False,
-                 device=None,
+                 mesh=None, device=None,
                  progress_notifier: ProgressNotifier = None):
         del device
         if isinstance(imgs, (str, os.PathLike)):
@@ -212,7 +235,7 @@ class Predict:
 
         imgs = _normalize_stack(imgs, normalization_mode, clip_threshold, invert)
 
-        engine = _Engine(model_params, network, batch_size, half_precision)
+        engine = _Engine(model_params, network, batch_size, half_precision, mesh=mesh)
         in_ch = engine.hyperparams.get("in_channels", 1)
         out_ch = engine.hyperparams.get("out_channels", 1)
         if in_ch != 1:
@@ -283,14 +306,14 @@ class PredictSiam:
     def __init__(self, tif_file, result_name, model_params, resize_dim=(512, 512),
                  invert=False, normalization_mode="single", clip_threshold=(0.0, 99.98),
                  add_tile=0, normalize_result=False, show_progress=True,
-                 batch_size: int = 8, half_precision=False, device=None,
+                 batch_size: int = 8, half_precision=False, mesh=None, device=None,
                  progress_notifier: ProgressNotifier = None):
         del device
         self.invert = invert
         self.normalization_mode = normalization_mode
         self.clip_threshold = clip_threshold
 
-        engine = _Engine(model_params, "Siam_UNet", batch_size, half_precision)
+        engine = _Engine(model_params, "Siam_UNet", batch_size, half_precision, mesh=mesh)
 
         reader = tiff.TiffReader(tif_file)
         n_frames = reader.n_pages
@@ -363,7 +386,7 @@ class Predict3D:
     def __init__(self, vol, result_name, model_params, network="UNet3D",
                  resize_dim=(64, 128, 128), invert=False, clip_threshold=(0.0, 99.8),
                  add_patch=0, normalize_result=False, show_progress=True,
-                 batch_size: int = 4, half_precision=False, device=None,
+                 batch_size: int = 4, half_precision=False, mesh=None, device=None,
                  progress_notifier: ProgressNotifier = None):
         del device
         if isinstance(vol, (str, os.PathLike)):
@@ -375,7 +398,7 @@ class Predict3D:
         # whole-volume normalization only (unet3d/predict.py:109-117)
         vol = _normalize_stack(vol[None], "all", clip_threshold, invert)[0]
 
-        engine = _Engine(model_params, network, batch_size, half_precision)
+        engine = _Engine(model_params, network, batch_size, half_precision, mesh=mesh)
 
         zs = grid_starts(self.vol_shape[0], self.resize_dim[0], 0)
         xs = grid_starts(self.vol_shape[1], self.resize_dim[1], add_patch)
@@ -424,7 +447,7 @@ class PredictMultiOutput:
                  max_patch_size=(1024, 1024), batch_size=8,
                  normalization_mode="single", clip_threshold=(0.0, 99.98),
                  add_tile=0, compress_tif=False, show_progress=True,
-                 half_precision=False, safe_margin: int = 20, device=None,
+                 half_precision=False, safe_margin: int = 20, mesh=None, device=None,
                  progress_notifier: ProgressNotifier = None):
         del device
         if isinstance(imgs, (str, os.PathLike)):
@@ -437,7 +460,7 @@ class PredictMultiOutput:
 
         imgs = _normalize_stack(imgs, normalization_mode, clip_threshold, scale=1.0)
 
-        engine = _Engine(model_params, network, batch_size, half_precision)
+        engine = _Engine(model_params, network, batch_size, half_precision, mesh=mesh)
         heads = engine.hyperparams["output_heads"]
         self.target_keys = list(heads)
 
@@ -499,7 +522,7 @@ class PredictMultiOutput3D:
                  max_patch_size=(64, 256, 256), overlap_factor=0.1, batch_size=2,
                  normalization_mode="single", clip_threshold=(0.0, 99.98),
                  add_tile=0, compress_tif=False, show_progress=True,
-                 half_precision=False, blend_margin: int = 16, device=None,
+                 half_precision=False, blend_margin: int = 16, mesh=None, device=None,
                  progress_notifier: ProgressNotifier = None):
         del device
         if isinstance(imgs, (str, os.PathLike)):
@@ -513,7 +536,7 @@ class PredictMultiOutput3D:
             imgs[v] = _normalize_stack(imgs[v][None], normalization_mode,
                                        clip_threshold, scale=1.0)[0]
 
-        engine = _Engine(model_params, network, batch_size, half_precision)
+        engine = _Engine(model_params, network, batch_size, half_precision, mesh=mesh)
         heads = engine.hyperparams["output_heads"]
         self.target_keys = list(heads)
 

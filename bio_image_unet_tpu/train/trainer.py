@@ -512,7 +512,27 @@ class Trainer:
         if self.profile_dir:
             jax.profiler.start_trace(self.profile_dir)
         try:
-            for epoch in range(self.epoch_start, self.epoch_start + self.num_epochs):
+            self._run_epochs(save_path, test_data_path, result_path, test_resize_dim)
+        except (KeyboardInterrupt, Exception):
+            # failure recovery: the reference loses all mid-training progress
+            # on a crash (SURVEY.md §5); we persist an emergency checkpoint
+            # (atomic write) so training resumes from the last completed step
+            emergency = os.path.join(self.save_dir, "model_interrupted.ckpt")
+            try:
+                self._save(emergency, self.epoch_start)
+                print(f"\nInterrupted — state saved to {emergency}")
+            except Exception:
+                pass
+            raise
+        finally:
+            if self.profile_dir:
+                jax.profiler.stop_trace()
+            if self.writer is not None:
+                self.writer.flush()
+        return self.best_loss
+
+    def _run_epochs(self, save_path, test_data_path, result_path, test_resize_dim):
+        for epoch in range(self.epoch_start, self.epoch_start + self.num_epochs):
                 t0 = time.time()
                 train_loss = self._iterate_train(epoch)
                 val_loss = self._iterate_val(epoch)
@@ -544,12 +564,6 @@ class Trainer:
                 if test_data_path is not None:
                     self._predict_test_folder(epoch, test_data_path, result_path,
                                               test_resize_dim)
-        finally:
-            if self.profile_dir:
-                jax.profiler.stop_trace()
-            if self.writer is not None:
-                self.writer.flush()
-        return self.best_loss
 
     def _predict_test_folder(self, epoch, test_data_path, result_path, resize_dim):
         import glob as _glob

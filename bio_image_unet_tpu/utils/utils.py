@@ -40,6 +40,17 @@ def png_to_grayscale_tiff(png_filename, tiff_filename) -> None:
     tiff.imwrite(tiff_filename, arr.astype(np.uint8))
 
 
+def enable_compilation_cache(path: str = "/tmp/bio_image_unet_tpu_jax_cache") -> None:
+    """Enable XLA's persistent compilation cache: compiled programs survive
+    process restarts, which matters enormously on remote/tunneled TPUs where
+    a cold U-Net compile costs minutes (production deployments should point
+    this at durable storage)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 def get_device(print_device: bool = False):
     """Pick the most capable JAX device: TPU → GPU → CPU (with a warning),
     mirroring the reference's cuda→mps→cpu policy (utils/utils.py:56-73)."""
