@@ -427,15 +427,18 @@ class Trainer:
 
     def _iterate_train(self, epoch):
         print(f"\nStarting training epoch {epoch} ...")
-        running, n = 0.0, 0
+        losses = []
         carry = (self.params, self.batch_stats, self.opt_state)
         for batch in self.train_loader:
             self.rng, step_rng = jax.random.split(self.rng)
             carry, loss = self._jit_train_step(carry, self._shard(batch), step_rng)
-            running += float(loss)
-            n += 1
+            losses.append(loss)  # device scalar — no per-step host sync:
+            # steps stay queued on the accelerator and overlap the host
+            # loader; the single jax.device_get below syncs once per epoch
         self.params, self.batch_stats, self.opt_state = carry
-        return running / max(n, 1)
+        if not losses:
+            return float("nan")
+        return float(np.mean(jax.device_get(losses)))
 
     def _iterate_val(self, epoch):
         print(f"\nStarting validation epoch {epoch} ...")
