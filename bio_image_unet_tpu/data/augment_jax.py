@@ -18,7 +18,6 @@ rot90 requires square tiles (the pipelines' dim_out is square by default).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

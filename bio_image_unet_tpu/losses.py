@@ -21,7 +21,6 @@ grad-safe (no data-dependent Python control flow).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax

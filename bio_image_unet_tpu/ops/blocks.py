@@ -21,8 +21,6 @@ Parity notes (verified against torch in tests/test_ops_parity.py):
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
-
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn

@@ -20,7 +20,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 def halo_exchange(x, halo: int, axis_name: str = "spatial", spatial_axis: int = 1):

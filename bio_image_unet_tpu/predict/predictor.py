@@ -11,7 +11,7 @@ compiles once per (patch shape, batch size) signature.
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple, Union
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -5,8 +5,6 @@ from __future__ import annotations
 
 import os
 import shutil
-from typing import Iterable
-
 import numpy as np
 
 from ..data import tiff

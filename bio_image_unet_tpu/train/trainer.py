@@ -35,7 +35,6 @@ from __future__ import annotations
 import csv
 import os
 import time
-from functools import partial
 from typing import Dict, Optional, Sequence, Tuple, Union
 
 import jax
