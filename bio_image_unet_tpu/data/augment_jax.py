@@ -24,33 +24,36 @@ import jax
 import jax.numpy as jnp
 
 
-def _rot90_single(x, k):
-    """rot90 by a traced k∈{0,1,2,3} on an (H, W, C) tile (H == W)."""
+def _rot90_single(x, k, axes=(0, 1)):
+    """rot90 by a traced k∈{0,1,2,3} in the ``axes`` plane (square extent)."""
     return jax.lax.switch(
         k,
         [
             lambda t: t,
-            lambda t: jnp.rot90(t, 1),
-            lambda t: jnp.rot90(t, 2),
-            lambda t: jnp.rot90(t, 3),
+            lambda t: jnp.rot90(t, 1, axes=axes),
+            lambda t: jnp.rot90(t, 2, axes=axes),
+            lambda t: jnp.rot90(t, 3, axes=axes),
         ],
         x,
     )
 
 
-def random_rot90_flip(key, *arrays):
-    """Apply the same per-sample random rot90 + H/V flips to every array in
-    ``arrays`` (each (B, H, W, C), H == W).  Returns the transformed arrays."""
+def random_rot90_flip(key, *arrays, spatial_axes=(0, 1)):
+    """Apply the same per-sample random rot90 + flips (in the per-sample
+    ``spatial_axes`` plane) to every array in ``arrays``.  2D tiles use the
+    default (0, 1); 3D (Z, X, Y, C) volumes pass (1, 2) so rotation stays in
+    the image plane.  Square spatial extent required."""
     b = arrays[0].shape[0]
     k_rot, k_h, k_v = jax.random.split(key, 3)
     ks = jax.random.randint(k_rot, (b,), 0, 4)
     flip_h = jax.random.bernoulli(k_h, 0.5, (b,))
     flip_v = jax.random.bernoulli(k_v, 0.5, (b,))
+    ax0, ax1 = spatial_axes
 
     def tx(x, k, fh, fv):
-        x = _rot90_single(x, k)
-        x = jnp.where(fh, x[:, ::-1], x)
-        x = jnp.where(fv, x[::-1], x)
+        x = _rot90_single(x, k, axes=(ax0, ax1))
+        x = jnp.where(fh, jnp.flip(x, axis=ax1), x)
+        x = jnp.where(fv, jnp.flip(x, axis=ax0), x)
         return x
 
     return tuple(jax.vmap(tx)(a, ks, flip_h, flip_v) for a in arrays)
@@ -101,13 +104,15 @@ def augment_batch(key, image, mask, prev_image=None,
     """One full augmentation draw (≙ the reference's offline Compose,
     unet/data.py:217-226, re-expressed on device): per-sample rot90+flips on
     all spatial targets, then intensity ops on the image(s) only.  The whole
-    pipeline applies with probability ``p_pipeline`` per sample."""
+    pipeline applies with probability ``p_pipeline`` per sample.  3D volumes
+    ((B, Z, X, Y, C)) rotate in the (X, Y) plane."""
     k_gate, k_spatial, k_bc, k_mult, k_gauss, k_bc2 = jax.random.split(key, 6)
     b = image.shape[0]
     gate = jax.random.bernoulli(k_gate, p_pipeline, (b,) + (1,) * (image.ndim - 1))
 
+    spatial_axes = (1, 2) if image.ndim == 5 else (0, 1)
     targets = (image, mask) if prev_image is None else (image, mask, prev_image)
-    spatial = random_rot90_flip(k_spatial, *targets)
+    spatial = random_rot90_flip(k_spatial, *targets, spatial_axes=spatial_axes)
 
     def intensity(img, k_bc_i):
         out = random_brightness_contrast(k_bc_i, img, *brightness_contrast)

@@ -232,10 +232,10 @@ class Trainer:
         sample = dataset[0]
         self.sample_keys = list(sample.keys())
         self.input_key = "volume" if "volume" in sample else "image"
-        if device_augment and (self.multi_output or self.input_key == "volume"):
+        if device_augment and self.multi_output:
             raise ValueError(
-                "device_augment currently supports the 2D single-/siam-head "
-                "flows (image+mask[+prev_image]) only"
+                "device_augment currently supports the single-head flows "
+                "(image/volume + mask [+ prev_image]) only"
             )
         init_args = [jnp.zeros((1,) + sample[self.input_key].shape)]
         if self.mode is not None:

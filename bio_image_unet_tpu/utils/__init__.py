@@ -1,3 +1,19 @@
-from .utils import get_device, init_weights, png_to_grayscale_tiff, save_as_tif
+from .metrics import dice_coefficient, iou, pixel_accuracy
+from .utils import (
+    enable_compilation_cache,
+    get_device,
+    init_weights,
+    png_to_grayscale_tiff,
+    save_as_tif,
+)
 
-__all__ = ["save_as_tif", "png_to_grayscale_tiff", "get_device", "init_weights"]
+__all__ = [
+    "save_as_tif",
+    "png_to_grayscale_tiff",
+    "get_device",
+    "init_weights",
+    "enable_compilation_cache",
+    "iou",
+    "dice_coefficient",
+    "pixel_accuracy",
+]

@@ -154,3 +154,20 @@ def test_trainer_device_augment(tmp_path, rng):
                       save_dir=str(tmp_path / "out"), seed=0)
     best = trainer.start()
     assert np.isfinite(best)
+
+
+def test_augment_batch_3d(rng):
+    vol = jnp.asarray(rng.random((2, 4, 8, 8, 1)).astype(np.float32))
+    mask = (jnp.asarray(rng.random((2, 4, 8, 8, 1))) > 0.5).astype(jnp.float32)
+    out_v, out_m = jax.jit(augment_batch)(jax.random.PRNGKey(0), vol, mask)
+    assert out_v.shape == vol.shape and out_m.shape == mask.shape
+    assert np.isfinite(np.asarray(out_v)).all()
+    # spatial ops act in the (X, Y) plane only: the MASK (no intensity ops)
+    # must be a per-(sample, z)-slice permutation of the input mask
+    m_in, m_out = np.asarray(mask), np.asarray(out_m)
+    for b in range(2):
+        for z in range(4):
+            np.testing.assert_array_equal(
+                np.sort(m_out[b, z, ..., 0].ravel()),
+                np.sort(m_in[b, z, ..., 0].ravel()),
+            )

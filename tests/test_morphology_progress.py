@@ -70,3 +70,18 @@ def test_progress_notifier_unknown_total():
 def test_silent_and_tqdm_notifiers():
     assert list(progress.ProgressNotifier.silent_notifier().iterator([1, 2])) == [1, 2]
     assert list(progress.ProgressNotifier.progress_notifier_tqdm().iterator([1, 2])) == [1, 2]
+
+
+def test_metrics():
+    import numpy as np
+
+    from bio_image_unet_tpu.utils import dice_coefficient, iou, pixel_accuracy
+
+    a = np.zeros((8, 8)); a[:4] = 1
+    b = np.zeros((8, 8)); b[2:6] = 1
+    # overlap 2 rows of 8 px = 16; union 6 rows = 48
+    assert abs(iou(a, b) - 16 / 48) < 1e-6
+    assert abs(dice_coefficient(a, b) - 2 * 16 / 64) < 1e-6
+    assert pixel_accuracy(a, a) == 1.0
+    # uint8 0/255 masks binarize at threshold*255
+    assert iou((a * 255).astype(np.uint8), (a * 255).astype(np.uint8)) == 1.0

@@ -139,3 +139,17 @@ def test_trainer_multi_output_deep_supervision(tmp_path, rng):
     assert "output_heads" in hp
     # validation imaging written (≙ multi_output_unet/train.py val_results)
     assert os.path.isdir(str(tmp_path / "out" / "val_results"))
+
+
+def test_trainer_explicit_mesh(tmp_path, rng):
+    """Training with an explicit 8-device mesh: gradients psum over the data
+    axis — loss trajectory must stay finite and a checkpoint must land."""
+    from bio_image_unet_tpu.parallel import get_mesh
+
+    data = _random_dataset_2d(tmp_path, rng)
+    trainer = Trainer(data, num_epochs=1, network="Unet", batch_size=8,
+                      n_filter=4, mesh=get_mesh(), save_dir=str(tmp_path / "out"),
+                      seed=0)
+    best = trainer.start()
+    assert np.isfinite(best)
+    assert (tmp_path / "out" / "model.ckpt").exists()
