@@ -134,6 +134,20 @@ class _TileDataset:
     def _load_item(self, idx: int) -> dict:  # pragma: no cover - overridden
         raise NotImplementedError
 
+    def preload(self, n_threads: int = 8):
+        """Warm the RAM cache with all tiles decoded in parallel (the native
+        C++ decoder releases the GIL, so threads give real parallelism) —
+        call before training to take file I/O entirely off the epoch path."""
+        if not self._cache_enabled:
+            return self
+        from concurrent.futures import ThreadPoolExecutor
+
+        n = len(self)
+        with ThreadPoolExecutor(max_workers=n_threads) as ex:
+            for idx, item in enumerate(ex.map(self._load_item, range(n))):
+                self._cache[idx] = item
+        return self
+
     def __getitem__(self, idx: int) -> dict:
         if idx < 0:
             idx += len(self)

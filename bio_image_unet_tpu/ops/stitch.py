@@ -119,6 +119,37 @@ def _stitch_device(patches, x_starts, y_starts, out_h: int, out_w: int,
     return result
 
 
+@partial(jax.jit, static_argnames=("n_frames", "out_h", "out_w", "quantize_u8"))
+def _stitch_frames_device(patches, x_starts, y_starts, n_frames: int,
+                          out_h: int, out_w: int, quantize_u8: bool):
+    per = patches.shape[0] // n_frames
+    framed = patches.reshape((n_frames, per) + patches.shape[1:]).astype(jnp.float32)
+
+    def one(frame_patches):
+        out, cnt = _stitch_xla(frame_patches, x_starts, y_starts, out_h, out_w)
+        return out / jnp.maximum(cnt, 1.0)
+
+    result = jax.vmap(one)(framed)
+    if quantize_u8:
+        result = result.astype(jnp.uint8)
+    return result
+
+
+def stitch_mean_frames_device(patches, n_frames: int, starts_per_axis,
+                              out_spatial: Tuple[int, int],
+                              quantize_u8: bool = False):
+    """Stitch a whole movie's patches in ONE device dispatch: ``patches`` is
+    (n_frames·per, th, tw, C) in frame-major grid order; returns the
+    (n_frames, H, W, C) stitched stack as a device array.  vmap over frames
+    keeps dispatch count independent of movie length — per-frame dispatches
+    each pay full round-trip latency on tunneled/remote TPUs."""
+    xs, ys = _starts_product(starts_per_axis)
+    return _stitch_frames_device(jnp.asarray(patches), jnp.asarray(xs),
+                                 jnp.asarray(ys), n_frames,
+                                 int(out_spatial[0]), int(out_spatial[1]),
+                                 quantize_u8)
+
+
 def stitch_mean_device(patches, starts_per_axis, out_spatial: Tuple[int, int],
                        quantize_u8: bool = False):
     """Device-side mean-overlap stitch of one frame's 2D patches.

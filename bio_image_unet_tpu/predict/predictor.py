@@ -252,20 +252,15 @@ class Predict:
                                        return_device=True)
         del patches
 
-        # stitch per frame ON DEVICE (Pallas scatter-accumulate on TPU) —
-        # only the stitched uint8 frames cross back to the host
-        from ..ops.stitch import stitch_mean_device
+        # stitch the whole movie ON DEVICE in one dispatch — only the
+        # stitched uint8 frames cross back to the host
+        from ..ops.stitch import stitch_mean_frames_device
 
         n_frames = self.imgs_shape[0]
-        per = len(xs) * len(ys)
         out_h = max(self.resize_dim[0], self.imgs_shape[1])
         out_w = max(self.resize_dim[1], self.imgs_shape[2])
-        frames_dev = [
-            stitch_mean_device(probs[i * per : (i + 1) * per], (xs, ys),
-                               (out_h, out_w), quantize_u8=True)
-            for i in range(n_frames)
-        ]
-        result = np.stack([np.asarray(f) for f in frames_dev])
+        result = np.asarray(stitch_mean_frames_device(
+            probs, n_frames, (xs, ys), (out_h, out_w), quantize_u8=True))
         result = result[:, : self.imgs_shape[1], : self.imgs_shape[2]]
         if out_ch == 1:
             result = result[..., 0]
@@ -299,14 +294,20 @@ class Predict:
 
 class PredictSiam:
     """Streaming movie predictor (reference siam_unet/predict.py:15-240):
-    frames are read one at a time, paired with the previous frame (frame 0
+    frames are read incrementally, paired with the previous frame (frame 0
     pairs with frame 1), tiled, predicted, stitched, and appended to the
-    output TIFF — bounded memory for arbitrarily long movies."""
+    output TIFF — bounded memory for arbitrarily long movies.
+
+    TPU redesign: frames stream in chunks of ``frames_per_chunk`` so each
+    device dispatch carries many frames' patches (one dispatch per frame
+    pays full round-trip latency on remote TPUs); stitching is fused
+    on-device per chunk.  Memory stays bounded by the chunk."""
 
     def __init__(self, tif_file, result_name, model_params, resize_dim=(512, 512),
                  invert=False, normalization_mode="single", clip_threshold=(0.0, 99.98),
                  add_tile=0, normalize_result=False, show_progress=True,
                  batch_size: int = 8, half_precision=False, mesh=None, device=None,
+                 frames_per_chunk: int = 8,
                  progress_notifier: ProgressNotifier = None):
         del device
         self.invert = invert
@@ -325,36 +326,47 @@ class PredictSiam:
         self.resize_dim = tuple(resize_dim)
         xs = grid_starts(frame_shape[0], self.resize_dim[0], add_tile)
         ys = grid_starts(frame_shape[1], self.resize_dim[1], add_tile)
+        per = len(xs) * len(ys)
+        out_h = max(self.resize_dim[0], frame_shape[0])
+        out_w = max(self.resize_dim[1], frame_shape[1])
 
         if show_progress:
             print("Predicting data ...")
-        it = range(n_frames)
+        it = range(0, n_frames, frames_per_chunk)
         if show_progress:
             notifier = progress_notifier or ProgressNotifier.progress_notifier_tqdm()
-            it = notifier.iterator(it)
+            it = notifier.iterator(it, total=int(np.ceil(n_frames / frames_per_chunk)))
 
-        current = None
+        from ..ops.stitch import stitch_mean_frames_device
+
         with tiff.TiffWriter(result_name) as writer:
-            for i, _ in enumerate(it):
-                if i == 0:
-                    prev = reader.read_page(0 if n_frames == 1 else 1)
-                else:
-                    prev = current
-                current = reader.read_page(i)
-                pair = _normalize_stack(
-                    np.stack([np.asarray(prev, np.float32),
-                              np.asarray(current, np.float32)]),
-                    normalization_mode, clip_threshold, invert,
-                ).astype(np.uint8)
-                patches, prev_patches = self._split_pair(pair, xs, ys)
+            for start in it:
+                stop = min(start + frames_per_chunk, n_frames)
+                k = stop - start
+                patches = np.empty((k * per,) + self.resize_dim, dtype=np.uint8)
+                prev_patches = np.empty_like(patches)
+                for j, i in enumerate(range(start, stop)):
+                    if i == 0:
+                        prev = reader.read_page(0 if n_frames == 1 else 1)
+                    else:
+                        prev = reader.read_page(i - 1)
+                    current = reader.read_page(i)
+                    pair = _normalize_stack(
+                        np.stack([np.asarray(prev, np.float32),
+                                  np.asarray(current, np.float32)]),
+                        normalization_mode, clip_threshold, invert,
+                    ).astype(np.uint8)
+                    p, pp = self._split_pair(pair, xs, ys)
+                    patches[j * per : (j + 1) * per] = p
+                    prev_patches[j * per : (j + 1) * per] = pp
                 probs = engine.predict_patches(
-                    patches[..., None], prev_patches[..., None], quantize=True
+                    patches[..., None], prev_patches[..., None], quantize=True,
+                    return_device=True,
                 )
-                out_h = max(self.resize_dim[0], frame_shape[0])
-                out_w = max(self.resize_dim[1], frame_shape[1])
-                frame = stitch_mean(probs, (xs, ys), (out_h, out_w))
-                frame = frame[: frame_shape[0], : frame_shape[1], 0].astype(np.uint8)
-                writer.write(frame)
+                frames = np.asarray(stitch_mean_frames_device(
+                    probs, k, (xs, ys), (out_h, out_w), quantize_u8=True))
+                for frame in frames:
+                    writer.write(frame[: frame_shape[0], : frame_shape[1], 0])
         reader.close()
         self.result_name = result_name
 

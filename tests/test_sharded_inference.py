@@ -1,0 +1,56 @@
+"""Whole-frame halo-sharded U-Net inference: a full U-Net forward over a
+frame sharded across the mesh's spatial axis (halo exchange via ppermute)
+matches the unsharded forward on the halo-padded frame — the framework's
+"context parallelism" for frames too large for one chip's HBM."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from bio_image_unet_tpu.models import BabyUnet
+from bio_image_unet_tpu.parallel import get_mesh, spatial_shard_apply
+
+
+def test_unet_whole_frame_halo_sharded(rng):
+    mesh = get_mesh(n_data=1, n_spatial=2)
+    model = BabyUnet(n_filter=4)  # 3-level: receptive half-width < 48
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 1)))
+
+    frame = rng.random((1, 128, 64, 1)).astype(np.float32)
+    halo = 48  # multiple of the total pooling stride (8) → grids stay aligned
+
+    def fwd(x):
+        return model.apply(variables, x)[0]  # sigmoid output
+
+    got = np.asarray(spatial_shard_apply(fwd, jnp.asarray(frame), mesh, halo=halo))
+
+    padded = jnp.pad(jnp.asarray(frame), ((0, 0), (halo, halo), (0, 0), (0, 0)))
+    expected = np.asarray(fwd(padded))[:, halo:-halo]
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+    # interior rows (> halo from the global border) equal the plain forward
+    plain = np.asarray(fwd(jnp.asarray(frame)))
+    np.testing.assert_allclose(got[:, halo:-halo], plain[:, halo:-halo],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_preload(tmp_path, rng):
+    import os
+
+    from bio_image_unet_tpu.data import DataProcess2D, tiff
+
+    for sub in ("image", "label"):
+        os.makedirs(tmp_path / sub, exist_ok=True)
+    for i in range(2):
+        tiff.imwrite(str(tmp_path / "image" / f"i{i}.tif"),
+                     rng.integers(0, 255, (32, 32), dtype=np.uint8))
+        tiff.imwrite(str(tmp_path / "label" / f"i{i}.tif"),
+                     (rng.random((32, 32)) > 0.5).astype(np.uint8) * 255)
+    data = DataProcess2D(
+        (str(tmp_path / "image") + "/", str(tmp_path / "label") + "/"),
+        dim_out=(32, 32), aug_factor=3, data_path=str(tmp_path / "data"), seed=0,
+    )
+    data.preload(n_threads=4)
+    assert len(data._cache) == len(data) == 6
+    item = data[3]
+    assert item["image"].shape == (32, 32, 1)
