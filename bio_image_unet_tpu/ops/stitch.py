@@ -150,6 +150,49 @@ def stitch_mean_frames_device(patches, n_frames: int, starts_per_axis,
                                  quantize_u8)
 
 
+def _stitch_xla_3d(patches, z_starts, x_starts, y_starts,
+                   out_d: int, out_h: int, out_w: int):
+    n, td, th, tw, c = patches.shape
+
+    def body(carry, inp):
+        out, cnt = carry
+        patch, z0, x0, y0 = inp
+        block = lax.dynamic_slice(out, (z0, x0, y0, 0), (td, th, tw, c))
+        out = lax.dynamic_update_slice(out, block + patch, (z0, x0, y0, 0))
+        cblock = lax.dynamic_slice(cnt, (z0, x0, y0, 0), (td, th, tw, c))
+        cnt = lax.dynamic_update_slice(cnt, cblock + 1.0, (z0, x0, y0, 0))
+        return (out, cnt), None
+
+    init = (jnp.zeros((out_d, out_h, out_w, c), jnp.float32),
+            jnp.zeros((out_d, out_h, out_w, c), jnp.float32))
+    (out, cnt), _ = lax.scan(body, init, (patches, z_starts, x_starts, y_starts))
+    return out, cnt
+
+
+@partial(jax.jit, static_argnames=("out_d", "out_h", "out_w", "quantize_u8"))
+def _stitch_3d_jit(patches, zs, xs, ys, out_d, out_h, out_w, quantize_u8):
+    out, cnt = _stitch_xla_3d(patches.astype(jnp.float32), zs, xs, ys,
+                              out_d, out_h, out_w)
+    result = out / jnp.maximum(cnt, 1.0)
+    return result.astype(jnp.uint8) if quantize_u8 else result
+
+
+def stitch_mean_device_3d(patches, starts_per_axis, out_spatial,
+                          quantize_u8: bool = False):
+    """Device-side mean-overlap stitch of a volume's 3D patches
+    ((N, td, th, tw, C), grid z-major/x/y order).  One dispatch; only the
+    stitched volume returns to the host."""
+    zs_a, xs_a, ys_a = starts_per_axis
+    gz, gx, gy = np.meshgrid(np.asarray(zs_a), np.asarray(xs_a), np.asarray(ys_a),
+                             indexing="ij")
+    return _stitch_3d_jit(jnp.asarray(patches),
+                          jnp.asarray(gz.ravel().astype(np.int32)),
+                          jnp.asarray(gx.ravel().astype(np.int32)),
+                          jnp.asarray(gy.ravel().astype(np.int32)),
+                          int(out_spatial[0]), int(out_spatial[1]),
+                          int(out_spatial[2]), quantize_u8)
+
+
 def stitch_mean_device(patches, starts_per_axis, out_spatial: Tuple[int, int],
                        quantize_u8: bool = False):
     """Device-side mean-overlap stitch of one frame's 2D patches.

@@ -19,6 +19,7 @@ from .halo import halo_exchange, spatial_shard_apply
 from .mesh import (
     data_sharding,
     get_mesh,
+    initialize_distributed,
     pad_to_multiple,
     replicated,
     shard_batch,
@@ -26,6 +27,7 @@ from .mesh import (
 
 __all__ = [
     "get_mesh",
+    "initialize_distributed",
     "data_sharding",
     "replicated",
     "shard_batch",

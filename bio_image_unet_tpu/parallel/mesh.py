@@ -19,6 +19,18 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(**kwargs) -> None:
+    """Multi-host (pod-slice) initialization: call once per host before any
+    jax computation; afterwards ``jax.devices()`` spans the whole slice and
+    :func:`get_mesh` builds slice-wide meshes (data-parallel gradients ride
+    ICI within a slice, DCN across slices — XLA picks the transport from the
+    mesh layout).  Thin wrapper over ``jax.distributed.initialize`` so user
+    code has a single entry point for scaling out."""
+    import jax
+
+    jax.distributed.initialize(**kwargs)
+
+
 def get_mesh(
     n_data: Optional[int] = None,
     n_spatial: int = 1,

@@ -55,6 +55,20 @@ def _normalize_stack(imgs: np.ndarray, mode: str, clip_threshold, invert: bool =
     raise ValueError(f"normalization_mode {mode} not valid!")
 
 
+def _maybe_enable_compile_cache():
+    """Persistent XLA compile cache by default (opt out: BIU_TPU_NO_CACHE=1):
+    a cold U-Net compile costs minutes on remote/tunneled TPUs and the cache
+    makes it a one-time cost per machine."""
+    if os.environ.get("BIU_TPU_NO_CACHE"):
+        return
+    try:
+        from ..utils.utils import enable_compilation_cache
+
+        enable_compilation_cache()
+    except Exception:
+        pass
+
+
 class _Engine:
     """Shared model loading + single-dispatch batched forward.
 
@@ -78,6 +92,7 @@ class _Engine:
                  half_precision: bool = False, mesh=None):
         import json
 
+        _maybe_enable_compile_cache()
         state = checkpoint.load(model_params)
         hp = dict(state["hyperparams"])
         self.hyperparams = hp
@@ -435,12 +450,16 @@ class Predict3D:
         if show_progress:
             print("Predicting data ...")
         probs = engine.predict_patches(patches[..., None], progress=progress,
-                                       quantize=True)
+                                       quantize=True, return_device=True)
+
+        # stitch on device: one dispatch, only the volume transfers back
+        from ..ops.stitch import stitch_mean_device_3d
 
         out_shape = tuple(max(self.resize_dim[a], self.vol_shape[a]) for a in range(3))
-        result = stitch_mean(probs, (zs, xs, ys), out_shape)
-        result = result[: self.vol_shape[0], : self.vol_shape[1], : self.vol_shape[2], 0]
-        self.result = result.astype(np.uint8)
+        result = np.asarray(stitch_mean_device_3d(probs, (zs, xs, ys), out_shape,
+                                                  quantize_u8=True))
+        self.result = result[: self.vol_shape[0], : self.vol_shape[1],
+                             : self.vol_shape[2], 0]
         if result_name is not None:
             save_as_tif(self.result, result_name, normalize=normalize_result)
 

@@ -138,6 +138,13 @@ class Trainer:
         device=None,  # accepted for reference API compatibility; unused
     ):
         del device
+        if not os.environ.get("BIU_TPU_NO_CACHE"):
+            try:
+                from ..utils.utils import enable_compilation_cache
+
+                enable_compilation_cache()
+            except Exception:
+                pass
         self.data = dataset
         self.num_epochs = num_epochs
         self.batch_size = batch_size
