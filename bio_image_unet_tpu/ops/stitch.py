@@ -193,6 +193,60 @@ def stitch_mean_device_3d(patches, starts_per_axis, out_spatial,
                           int(out_spatial[2]), quantize_u8)
 
 
+def _stitch_weighted_xla(patches, weights, starts, out_spatial):
+    """Rank-generic weighted scatter-add: ``starts`` is (N, R) int32 for R
+    spatial dims; returns (sum, weight-sum) planes of shape out_spatial+(C,)."""
+    n = patches.shape[0]
+    tile = patches.shape[1:-1]
+    c = patches.shape[-1]
+    r = len(tile)
+
+    def body(carry, inp):
+        out, wsum = carry
+        patch, w, st = inp
+        idx = tuple(st[i] for i in range(r)) + (0,)
+        sizes = tile + (c,)
+        block = lax.dynamic_slice(out, idx, sizes)
+        out = lax.dynamic_update_slice(out, block + patch * w, idx)
+        wblock = lax.dynamic_slice(wsum, idx, sizes)
+        wsum = lax.dynamic_update_slice(wsum, wblock + w, idx)
+        return (out, wsum), None
+
+    init = (jnp.zeros(tuple(out_spatial) + (c,), jnp.float32),
+            jnp.zeros(tuple(out_spatial) + (c,), jnp.float32))
+    (out, wsum), _ = lax.scan(body, init, (patches, weights, starts))
+    return out, wsum
+
+
+@partial(jax.jit, static_argnames=("n_frames", "out_spatial", "fill_mean"))
+def _stitch_weighted_frames(patches, weights, starts, n_frames: int,
+                            out_spatial, fill_mean: bool):
+    per = patches.shape[0] // n_frames
+    framed = patches.reshape((n_frames, per) + patches.shape[1:]).astype(jnp.float32)
+    fill = jnp.mean(patches.astype(jnp.float32)) if fill_mean else 0.0
+
+    def one(frame_patches):
+        out, wsum = _stitch_weighted_xla(frame_patches, weights, starts, out_spatial)
+        return jnp.where(wsum > 0, out / jnp.maximum(wsum, 1e-12), fill)
+
+    return jax.vmap(one)(framed)
+
+
+def stitch_weighted_frames_device(patches, weights, starts_per_axis, n_frames: int,
+                                  out_spatial, fill_mean: bool = False):
+    """Device-side weighted stitch of frame-major patches (margin or blend
+    weights — multi_output_unet/predict.py:234-285,
+    multi_output_unet3d/predict.py:203-307).  ``weights`` is one grid's
+    (per, *tile, 1) weight stack (shared across frames); uncovered pixels are
+    filled with the global patch mean (2D margin semantics) or 0 (3D blend
+    semantics)."""
+    grids = np.meshgrid(*[np.asarray(s) for s in starts_per_axis], indexing="ij")
+    starts = np.stack([g.ravel() for g in grids], axis=1).astype(np.int32)
+    return _stitch_weighted_frames(jnp.asarray(patches), jnp.asarray(weights),
+                                   jnp.asarray(starts), n_frames,
+                                   tuple(int(s) for s in out_spatial), fill_mean)
+
+
 def stitch_mean_device(patches, starts_per_axis, out_spatial: Tuple[int, int],
                        quantize_u8: bool = False):
     """Device-side mean-overlap stitch of one frame's 2D patches.

@@ -22,7 +22,7 @@ from ..data import tiff
 from ..models import get_model
 from ..progress import ProgressNotifier
 from ..utils.utils import save_as_tif
-from .tiling import grid_starts, overlap_starts, stitch_blend3d, stitch_margin, stitch_mean
+from .tiling import grid_starts, overlap_starts
 
 
 def _normalize_stack(imgs: np.ndarray, mode: str, clip_threshold, invert: bool = False,
@@ -207,7 +207,15 @@ class _Engine:
                 pending.append(runner(self.variables, _put(b), _put(pb)))
             else:
                 pending.append(runner(self.variables, _put(b)))
-        if return_device and not isinstance(pending[0], dict):
+        if return_device:
+            if isinstance(pending[0], dict):
+                return {
+                    k: (jnp.concatenate([c[k].reshape((-1,) + c[k].shape[2:])
+                                         for c in pending])[:n]
+                        if len(pending) > 1
+                        else pending[0][k].reshape((-1,) + pending[0][k].shape[2:])[:n])
+                    for k in pending[0]
+                }
             flat = [p.reshape((-1,) + p.shape[2:]) for p in pending]
             return jnp.concatenate(flat)[:n] if len(flat) > 1 else flat[0][:n]
         chunks = [jax.device_get(p) for p in pending]
@@ -519,19 +527,23 @@ class PredictMultiOutput:
         )
         if show_progress:
             print("Predicting data ...")
-        preds = engine.predict_patches(patches[..., None], progress=progress)
+        preds = engine.predict_patches(patches[..., None], progress=progress,
+                                       return_device=True)
 
-        per = len(xs) * len(ys)
+        # safe-margin stitch ON DEVICE, frames fused into one dispatch per head
+        from ..ops.stitch import stitch_weighted_frames_device
+        from .tiling import _margin_weights
+
         out_h = max(ph, self.imgs_shape[1])
         out_w = max(pw, self.imgs_shape[2])
         self.result = {}
         for key in self.target_keys:
-            frames = [
-                stitch_margin(preds[key][i * per : (i + 1) * per], (xs, ys),
-                              (out_h, out_w), safe_margin)
-                for i in range(self.imgs_shape[0])
-            ]
-            r = np.stack(frames)[:, : self.imgs_shape[1], : self.imgs_shape[2]]
+            weights = _margin_weights((len(xs), len(ys)), (ph, pw), safe_margin)
+            stacked = stitch_weighted_frames_device(
+                preds[key], weights, (xs, ys), self.imgs_shape[0],
+                (out_h, out_w), fill_mean=True,
+            )
+            r = np.asarray(stacked)[:, : self.imgs_shape[1], : self.imgs_shape[2]]
             if r.shape[-1] > 1:
                 r = np.moveaxis(r, -1, 1)  # (N, C, H, W) like the reference
             else:
@@ -592,17 +604,21 @@ class PredictMultiOutput3D:
         )
         if show_progress:
             print("Predicting data ...")
-        preds = engine.predict_patches(patches, progress=progress)
+        preds = engine.predict_patches(patches, progress=progress,
+                                       return_device=True)
 
-        per = len(zs) * len(xs) * len(ys)
+        # linear-blend stitch ON DEVICE, volumes fused into one dispatch per head
+        from ..ops.stitch import stitch_weighted_frames_device
+        from .tiling import _blend_weights
+
         self.result = {}
         for key in self.target_keys:
-            vols = [
-                stitch_blend3d(preds[key][v * per : (v + 1) * per], (zs, xs, ys),
-                               (d, h, w), blend_margin)
-                for v in range(n_vol)
-            ]
-            r = np.stack(vols)
+            weights = _blend_weights((len(zs), len(xs), len(ys)), tile, blend_margin)
+            stacked = stitch_weighted_frames_device(
+                preds[key], weights, (zs, xs, ys), n_vol, (d, h, w),
+                fill_mean=False,
+            )
+            r = np.asarray(stacked)
             if r.shape[-1] > 1:
                 r = np.moveaxis(r, -1, 1)
             else:
