@@ -56,12 +56,17 @@ def _normalize_stack(imgs: np.ndarray, mode: str, clip_threshold, invert: bool =
 
 
 def _maybe_enable_compile_cache():
-    """Persistent XLA compile cache by default (opt out: BIU_TPU_NO_CACHE=1):
-    a cold U-Net compile costs minutes on remote/tunneled TPUs and the cache
-    makes it a one-time cost per machine."""
+    """Persistent XLA compile cache on TPU backends by default (opt out:
+    BIU_TPU_NO_CACHE=1): a cold U-Net compile costs minutes on
+    remote/tunneled TPUs and the cache makes it a one-time cost per machine.
+    NOT enabled for CPU backends — XLA:CPU AOT cache entries record the build
+    host's CPU features and reloading them on a different microarchitecture
+    risks SIGILL (observed on this fleet's heterogeneous hosts)."""
     if os.environ.get("BIU_TPU_NO_CACHE"):
         return
     try:
+        if jax.default_backend() != "tpu":
+            return
         from ..utils.utils import enable_compilation_cache
 
         enable_compilation_cache()

@@ -138,11 +138,14 @@ class Trainer:
         device=None,  # accepted for reference API compatibility; unused
     ):
         del device
+        # persistent compile cache on TPU only (CPU AOT entries are
+        # host-feature-specific — see predict.predictor._maybe_enable_compile_cache)
         if not os.environ.get("BIU_TPU_NO_CACHE"):
             try:
-                from ..utils.utils import enable_compilation_cache
+                if jax.default_backend() == "tpu":
+                    from ..utils.utils import enable_compilation_cache
 
-                enable_compilation_cache()
+                    enable_compilation_cache()
             except Exception:
                 pass
         self.data = dataset
@@ -366,8 +369,10 @@ class Trainer:
             for ch in range(self.out_channels)
         ]
         loss = sum(p * w[j] for j, p in enumerate(per_ch)) / jnp.sum(w)
-        if self.time_loss_weight is not None:
-            # SmoothL1 between batch-adjacent logits (unet3d/train.py:142-145)
+        if self.time_loss_weight is not None and logits.shape[0] > 1:
+            # SmoothL1 between batch-adjacent logits (unet3d/train.py:142-145);
+            # skipped for single-sample batches (mean over an empty slice is
+            # NaN — the reference crashes the same way on batch 1)
             loss = loss + self.time_loss_weight * smooth_l1_loss(logits[1:], logits[:-1])
         return loss
 

@@ -153,3 +153,26 @@ def test_trainer_explicit_mesh(tmp_path, rng):
     best = trainer.start()
     assert np.isfinite(best)
     assert (tmp_path / "out" / "model.ckpt").exists()
+
+
+def test_temporal_loss_batch_of_one_not_nan(tmp_path, rng):
+    """Regression: a single-sample val batch with time_loss_weight must not
+    produce NaN (smooth_l1 over an empty adjacent-slice diff)."""
+    for sub in ("vol", "label"):
+        os.makedirs(tmp_path / sub, exist_ok=True)
+    for i in range(2):
+        tiff.imwrite(str(tmp_path / "vol" / f"v{i}.tif"),
+                     rng.integers(0, 255, (8, 16, 16), dtype=np.uint8))
+        tiff.imwrite(str(tmp_path / "label" / f"v{i}.tif"),
+                     (rng.random((8, 16, 16)) > 0.5).astype(np.uint8) * 255)
+    data = DataProcess3D(
+        (str(tmp_path / "vol") + "/", str(tmp_path / "label") + "/"),
+        dim_out=(8, 16, 16), aug_factor=2, data_path=str(tmp_path / "data"), seed=0,
+    )
+    assert len(data) == 4  # val split -> 1 sample -> batch of one
+    trainer = Trainer(data, num_epochs=1, network="UNet3D", batch_size=2,
+                      n_filter=4, time_loss_weight=0.1,
+                      save_dir=str(tmp_path / "out"), seed=0)
+    best = trainer.start()
+    assert np.isfinite(best)
+    assert (tmp_path / "out" / "model.ckpt").exists()
