@@ -1004,11 +1004,14 @@ class DataLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        error: list = []
 
         def worker():
             try:
                 for batch in self._batches():
                     q.put(batch)
+            except BaseException as e:  # surface loader errors in the consumer
+                error.append(e)
             finally:
                 q.put(sentinel)
 
@@ -1017,5 +1020,7 @@ class DataLoader:
         while True:
             item = q.get()
             if item is sentinel:
+                if error:
+                    raise error[0]
                 break
             yield item

@@ -550,6 +550,12 @@ class Trainer:
                 t0 = time.time()
                 train_loss = self._iterate_train(epoch)
                 val_loss = self._iterate_val(epoch)
+                if np.isnan(val_loss):
+                    # no validation batches (val_split=0 or tiny dataset):
+                    # fall back to the train loss for scheduling and
+                    # checkpointing — the reference crashes on an empty val
+                    # loader (unet/train.py:154 stacks an empty list)
+                    val_loss = train_loss
                 lr_scale = self.scheduler.step(val_loss)
                 self.opt_state.hyperparams["learning_rate"] = jnp.asarray(
                     self.lr * lr_scale, dtype=jnp.float32

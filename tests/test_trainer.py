@@ -176,3 +176,15 @@ def test_temporal_loss_batch_of_one_not_nan(tmp_path, rng):
     best = trainer.start()
     assert np.isfinite(best)
     assert (tmp_path / "out" / "model.ckpt").exists()
+
+
+def test_trainer_val_split_zero(tmp_path, rng):
+    """val_split=0: train loss drives scheduling/saving (the reference
+    crashes on an empty val loader)."""
+    data = _random_dataset_2d(tmp_path, rng)
+    trainer = Trainer(data, num_epochs=1, network="Unet", batch_size=4,
+                      n_filter=4, val_split=0.0, save_dir=str(tmp_path / "out"),
+                      seed=0)
+    best = trainer.start()
+    assert np.isfinite(best)
+    assert (tmp_path / "out" / "model.ckpt").exists()
