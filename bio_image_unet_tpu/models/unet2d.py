@@ -60,7 +60,10 @@ class UNet2DBase(nn.Module):
         return None
 
     def setup(self):
-        nf, d = self.n_filter, self.dilation
+        nf = self.n_filter
+        # the multi_output reference spells "no dilation" as False
+        # (multi_output_unet/train.py:22); normalize to 1
+        d = 1 if self.dilation in (False, None, True) else self.dilation
         # encoder (reference unet/unet.py:20-31)
         self.encode1 = ConvBlock(nf, dilation=d)
         self.encode2 = ConvBlock(nf, dilation=d)

@@ -58,3 +58,38 @@ def test_unet_facade_end_to_end(tmp_path, rng):
     assert os.path.exists(result_path)
     saved = tiff.imread(result_path)
     assert saved.dtype == np.float16
+
+
+def test_multi_output_facade_end_to_end(tmp_path, rng):
+    """multi_output_unet facade: DataProcess → Trainer (TensorBoard + val
+    imaging defaults) → Predict, per-head results."""
+    import bio_image_unet_tpu.multi_output_unet as mo
+
+    img_dir, t1 = str(tmp_path / "image"), str(tmp_path / "mask")
+    os.makedirs(img_dir), os.makedirs(t1)
+    for i in range(2):
+        name = f"s{i}.tif"
+        tiff.imwrite(os.path.join(img_dir, name),
+                     rng.integers(0, 255, (64, 64), dtype=np.uint8))
+        tiff.imwrite(os.path.join(t1, name),
+                     (rng.random((64, 64)) > 0.5).astype(np.float32))
+
+    data = mo.DataProcess(img_dir, [t1], {"mask": "mask"},
+                          data_dir=str(tmp_path / "data"), dim_out=(32, 32),
+                          aug_factor=8, seed=0)
+    heads = {"mask": {"channels": 1, "activation": "sigmoid",
+                      "loss": "BCEDiceLoss", "weight": 1.0}}
+    trainer = mo.Trainer(data, num_epochs=1, network="MultiOutputUnet",
+                         batch_size=4, n_filter=4, output_heads=heads,
+                         save_dir=str(tmp_path / "out"), seed=0)
+    trainer.start()
+    # TensorBoard logs + validation imaging written by default
+    assert os.path.isdir(str(tmp_path / "out" / "logs"))
+    assert os.path.isdir(str(tmp_path / "out" / "val_results"))
+
+    imgs = rng.integers(0, 255, (2, 48, 48), dtype=np.uint8)
+    pred = mo.Predict(imgs, str(tmp_path / "out" / "model.ckpt"),
+                      result_path=str(tmp_path / "res"), max_patch_size=(32, 32),
+                      show_progress=False, batch_size=4, safe_margin=4)
+    assert pred.result["mask"].shape == (2, 48, 48)
+    assert np.isfinite(pred.result["mask"]).all()
