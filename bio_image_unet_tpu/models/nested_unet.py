@@ -36,6 +36,7 @@ class MultiOutputNestedUNet(nn.Module):
     deep_supervision: bool = False
     dilation: Union[bool, Tuple[int, ...]] = False
     train_mode: bool = True  # reference ctor flag; call-time ``train`` also gates levels
+    dtype: Optional[jnp.dtype] = None
 
     levels: int = 4  # grid depth; the 3-level subclass overrides
 
@@ -59,13 +60,13 @@ class MultiOutputNestedUNet(nn.Module):
 
         # backbone column x_{i,0}
         grid = {}
-        grid["conv0_0"] = VGGBlock(nb[0], nb[0], dilation=dil[0])
+        grid["conv0_0"] = VGGBlock(nb[0], nb[0], dilation=dil[0], dtype=self.dtype)
         for i in range(1, L + 1):
-            grid[f"conv{i}_0"] = VGGBlock(nb[i], nb[i], dilation=dil[i])
+            grid[f"conv{i}_0"] = VGGBlock(nb[i], nb[i], dilation=dil[i], dtype=self.dtype)
         # dense skip grid x_{i,j}: in = nb[i]*j + nb[i+1], middle = out = nb[i]
         for j in range(1, L + 1):
             for i in range(0, L + 1 - j):
-                grid[f"conv{i}_{j}"] = VGGBlock(nb[i], nb[i])
+                grid[f"conv{i}_{j}"] = VGGBlock(nb[i], nb[i], dtype=self.dtype)
         self.grid = grid
 
         heads = {}
@@ -105,7 +106,8 @@ class MultiOutputNestedUNet(nn.Module):
                 # the returned dict matches the reference per mode (:136-154).
                 levels = {
                     level: apply_activation(
-                        self.output_layers[f"{name}_{level}"](col[0][level]), act
+                        self.output_layers[f"{name}_{level}"](col[0][level])
+                        .astype(jnp.float32), act
                     )
                     for level in range(1, L + 1)
                 }
@@ -116,7 +118,8 @@ class MultiOutputNestedUNet(nn.Module):
         else:
             for name, cfg in self.heads.items():
                 outputs[name] = apply_activation(
-                    self.output_layers[name](col[0][L]), cfg.get("activation")
+                    self.output_layers[name](col[0][L]).astype(jnp.float32),
+                    cfg.get("activation")
                 )
         return outputs
 

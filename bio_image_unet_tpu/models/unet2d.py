@@ -48,6 +48,7 @@ class UNet2DBase(nn.Module):
     mode: Optional[str] = None  # siamese join: None|'concat'|'corr'|'max'|'control'
     multi_output: bool = False
     output_heads: Optional[Dict[str, dict]] = None
+    dtype: Optional[jnp.dtype] = None  # bf16 compute; params/BN/logits fp32
 
     @property
     def heads(self) -> Optional[Dict[str, dict]]:
@@ -64,34 +65,35 @@ class UNet2DBase(nn.Module):
         # the multi_output reference spells "no dilation" as False
         # (multi_output_unet/train.py:22); normalize to 1
         d = 1 if self.dilation in (False, None, True) else self.dilation
+        dt = self.dtype
         # encoder (reference unet/unet.py:20-31)
-        self.encode1 = ConvBlock(nf, dilation=d)
-        self.encode2 = ConvBlock(nf, dilation=d)
-        self.encode3 = ConvBlock(2 * nf, dilation=d)
-        self.encode4 = ConvBlock(2 * nf, dilation=d)
-        self.encode5 = ConvBlock(4 * nf, dilation=d)
-        self.encode6 = ConvBlock(4 * nf, dilation=d)
-        self.encode7 = ConvBlock(8 * nf, dilation=d)
-        self.encode8 = ConvBlock(8 * nf, dilation=d)
+        self.encode1 = ConvBlock(nf, dilation=d, dtype=dt)
+        self.encode2 = ConvBlock(nf, dilation=d, dtype=dt)
+        self.encode3 = ConvBlock(2 * nf, dilation=d, dtype=dt)
+        self.encode4 = ConvBlock(2 * nf, dilation=d, dtype=dt)
+        self.encode5 = ConvBlock(4 * nf, dilation=d, dtype=dt)
+        self.encode6 = ConvBlock(4 * nf, dilation=d, dtype=dt)
+        self.encode7 = ConvBlock(8 * nf, dilation=d, dtype=dt)
+        self.encode8 = ConvBlock(8 * nf, dilation=d, dtype=dt)
         # siamese bottleneck join (siam_unet/siam_unet.py:36-38)
         if self.mode == "concat":
-            self.conv_concat = ConvBlock(8 * nf)
+            self.conv_concat = ConvBlock(8 * nf, dtype=dt)
         # middle (unet/unet.py:34-35)
-        self.middle_conv1 = ConvBlock(16 * nf, dilation=d)
-        self.middle_conv2 = ConvBlock(16 * nf, dilation=d)
+        self.middle_conv1 = ConvBlock(16 * nf, dilation=d, dtype=dt)
+        self.middle_conv2 = ConvBlock(16 * nf, dilation=d, dtype=dt)
         # decoder (unet/unet.py:38-52); decode blocks use default dilation 1
-        self.up1 = ConvTranspose(8 * nf)
-        self.decode1 = ConvBlock(8 * nf)
-        self.decode2 = ConvBlock(8 * nf)
-        self.up2 = ConvTranspose(4 * nf)
-        self.decode3 = ConvBlock(4 * nf)
-        self.decode4 = ConvBlock(4 * nf)
-        self.up3 = ConvTranspose(2 * nf)
-        self.decode5 = ConvBlock(2 * nf)
-        self.decode6 = ConvBlock(2 * nf)
-        self.up4 = ConvTranspose(nf)
-        self.decode7 = ConvBlock(nf)
-        self.decode8 = ConvBlock(nf)
+        self.up1 = ConvTranspose(8 * nf, dtype=dt)
+        self.decode1 = ConvBlock(8 * nf, dtype=dt)
+        self.decode2 = ConvBlock(8 * nf, dtype=dt)
+        self.up2 = ConvTranspose(4 * nf, dtype=dt)
+        self.decode3 = ConvBlock(4 * nf, dtype=dt)
+        self.decode4 = ConvBlock(4 * nf, dtype=dt)
+        self.up3 = ConvTranspose(2 * nf, dtype=dt)
+        self.decode5 = ConvBlock(2 * nf, dtype=dt)
+        self.decode6 = ConvBlock(2 * nf, dtype=dt)
+        self.up4 = ConvTranspose(nf, dtype=dt)
+        self.decode7 = ConvBlock(nf, dtype=dt)
+        self.decode8 = ConvBlock(nf, dtype=dt)
         # attention gates (attention_unet.py:38-50)
         if self.attention:
             self.attention1 = AttentionBlock(4 * nf)
@@ -188,11 +190,11 @@ class UNet2DBase(nn.Module):
         d8 = self.decode8(d7, train)
 
         if self.heads is None:
-            logits = self.final(d8)
+            logits = self.final(d8).astype(jnp.float32)
             return nn.sigmoid(logits), logits
         outputs = {}
         for name, cfg in self.heads.items():
-            logits = self.output_layers[name](d8)
+            logits = self.output_layers[name](d8).astype(jnp.float32)
             outputs[name] = apply_activation(logits, cfg.get("activation"))
         return outputs
 

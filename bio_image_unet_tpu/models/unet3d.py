@@ -34,27 +34,28 @@ class UNet3D(nn.Module):
     out_channels: int = 1
     n_filter: int = 16
     use_interpolation: bool = False
+    dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         nf = self.n_filter
-        self.encode1 = ConvBlock(nf // 2)
-        self.encode2 = ConvBlock(nf)
-        self.encode3 = ConvBlock(nf)
-        self.encode4 = ConvBlock(2 * nf)
-        self.encode5 = ConvBlock(2 * nf)
-        self.encode6 = ConvBlock(4 * nf)
-        self.middle_conv1 = ConvBlock(4 * nf)
-        self.middle_conv2 = ConvBlock(8 * nf)
+        self.encode1 = ConvBlock(nf // 2, dtype=self.dtype)
+        self.encode2 = ConvBlock(nf, dtype=self.dtype)
+        self.encode3 = ConvBlock(nf, dtype=self.dtype)
+        self.encode4 = ConvBlock(2 * nf, dtype=self.dtype)
+        self.encode5 = ConvBlock(2 * nf, dtype=self.dtype)
+        self.encode6 = ConvBlock(4 * nf, dtype=self.dtype)
+        self.middle_conv1 = ConvBlock(4 * nf, dtype=self.dtype)
+        self.middle_conv2 = ConvBlock(8 * nf, dtype=self.dtype)
         if not self.use_interpolation:
-            self.up1 = ConvTranspose(8 * nf)
-            self.up2 = ConvTranspose(4 * nf)
-            self.up3 = ConvTranspose(2 * nf)
-        self.decode1 = ConvBlock(4 * nf)
-        self.decode2 = ConvBlock(4 * nf)
-        self.decode3 = ConvBlock(2 * nf)
-        self.decode4 = ConvBlock(2 * nf)
-        self.decode5 = ConvBlock(nf)
-        self.decode6 = ConvBlock(nf // 2)
+            self.up1 = ConvTranspose(8 * nf, dtype=self.dtype)
+            self.up2 = ConvTranspose(4 * nf, dtype=self.dtype)
+            self.up3 = ConvTranspose(2 * nf, dtype=self.dtype)
+        self.decode1 = ConvBlock(4 * nf, dtype=self.dtype)
+        self.decode2 = ConvBlock(4 * nf, dtype=self.dtype)
+        self.decode3 = ConvBlock(2 * nf, dtype=self.dtype)
+        self.decode4 = ConvBlock(2 * nf, dtype=self.dtype)
+        self.decode5 = ConvBlock(nf, dtype=self.dtype)
+        self.decode6 = ConvBlock(nf // 2, dtype=self.dtype)
         self.final = nn.Conv(
             self.out_channels, (1, 1, 1), padding="VALID", kernel_init=he_normal_leaky
         )
@@ -80,7 +81,7 @@ class UNet3D(nn.Module):
         u3 = upsample_linear(d4) if self.use_interpolation else self.up3(d4)
         d5 = self.decode5(jnp.concatenate([u3, e2], axis=-1), train)
         d6 = self.decode6(d5, train)
-        logits = self.final(d6)
+        logits = self.final(d6).astype(jnp.float32)
         return nn.sigmoid(logits), logits
 
 
@@ -92,6 +93,7 @@ class MultiOutputUnet3D(nn.Module):
     output_heads: Optional[Dict[str, dict]] = None
     n_filter: int = 16
     use_interpolation: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @property
     def heads(self) -> Dict[str, dict]:
@@ -99,30 +101,30 @@ class MultiOutputUnet3D(nn.Module):
 
     def setup(self):
         nf = self.n_filter
-        self.encode1 = ConvBlock(nf // 2)
-        self.encode2 = ConvBlock(nf)
-        self.encode3 = ConvBlock(nf)
-        self.encode4 = ConvBlock(2 * nf)
-        self.encode5 = ConvBlock(2 * nf)
-        self.encode6 = ConvBlock(4 * nf)
-        self.middle_conv1 = ConvBlock(4 * nf)
-        self.middle_conv2 = ConvBlock(8 * nf)
+        self.encode1 = ConvBlock(nf // 2, dtype=self.dtype)
+        self.encode2 = ConvBlock(nf, dtype=self.dtype)
+        self.encode3 = ConvBlock(nf, dtype=self.dtype)
+        self.encode4 = ConvBlock(2 * nf, dtype=self.dtype)
+        self.encode5 = ConvBlock(2 * nf, dtype=self.dtype)
+        self.encode6 = ConvBlock(4 * nf, dtype=self.dtype)
+        self.middle_conv1 = ConvBlock(4 * nf, dtype=self.dtype)
+        self.middle_conv2 = ConvBlock(8 * nf, dtype=self.dtype)
         if not self.use_interpolation:
-            self.up1 = ConvTranspose(8 * nf)
-            self.up2 = ConvTranspose(4 * nf)
-            self.up3 = ConvTranspose(2 * nf)
+            self.up1 = ConvTranspose(8 * nf, dtype=self.dtype)
+            self.up2 = ConvTranspose(4 * nf, dtype=self.dtype)
+            self.up3 = ConvTranspose(2 * nf, dtype=self.dtype)
         else:
             # nearest ×2 + conv replaces the transposed conv
             # (multi_output_unet3d.py:67-69,137-159)
-            self.up1_conv = ConvBlock(8 * nf)
-            self.up2_conv = ConvBlock(4 * nf)
-            self.up3_conv = ConvBlock(2 * nf)
-        self.decode1 = ConvBlock(4 * nf)
-        self.decode2 = ConvBlock(4 * nf)
-        self.decode3 = ConvBlock(2 * nf)
-        self.decode4 = ConvBlock(2 * nf)
-        self.decode5 = ConvBlock(nf)
-        self.decode6 = ConvBlock(nf // 2)
+            self.up1_conv = ConvBlock(8 * nf, dtype=self.dtype)
+            self.up2_conv = ConvBlock(4 * nf, dtype=self.dtype)
+            self.up3_conv = ConvBlock(2 * nf, dtype=self.dtype)
+        self.decode1 = ConvBlock(4 * nf, dtype=self.dtype)
+        self.decode2 = ConvBlock(4 * nf, dtype=self.dtype)
+        self.decode3 = ConvBlock(2 * nf, dtype=self.dtype)
+        self.decode4 = ConvBlock(2 * nf, dtype=self.dtype)
+        self.decode5 = ConvBlock(nf, dtype=self.dtype)
+        self.decode6 = ConvBlock(nf // 2, dtype=self.dtype)
         self.output_layers = {
             name: nn.Conv(
                 cfg["channels"], (1, 1, 1), padding="VALID", kernel_init=he_normal_leaky
@@ -167,6 +169,6 @@ class MultiOutputUnet3D(nn.Module):
 
         outputs = {}
         for name, cfg in self.heads.items():
-            logits = self.output_layers[name](d6)
+            logits = self.output_layers[name](d6).astype(jnp.float32)
             outputs[name] = apply_activation(logits, cfg.get("activation"))
         return outputs

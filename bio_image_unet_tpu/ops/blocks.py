@@ -21,6 +21,8 @@ Parity notes (verified against torch in tests/test_ops_parity.py):
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -110,6 +112,7 @@ class ConvBlock(nn.Module):
     dropout: float = 0.0
     activation: str = "leaky_relu"
     negative_slope: float = 0.1
+    dtype: Optional[jnp.dtype] = None  # bf16 compute (params stay fp32)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -122,9 +125,15 @@ class ConvBlock(nn.Module):
             kernel_dilation=(self.dilation,) * nsp,
             kernel_init=he_normal_leaky,
             bias_init=_torch_bias_uniform(fan_in),
+            dtype=self.dtype,
             name="conv",
         )(x)
-        x = TorchBatchNorm(name="bn")(x, use_running_average=not train)
+        # BatchNorm always in float32 (bf16 mean/var drift); output returns
+        # to the compute dtype
+        in_dtype = x.dtype
+        x = TorchBatchNorm(name="bn")(x.astype(jnp.float32),
+                                      use_running_average=not train)
+        x = x.astype(self.dtype or in_dtype)
         if self.activation == "leaky_relu":
             x = nn.leaky_relu(x, self.negative_slope)
         elif self.activation == "relu":
@@ -152,6 +161,7 @@ class ConvTranspose(nn.Module):
     features: int
     kernel_size: int = 2
     stride: int = 2
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
@@ -176,6 +186,10 @@ class ConvTranspose(nn.Module):
             dn = ("NDHWC", "DHWIO", "NDHWC")
         else:
             raise ValueError(f"unsupported spatial rank {nsp}")
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+            bias = bias.astype(self.dtype)
         y = lax.conv_transpose(
             x, kernel, (self.stride,) * nsp, "VALID",
             dimension_numbers=dn, transpose_kernel=True,
@@ -217,6 +231,7 @@ class VGGBlock(nn.Module):
     features: int
     dropout: float = 0.0
     dilation: int = 1
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -229,9 +244,13 @@ class VGGBlock(nn.Module):
                 kernel_dilation=(self.dilation,) * nsp,
                 kernel_init=he_normal_leaky,
                 bias_init=_torch_bias_uniform(fan_in),
+                dtype=self.dtype,
                 name=f"conv{i}",
             )(x)
-            x = TorchBatchNorm(name=f"bn{i}")(x, use_running_average=not train)
+            in_dtype = x.dtype
+            x = TorchBatchNorm(name=f"bn{i}")(x.astype(jnp.float32),
+                                              use_running_average=not train)
+            x = x.astype(self.dtype or in_dtype)
             x = nn.leaky_relu(x, 0.1)
             if self.dropout > 0.0:
                 x = nn.Dropout(

@@ -107,10 +107,11 @@ class _Engine:
         if name == "Unet_v0":
             hp.setdefault("in_channels", 1)
             hp.setdefault("out_channels", 1)
-        self.model = get_model(name, **hp)
+        self.dtype = jnp.bfloat16 if half_precision else jnp.float32
+        # bf16 threads through the model blocks (params/BN/logits stay fp32)
+        self.model = get_model(name, **{**hp, "dtype": jnp.bfloat16 if half_precision else None})
         self.variables = state["variables"]
         self.batch_size = batch_size
-        self.dtype = jnp.bfloat16 if half_precision else jnp.float32
         self._cache_key = (
             type(self.model).__name__,
             json.dumps({k: repr(v) for k, v in hp.items()}, sort_keys=True),

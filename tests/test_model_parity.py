@@ -186,3 +186,21 @@ def test_multi_output_unet3d_parity(use_interpolation):
         n_filter=4, output_heads=HEADS, use_interpolation=use_interpolation
     )
     check_dict_model(tmodel, jmodel, x)
+
+
+def test_bf16_compute_close_to_fp32(x32):
+    """dtype=bfloat16 threads through the blocks: fp32 params, bf16 conv
+    compute, fp32 BN/logits — outputs stay within bf16 tolerance of fp32."""
+    import jax
+    import jax.numpy as jnp
+
+    from bio_image_unet_tpu.models import Unet
+
+    m32 = Unet(n_filter=8)
+    m16 = Unet(n_filter=8, dtype=jnp.bfloat16)
+    x = np.moveaxis(x32, 1, -1)  # fixture is torch NCHW
+    variables = m32.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))
+    s32, _ = m32.apply(variables, jnp.asarray(x))
+    s16, l16 = m16.apply(variables, jnp.asarray(x))
+    assert l16.dtype == jnp.float32  # logits always fp32
+    assert np.abs(np.asarray(s32) - np.asarray(s16)).max() < 0.05

@@ -188,3 +188,15 @@ def test_trainer_val_split_zero(tmp_path, rng):
     best = trainer.start()
     assert np.isfinite(best)
     assert (tmp_path / "out" / "model.ckpt").exists()
+
+
+def test_trainer_remat_and_half_precision(tmp_path, rng):
+    """remat (grad checkpointing) + bf16 compute: one epoch trains to a
+    finite loss and checkpoints."""
+    data = _random_dataset_2d(tmp_path, rng)
+    trainer = Trainer(data, num_epochs=1, network="Unet", batch_size=4,
+                      n_filter=4, remat=True, half_precision=True,
+                      save_dir=str(tmp_path / "out"), seed=0)
+    best = trainer.start()
+    assert np.isfinite(best)
+    assert (tmp_path / "out" / "model.ckpt").exists()
