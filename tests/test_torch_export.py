@@ -61,3 +61,56 @@ def test_export_file(tmp_path, rng):
     ckpt = torch.load(p, weights_only=False)
     assert ckpt["epoch"] == 3 and ckpt["n_filter"] == 4
     assert "encode1.0.weight" in ckpt["state_dict"]
+
+
+def test_export_unet3d_roundtrip(tmp_path, rng):
+    """UNet3D export: its reference ``final`` is a bare Conv3d (not a
+    Sequential) — final_sequential=False."""
+    import torch
+
+    from bio_image_unet_tpu.models import UNet3D
+
+    model = UNet3D(n_filter=4)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 16, 16, 1)))
+    sd = variables_to_torch_state_dict(variables, final_sequential=False)
+
+    mod = _ref("unet3d/unet3d.py", "UNet3D")
+    net = mod.UNet3D(in_channels=1, out_channels=1, n_filter=4)
+    missing, unexpected = net.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=True,
+    )
+    assert not missing and not unexpected
+    net.eval()
+    x = rng.random((1, 8, 16, 16, 1)).astype(np.float32)
+    ours = np.asarray(model.apply(variables, jnp.asarray(x))[0])
+    with torch.no_grad():
+        theirs = net(torch.from_numpy(np.moveaxis(x, -1, 1)))[0].numpy()
+    np.testing.assert_allclose(ours, np.moveaxis(theirs, 1, -1), atol=2e-5)
+
+
+def test_export_siam_roundtrip(tmp_path, rng):
+    import torch
+
+    from bio_image_unet_tpu.models import Siam_UNet
+
+    model = Siam_UNet(n_filter=4, mode="concat")
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)),
+                           jnp.zeros((1, 32, 32, 1)))
+    sd = variables_to_torch_state_dict(variables)
+
+    mod = _ref("siam_unet/siam_unet.py", "Siam_UNet")
+    net = mod.Siam_UNet(n_filter=4, mode="concat")
+    missing, unexpected = net.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=True,
+    )
+    assert not missing and not unexpected
+    net.eval()
+    x = rng.random((1, 32, 32, 1)).astype(np.float32)
+    p = rng.random((1, 32, 32, 1)).astype(np.float32)
+    ours = np.asarray(model.apply(variables, jnp.asarray(x), jnp.asarray(p))[0])
+    with torch.no_grad():
+        theirs = net(torch.from_numpy(np.moveaxis(x, -1, 1)),
+                     torch.from_numpy(np.moveaxis(p, -1, 1)))[0].numpy()
+    np.testing.assert_allclose(ours, np.moveaxis(theirs, 1, -1), atol=2e-5)
