@@ -6,7 +6,14 @@ call time.
 """
 
 from .annotator import ImageAnnotator
-from .frame_search import find_frame_of_image, frame_generator, mse
+from .frame_search import (
+    fetch_frame,
+    find_frame_of_image,
+    frame_generator,
+    individual_tif_generator,
+    mse,
+    stream_write,
+)
 from .imageops import (
     average_tifs,
     create_pixel_value_histogram,
@@ -28,6 +35,9 @@ __all__ = [
     "utilize_search_result",
     "find_frame_of_image",
     "frame_generator",
+    "fetch_frame",
+    "individual_tif_generator",
+    "stream_write",
     "mse",
     "tif_to_mp4",
     "extract_frames",

@@ -73,3 +73,31 @@ def find_frame_of_image(query_image, search_space: Sequence[str] = (),
                     fh.write(f"{os.path.basename(str(query_image))}\t"
                              f"{os.path.basename(candidate)}\t{best['frame']}\n")
     return results
+
+
+def fetch_frame(tif_file) -> Iterator[np.ndarray]:
+    """Streaming frame generator for a tif movie
+    (reference siam_unet/helpers/low_mem_tif_utils.py:4-17; alias of
+    :func:`frame_generator`)."""
+    yield from frame_generator(tif_file)
+
+
+def individual_tif_generator(directory, tif_len: int) -> Iterator[np.ndarray]:
+    """Yield ``{directory}/{i}.tif`` for i in range(tif_len)
+    (reference low_mem_tif_utils.py:19-24)."""
+    import os
+
+    for i in range(tif_len):
+        yield tiff.imread(os.path.join(str(directory), f"{i}.tif"))
+
+
+def stream_write(path, frames) -> int:
+    """Write an iterable of frames to a multipage tif with bounded memory
+    (the reference streams via tifffile's iterable-data support,
+    low_mem_tif_utils.py:26-32).  Returns the number of frames written."""
+    n = 0
+    with tiff.TiffWriter(path) as writer:
+        for frame in frames:
+            writer.write(np.asarray(frame))
+            n += 1
+    return n

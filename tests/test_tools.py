@@ -130,3 +130,20 @@ def test_annotator_requires_gui():
 
     with pytest.raises(ImportError):
         ImageAnnotator("/nonexistent", "/nonexistent")
+
+
+def test_low_mem_streaming_helpers(tmp_path, rng):
+    from bio_image_unet_tpu.tools import fetch_frame, individual_tif_generator, stream_write
+
+    frames = rng.integers(0, 255, (4, 16, 16), dtype=np.uint8)
+    src = str(tmp_path / "m.tif")
+    tiff.imwrite(src, frames)
+    # stream-copy with bounded memory
+    out = str(tmp_path / "copy.tif")
+    assert stream_write(out, fetch_frame(src)) == 4
+    np.testing.assert_array_equal(tiff.imread(out), frames)
+    # per-index directory generator
+    for i, f in enumerate(frames):
+        tiff.imwrite(str(tmp_path / f"{i}.tif"), f)
+    gen = list(individual_tif_generator(tmp_path, 4))
+    np.testing.assert_array_equal(np.stack(gen), frames)
