@@ -200,3 +200,17 @@ def test_trainer_remat_and_half_precision(tmp_path, rng):
     best = trainer.start()
     assert np.isfinite(best)
     assert (tmp_path / "out" / "model.ckpt").exists()
+
+
+def test_trainer_device_cache_fused_epoch(tmp_path, rng):
+    """device_cache=True: HBM-resident dataset + one lax.scan dispatch per
+    epoch — trains to a finite loss and checkpoints."""
+    data = _random_dataset_2d(tmp_path, rng)
+    trainer = Trainer(data, num_epochs=2, network="Unet", batch_size=4,
+                      n_filter=4, device_cache=True, device_augment=True,
+                      save_dir=str(tmp_path / "out"), seed=0)
+    best = trainer.start()
+    assert np.isfinite(best)
+    assert (tmp_path / "out" / "model.ckpt").exists()
+    # two epochs logged
+    assert (tmp_path / "out" / "metrics.csv").read_text().count("\n") >= 3
