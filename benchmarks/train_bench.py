@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Training-throughput benchmark (BASELINE.json config 2): 2D U-Net,
+256x256 patches, batch 12, n_filter 32 — patches/sec for the fused-epoch
+on-device loop, vs the reference's torch-CPU train step measured in-place.
+
+Prints one JSON line.  (The headline driver benchmark is /bench.py —
+tiled-inference throughput.)
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N, DIM, BS, NF = 120, 256, 12, 32
+
+
+def measure_torch():
+    import importlib.util
+
+    import torch
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_unet", "/root/reference/bio_image_unet/unet/unet.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    torch.manual_seed(0)
+    net = mod.Unet(1, 1, n_filter=NF).train()
+    opt = torch.optim.Adam(net.parameters(), lr=1e-4)
+    crit = torch.nn.BCEWithLogitsLoss()
+    x = torch.randn(BS, 1, DIM, DIM)
+    y = (torch.rand(BS, 1, DIM, DIM) > 0.5).float()
+    opt.zero_grad(); _, l = net(x); crit(l, y).backward(); opt.step()  # warm
+    t0 = time.perf_counter()
+    steps = 3
+    for _ in range(steps):
+        opt.zero_grad(); _, l = net(x); crit(l, y).backward(); opt.step()
+    return steps * BS / (time.perf_counter() - t0)
+
+
+def measure_ours():
+    from bio_image_unet_tpu.train import Trainer
+
+    rng = np.random.default_rng(0)
+    imgs = rng.random((N, DIM, DIM, 1)).astype(np.float32)
+    masks = (rng.random((N, DIM, DIM, 1)) > 0.5).astype(np.float32)
+
+    class SynthDataset:
+        dim_out = (DIM, DIM)
+        aug_factor = 10
+        clip_threshold = (0.2, 99.8)
+
+        def __len__(self):
+            return N
+
+        def __getitem__(self, i):
+            return {"image": imgs[i], "mask": masks[i]}
+
+    tr = Trainer(SynthDataset(), num_epochs=1, network="Unet", batch_size=BS,
+                 n_filter=NF, lr=1e-4, device_cache=True,
+                 save_dir="/tmp/train_bench", seed=0)
+    tr._iterate_train(0)  # compile
+    best = float("inf")
+    for e in range(3):
+        t0 = time.perf_counter()
+        tr._iterate_train(1 + e)
+        best = min(best, time.perf_counter() - t0)
+    steps = tr._n_train // BS
+    return steps * BS / best
+
+
+def main():
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "TRAIN_BASELINE.json")
+    if os.path.exists(cache):
+        with open(cache) as fh:
+            baseline = json.load(fh)["torch_cpu_patches_per_s"]
+    else:
+        baseline = measure_torch()
+        with open(cache, "w") as fh:
+            json.dump({"torch_cpu_patches_per_s": baseline,
+                       "config": f"Unet nf{NF} {DIM}x{DIM} bs{BS} fwd+bwd+adam"}, fh)
+    value = measure_ours()
+    print(json.dumps({
+        "metric": "unet_training_throughput",
+        "value": round(value, 2),
+        "unit": "patches/sec/chip",
+        "vs_baseline": round(value / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
