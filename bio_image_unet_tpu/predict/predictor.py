@@ -170,6 +170,79 @@ class _Engine:
             _Engine._RUNNER_CACHE[key] = jax.jit(run_all)
         return _Engine._RUNNER_CACHE[key]
 
+    _FUSED_CACHE: dict = {}
+
+    def fused_predict_frames(self, imgs_u8: np.ndarray, xs, ys, resize_dim,
+                             clip_threshold, invert: bool):
+        """The speed-of-light single-dispatch 2D predict: the raw uint8 movie
+        is uploaded once and ONE jitted program does per-frame percentile
+        normalization, static-grid tiling, the batched U-Net forward
+        (lax.map), uint8 quantization and mean-overlap stitching — only the
+        stitched uint8 masks return to the host.  Semantics match the
+        host-staged path within one uint8 quantization step (normalization in
+        float32 instead of numpy float64)."""
+        import json
+
+        n_frames, h, w = imgs_u8.shape
+        th, tw = resize_dim
+        out_h, out_w = max(th, h), max(tw, w)
+        xs = tuple(int(v) for v in xs)
+        ys = tuple(int(v) for v in ys)
+        key = self._cache_key + ("fused", n_frames, h, w, th, tw, xs, ys,
+                                 tuple(clip_threshold), invert, self.batch_size)
+        if key not in _Engine._FUSED_CACHE:
+            from ..ops.stitch import _stitch_xla
+
+            bs = self.batch_size
+            per = len(xs) * len(ys)
+            n = n_frames * per
+            n_pad = int(np.ceil(n / bs)) * bs
+
+            def pipeline(variables, movie_u8):
+                f = movie_u8.astype(jnp.float32)
+                # per-frame percentile clip + min-max → [0, 255]
+                lo = jnp.percentile(f, clip_threshold[0], axis=(1, 2), keepdims=True)
+                hi = jnp.percentile(f, clip_threshold[1], axis=(1, 2), keepdims=True)
+                f = jnp.clip(f, lo, hi)
+                fmin = jnp.min(f, axis=(1, 2), keepdims=True)
+                fmax = jnp.max(f, axis=(1, 2), keepdims=True)
+                f = jnp.where(fmax > fmin, (f - fmin) / (fmax - fmin) * 255.0, 0.0)
+                if invert:
+                    f = 255.0 - f
+                if th > h:
+                    f = jnp.pad(f, ((0, 0), (0, th - h), (0, 0)), mode="reflect")
+                if tw > w:
+                    f = jnp.pad(f, ((0, 0), (0, 0), (0, tw - w)), mode="reflect")
+                u8 = f.astype(jnp.uint8)  # reference patch quantization
+                patches = jnp.stack([
+                    u8[i, x0 : x0 + th, y0 : y0 + tw]
+                    for i in range(n_frames) for x0 in xs for y0 in ys
+                ])[..., None]
+                if n_pad != n:
+                    patches = jnp.concatenate(
+                        [patches, jnp.broadcast_to(patches[-1:],
+                                                   (n_pad - n,) + patches.shape[1:])])
+                batches = patches.reshape((n_pad // bs, bs, th, tw, 1))
+                probs = jax.lax.map(
+                    lambda b: self._forward(b, None, True, variables), batches
+                ).reshape((-1, th, tw, 1))[:n]
+
+                gx, gy = np.meshgrid(np.asarray(xs), np.asarray(ys), indexing="ij")
+                x_starts = jnp.asarray(gx.ravel().astype(np.int32))
+                y_starts = jnp.asarray(gy.ravel().astype(np.int32))
+
+                def stitch_one(frame_patches):
+                    out, cnt = _stitch_xla(frame_patches.astype(jnp.float32),
+                                           x_starts, y_starts, out_h, out_w)
+                    return (out / jnp.maximum(cnt, 1.0)).astype(jnp.uint8)
+
+                framed = probs.reshape((n_frames, per, th, tw, 1))
+                return jax.vmap(stitch_one)(framed)[:, :h, :w]
+
+            _Engine._FUSED_CACHE[key] = jax.jit(pipeline)
+        return jax.device_get(
+            _Engine._FUSED_CACHE[key](self.variables, jnp.asarray(imgs_u8)))
+
     @staticmethod
     def _pad_to(arr: np.ndarray, n_pad: int) -> np.ndarray:
         n = arr.shape[0]
@@ -247,7 +320,7 @@ class Predict:
                  resize_dim=(512, 512), invert=False, normalization_mode="single",
                  clip_threshold=(0.0, 99.8), add_tile=0, normalize_result=False,
                  show_progress=True, batch_size: int = 8, half_precision=False,
-                 mesh=None, device=None,
+                 mesh=None, device=None, device_pipeline: bool = False,
                  progress_notifier: ProgressNotifier = None):
         del device
         if isinstance(imgs, (str, os.PathLike)):
@@ -262,13 +335,30 @@ class Predict:
             imgs = imgs[None]
         self.imgs_shape = imgs.shape
 
-        imgs = _normalize_stack(imgs, normalization_mode, clip_threshold, invert)
-
         engine = _Engine(model_params, network, batch_size, half_precision, mesh=mesh)
         in_ch = engine.hyperparams.get("in_channels", 1)
         out_ch = engine.hyperparams.get("out_channels", 1)
         if in_ch != 1:
             raise ValueError("tiled 2D Predict supports single-channel input")
+
+        if (device_pipeline and normalization_mode == "single" and out_ch == 1
+                and mesh is None and imgs.dtype == np.uint8):
+            # fully-fused path: normalize+tile+forward+stitch in ONE dispatch
+            # (uint8 inputs only — float movies may carry NaNs and use the
+            # host nanpercentile path)
+            xs = grid_starts(self.imgs_shape[1], self.resize_dim[0], add_tile)
+            ys = grid_starts(self.imgs_shape[2], self.resize_dim[1], add_tile)
+            if show_progress:
+                print("Predicting data ...")
+            result = engine.fused_predict_frames(
+                imgs, xs, ys, self.resize_dim, clip_threshold, invert,
+            )[..., 0]
+            self.result = np.squeeze(result)
+            if result_name is not None:
+                save_as_tif(self.result, result_name, normalize=normalize_result)
+            return
+
+        imgs = _normalize_stack(imgs, normalization_mode, clip_threshold, invert)
 
         patches, xs, ys = self._split(imgs)
         progress = progress_notifier if (show_progress and progress_notifier) else (

@@ -240,3 +240,19 @@ def test_predict_multi_output_3d(tmp_path, rng):
                                 show_progress=False, batch_size=2, blend_margin=4)
     assert pred.result["mask"].shape == (12, 24, 24)
     assert np.isfinite(pred.result["mask"]).all()
+
+
+def test_device_pipeline_matches_host_path(tmp_path, rng, torch_unet_ckpt):
+    """The fully-fused single-dispatch path equals the host-staged path
+    within one uint8 quantization step."""
+    ckpt_path, _ = torch_unet_ckpt
+    movie = rng.integers(0, 255, (2, 96, 96), dtype=np.uint8)
+    host = Predict(movie, None, ckpt_path, resize_dim=(64, 64),
+                   show_progress=False, batch_size=4)
+    fused = Predict(movie, None, ckpt_path, resize_dim=(64, 64),
+                    show_progress=False, batch_size=4, device_pipeline=True)
+    diff = np.abs(host.result.astype(int) - fused.result.astype(int))
+    # normalization in f32 (device) vs f64 (host) can shift a clip bound by
+    # one code point for a few pixels
+    assert np.mean(diff > 1) < 0.01, (diff.max(), np.mean(diff > 1))
+    assert diff.max() <= 16
