@@ -1,0 +1,123 @@
+"""Command-line interface: ``python -m bio_image_unet_tpu <command>``.
+
+The reference exposes no CLI (SURVEY.md §1: "no config system, no CLI" —
+every behavior is a Python constructor); this thin wrapper drives the same
+facade flows from the shell for training and inference jobs.
+
+Commands:
+  train    DataProcess + Trainer for a family (unet | siam_unet | unet3d)
+  predict  tiled inference with any family checkpoint
+  devices  list visible accelerator devices
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _add_train(sub):
+    p = sub.add_parser("train", help="prepare data and train a model")
+    p.add_argument("--family", default="unet",
+                   choices=["unet", "siam_unet", "unet3d"])
+    p.add_argument("--image-dir", required=True)
+    p.add_argument("--label-dir", required=True)
+    p.add_argument("--workdir", default="./run")
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=12)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--n-filter", type=int, default=32)
+    p.add_argument("--dim", type=int, nargs="+", default=[256, 256],
+                   help="tile size (2 ints; 3 for unet3d)")
+    p.add_argument("--aug-factor", type=int, default=10)
+    p.add_argument("--loss", default="BCEDice")
+    p.add_argument("--mode", default="max",
+                   help="siamese join mode (siam_unet only)")
+    p.add_argument("--device-cache", action="store_true",
+                   help="HBM-resident dataset + fused epoch scan")
+    p.add_argument("--half-precision", action="store_true")
+    p.add_argument("--device-augment", action="store_true")
+    p.add_argument("--resume", action="store_true")
+
+
+def _add_predict(sub):
+    p = sub.add_parser("predict", help="tiled inference on a tif/movie")
+    p.add_argument("--family", default="unet",
+                   choices=["unet", "siam_unet", "unet3d",
+                            "multi_output_unet", "multi_output_unet3d"])
+    p.add_argument("--input", required=True, help="tif file to predict")
+    p.add_argument("--output", required=True,
+                   help="result tif (single-head) or directory (multi-head)")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--resize-dim", type=int, nargs="+", default=[512, 512])
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--half-precision", action="store_true")
+    p.add_argument("--device-pipeline", action="store_true",
+                   help="fused single-dispatch path (unet family)")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="bio_image_unet_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+    _add_train(sub)
+    _add_predict(sub)
+    sub.add_parser("devices", help="list visible accelerator devices")
+    args = parser.parse_args(argv)
+
+    if args.command == "devices":
+        from .tools import device_test
+
+        device_test(verbose=True)
+        return 0
+
+    import importlib
+    import os
+
+    pkg = importlib.import_module(f"bio_image_unet_tpu.{args.family}")
+
+    if args.command == "train":
+        dim = tuple(args.dim)
+        data = pkg.DataProcess(
+            (args.image_dir.rstrip("/") + "/", args.label_dir.rstrip("/") + "/"),
+            dim_out=dim, aug_factor=args.aug_factor,
+            data_path=os.path.join(args.workdir, "data"),
+        )
+        kwargs = dict(
+            num_epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
+            n_filter=args.n_filter, loss_function=args.loss,
+            save_dir=os.path.join(args.workdir, "model"),
+            load_weights=args.resume or None,
+            device_cache=args.device_cache, half_precision=args.half_precision,
+            device_augment=args.device_augment,
+        )
+        if args.family == "siam_unet":
+            kwargs["mode"] = args.mode
+            if not args.resume:
+                kwargs.pop("load_weights")
+        elif not args.resume:
+            kwargs["load_weights"] = False
+        trainer = pkg.Trainer(data, **kwargs)
+        best = trainer.start()
+        print(f"best validation loss: {best:.5f}")
+        return 0
+
+    if args.command == "predict":
+        resize = tuple(args.resize_dim)
+        kwargs = dict(show_progress=True, batch_size=args.batch_size,
+                      half_precision=args.half_precision)
+        if args.family == "unet":
+            kwargs["device_pipeline"] = args.device_pipeline
+        if args.family.startswith("multi_output"):
+            pkg.Predict(args.input, args.checkpoint, result_path=args.output,
+                        **kwargs)
+        else:
+            pkg.Predict(args.input, args.output, args.checkpoint,
+                        resize_dim=resize, **kwargs)
+        print(f"wrote {args.output}")
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
