@@ -304,7 +304,10 @@ class Trainer:
             self.params_meta["mode"] = mode
         if time_loss_weight is not None:
             self.params_meta["time_loss_weight"] = time_loss_weight
-            self.params_meta["use_interpolation"] = use_interpolation
+        # always self-describe the decoder style: Predict rebuilds the network
+        # from these hyperparams and the 3D models default use_interpolation
+        # differently (UNet3D False, MultiOutputUnet3D True)
+        self.params_meta["use_interpolation"] = use_interpolation
         if self.multi_output:
             self.params_meta["output_heads"] = output_heads
             self.params_meta["deep_supervision"] = deep_supervision
