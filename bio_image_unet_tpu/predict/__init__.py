@@ -16,6 +16,7 @@ unet/predict.py:184-202), and all stitch accumulation is vectorized
 scatter-add into (result, weight) planes instead of NaN stacks.
 """
 
+from .sharded import predict_frames_spatial_sharded
 from .predictor import (
     Predict,
     Predict3D,
@@ -33,6 +34,7 @@ from .tiling import (
 
 __all__ = [
     "Predict",
+    "predict_frames_spatial_sharded",
     "PredictSiam",
     "Predict3D",
     "PredictMultiOutput",

@@ -1,0 +1,76 @@
+"""Whole-frame spatially-sharded prediction — for frames too large to fit one
+chip's HBM (the domain's context parallelism; SURVEY.md §5 "long-context").
+
+Instead of host-side tiling, the frame's H axis is sharded over the mesh's
+``spatial`` axis and the full U-Net forward runs with ppermute halo exchange
+at shard boundaries (:mod:`..parallel.halo`).  Interior rows (> ``halo`` from
+the global border) are bit-identical to the unsharded forward; border rows
+see a zero frame (the documented halo contract).
+
+Requirements: H divisible by (mesh spatial size × pooling stride),
+``halo`` ≥ the model's receptive-field half-width and a multiple of the
+pooling stride (16 for the 4-level family, 8 for BabyUnet/UNet3D levels).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .. import checkpoint
+from ..models import get_model
+from ..parallel import spatial_shard_apply
+from .predictor import _normalize_stack
+
+
+def predict_frames_spatial_sharded(
+    imgs,
+    model_params,
+    mesh,
+    halo: int = 128,
+    network=None,
+    normalization_mode: str = "single",
+    clip_threshold=(0.0, 99.8),
+    invert: bool = False,
+    half_precision: bool = False,
+):
+    """Predict (N, H, W) frames with the model's forward sharded over the
+    mesh's ``spatial`` axis.  Returns uint8 probability·255 masks (N, H, W).
+    """
+    imgs = np.asarray(imgs)
+    squeeze = imgs.ndim == 2
+    if squeeze:
+        imgs = imgs[None]
+
+    state = checkpoint.load(model_params)
+    hp = dict(state["hyperparams"])
+    name = network or hp.get("model_name") or hp.get("network")
+    if half_precision:
+        hp["dtype"] = jnp.bfloat16
+    model = get_model(name, **hp)
+    variables = state["variables"]
+
+    n_spatial = mesh.shape["spatial"]
+    h, w = imgs.shape[1], imgs.shape[2]
+    stride = 16  # 4-level U-Net family pooling stride
+    if h % (n_spatial * stride) != 0:
+        raise ValueError(
+            f"frame height {h} must be divisible by mesh_spatial×{stride} "
+            f"({n_spatial * stride})"
+        )
+    if halo % stride != 0:
+        raise ValueError(f"halo {halo} must be a multiple of {stride}")
+
+    norm = _normalize_stack(imgs.astype(np.float32), normalization_mode,
+                            clip_threshold, invert).astype(np.uint8)
+    x = jnp.asarray(norm[..., None].astype(np.float32) / 255.0)
+
+    def forward(t):
+        return model.apply(variables, t, train=False)[0]
+
+    probs = spatial_shard_apply(forward, x, mesh, halo=halo)
+    out = (probs.astype(jnp.float32) * 255.0).astype(jnp.uint8)
+    result = np.asarray(out)[..., 0]
+    return result[0] if squeeze else result

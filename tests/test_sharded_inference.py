@@ -54,3 +54,35 @@ def test_preload(tmp_path, rng):
     assert len(data._cache) == len(data) == 6
     item = data[3]
     assert item["image"].shape == (32, 32, 1)
+
+
+def test_public_sharded_predict_api(tmp_path, rng):
+    """predict_frames_spatial_sharded: full U-Net, checkpoint in, uint8 masks
+    out, interior identical to the single-device tiled forward."""
+    from bio_image_unet_tpu import checkpoint
+    from bio_image_unet_tpu.models import Unet
+    from bio_image_unet_tpu.predict import predict_frames_spatial_sharded
+
+    model = Unet(n_filter=4)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 1)))
+    ckpt = str(tmp_path / "m.ckpt")
+    checkpoint.save(ckpt, variables, {"model_name": "Unet", "n_filter": 4,
+                                      "in_channels": 1, "out_channels": 1})
+
+    mesh = get_mesh(n_data=1, n_spatial=2)
+    frames = rng.integers(0, 255, (2, 256, 64), dtype=np.uint8)
+    sharded = predict_frames_spatial_sharded(frames, ckpt, mesh, halo=128)
+    assert sharded.shape == (2, 256, 64) and sharded.dtype == np.uint8
+
+    # single-device whole-frame forward for comparison (same normalization)
+    from bio_image_unet_tpu.predict.predictor import _normalize_stack
+
+    norm = _normalize_stack(frames.astype(np.float32), "single", (0.0, 99.8))
+    x = jnp.asarray(norm.astype(np.uint8)[..., None].astype(np.float32) / 255)
+    plain = (np.asarray(model.apply(variables, x)[0]) * 255).astype(np.uint8)[..., 0]
+    # interior rows (>halo from border) bit-identical
+    np.testing.assert_array_equal(sharded[:, 128:-128], plain[:, 128:-128])
+
+    with np.testing.assert_raises(Exception):
+        predict_frames_spatial_sharded(
+            rng.integers(0, 255, (1, 100, 64), dtype=np.uint8), ckpt, mesh)
