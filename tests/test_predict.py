@@ -256,3 +256,34 @@ def test_device_pipeline_matches_host_path(tmp_path, rng, torch_unet_ckpt):
     # one code point for a few pixels
     assert np.mean(diff > 1) < 0.01, (diff.max(), np.mean(diff > 1))
     assert diff.max() <= 16
+
+
+def test_fused_pipeline_compile_count_independent_of_movie_length(
+        tmp_path, rng, torch_unet_ckpt):
+    """One compiled program serves movies of ANY length ≥ the chunk size:
+    the fused pipeline chunks frames at FUSED_CHUNK_FRAMES and pads the tail
+    chunk on host, so its cache key (and HLO size) excludes n_frames."""
+    from bio_image_unet_tpu.predict.predictor import _Engine
+
+    ckpt_path, _ = torch_unet_ckpt
+    chunk = _Engine.FUSED_CHUNK_FRAMES
+    kwargs = dict(resize_dim=(64, 64), show_progress=False, batch_size=4,
+                  device_pipeline=True)
+
+    movie_a = rng.integers(0, 255, (chunk + 3, 96, 96), dtype=np.uint8)
+    n_before = len(_Engine._FUSED_CACHE)
+    pred_a = Predict(movie_a, None, ckpt_path, **kwargs)
+    n_after_a = len(_Engine._FUSED_CACHE)
+    assert n_after_a == n_before + 1
+
+    movie_b = rng.integers(0, 255, (3 * chunk + 7, 96, 96), dtype=np.uint8)
+    pred_b = Predict(movie_b, None, ckpt_path, **kwargs)
+    assert len(_Engine._FUSED_CACHE) == n_after_a  # no new program
+
+    # the padded tail chunk must not leak pad frames into real results
+    host_b = Predict(movie_b, None, ckpt_path, resize_dim=(64, 64),
+                     show_progress=False, batch_size=4)
+    assert pred_b.result.shape == host_b.result.shape
+    diff = np.abs(host_b.result.astype(int) - pred_b.result.astype(int))
+    assert np.mean(diff > 1) < 0.01, (diff.max(), np.mean(diff > 1))
+    assert pred_a.result.shape[0] == chunk + 3
