@@ -147,11 +147,23 @@ def torch_state_dict_to_variables(state_dict: Dict[str, np.ndarray]) -> dict:
 def load_torch_checkpoint(path) -> dict:
     """Load a reference ``.pt`` checkpoint: returns
     ``{'variables': {...}, 'hyperparams': {...}, 'epoch', 'best_loss'}``.
-    Requires torch (CPU build is sufficient)."""
-    import torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
-    state_dict = {k: v.detach().cpu().numpy() for k, v in ckpt["state_dict"].items()}
+    Torch-free by default (the restricted zip/pickle reader in
+    :mod:`.pt_reader` — SURVEY.md §7.4); falls back to ``torch.load`` only
+    for exotic payloads the restricted reader refuses (then a CPU torch
+    build is sufficient)."""
+    try:
+        from .pt_reader import read_pt
+
+        ckpt = read_pt(path)
+        state_dict = {k: np.asarray(v) for k, v in ckpt["state_dict"].items()}
+    except Exception as torch_free_err:
+        try:
+            import torch
+        except ImportError:
+            raise torch_free_err from None
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        state_dict = {k: v.detach().cpu().numpy() for k, v in ckpt["state_dict"].items()}
     hyperparams = {
         k: v for k, v in ckpt.items() if k not in ("state_dict", "optimizer_state_dict")
     }

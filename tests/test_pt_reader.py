@@ -1,0 +1,107 @@
+"""Torch-free .pt reader: parity against torch.load, restricted-global
+safety, and end-to-end checkpoint.load('.pt') with torch blocked."""
+
+import builtins
+import importlib.util
+import pickle
+
+import numpy as np
+import pytest
+import torch
+
+from bio_image_unet_tpu.interop.pt_reader import read_pt
+
+
+def _ref_unet(n_filter=4):
+    spec = importlib.util.spec_from_file_location(
+        "ref_unet_ptr", "/root/reference/bio_image_unet/unet/unet.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.Unet(in_channels=1, out_channels=1, n_filter=n_filter)
+
+
+def test_read_pt_matches_torch_load(tmp_path):
+    net = _ref_unet()
+    net.train()
+    for _ in range(2):
+        net(torch.rand(2, 1, 32, 32))
+    path = str(tmp_path / "m.pt")
+    torch.save({"state_dict": net.state_dict(), "epoch": 7, "best_loss": 0.25,
+                "n_filter": 4, "clip_threshold": (0.2, 99.8),
+                "loss_function": "BCEDice"}, path)
+
+    ours = read_pt(path)
+    theirs = torch.load(path, map_location="cpu", weights_only=False)
+    assert ours["epoch"] == 7 and ours["best_loss"] == 0.25
+    assert ours["loss_function"] == "BCEDice"
+    assert tuple(ours["clip_threshold"]) == (0.2, 99.8)
+    assert set(ours["state_dict"]) == set(theirs["state_dict"])
+    for k, v in theirs["state_dict"].items():
+        np.testing.assert_array_equal(ours["state_dict"][k], v.numpy(), err_msg=k)
+
+
+def test_read_pt_dtypes_and_noncontiguous(tmp_path):
+    t = torch.arange(24, dtype=torch.float64).reshape(4, 6).t()  # non-contiguous
+    obj = {"f16": torch.rand(3, 3).half(), "i64": torch.arange(5),
+           "u8": torch.tensor([1, 2, 255], dtype=torch.uint8),
+           "b": torch.tensor([True, False]), "t": t,
+           "bf16": torch.rand(2, 2).bfloat16(),
+           "scalar0d": torch.tensor(3.5)}
+    path = str(tmp_path / "d.pt")
+    torch.save(obj, path)
+    ours = read_pt(path)
+    for k, v in obj.items():
+        np.testing.assert_array_equal(
+            np.asarray(ours[k], dtype=np.float64),
+            v.to(torch.float64).numpy(), err_msg=k)
+
+
+def test_read_pt_refuses_arbitrary_globals(tmp_path):
+    """A malicious pickle global (os.system & co.) must be refused."""
+    import os as _os
+    import zipfile
+
+    payload = pickle.dumps({"boom": _os.getcwd})  # any non-allowlisted global
+    path = str(tmp_path / "evil.pt")
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("archive/data.pkl", payload)
+        zf.writestr("archive/version", "3")
+    with pytest.raises(Exception, match="not allowed"):
+        read_pt(path)
+
+
+def test_checkpoint_load_pt_without_torch(tmp_path, monkeypatch):
+    """checkpoint.load('.pt') end-to-end with torch uninstalled (simulated):
+    the network must rebuild and run from the imported variables."""
+    import jax.numpy as jnp
+
+    from bio_image_unet_tpu import checkpoint
+    from bio_image_unet_tpu.models import get_model
+
+    net = _ref_unet()
+    net.train()
+    net(torch.rand(2, 1, 32, 32))
+    net.eval()
+    x = torch.rand(1, 1, 32, 32)
+    with torch.no_grad():
+        ref = net(x)[0].numpy()
+    path = str(tmp_path / "m.pt")
+    torch.save({"state_dict": net.state_dict(), "epoch": 1, "best_loss": 0.5,
+                "model_name": "Unet", "n_filter": 4, "in_channels": 1,
+                "out_channels": 1}, path)
+
+    real_import = builtins.__import__
+
+    def no_torch(name, *args, **kwargs):
+        if name == "torch" or name.startswith("torch."):
+            raise ImportError("torch is not installed (simulated)")
+        return real_import(name, *args, **kwargs)
+
+    monkeypatch.setattr(builtins, "__import__", no_torch)
+    state = checkpoint.load(path)
+    monkeypatch.undo()
+
+    model = get_model("Unet", **state["hyperparams"])
+    out = model.apply(state["variables"], jnp.asarray(np.moveaxis(x.numpy(), 1, -1)),
+                      train=False)[0]
+    np.testing.assert_allclose(np.moveaxis(np.asarray(out), -1, 1), ref, atol=2e-4)
