@@ -130,3 +130,70 @@ def augment_batch(key, image, mask, prev_image=None,
         return out_image, out_mask
     aug_prev = intensity(spatial[2], k_bc2)
     return out_image, out_mask, jnp.where(gate, aug_prev, prev_image)
+
+
+# cos/sin of k·90° for k∈{0..3} — used to rotate orientation vector fields
+_COS_K = (1.0, 0.0, -1.0, 0.0)
+_SIN_K = (0.0, 1.0, 0.0, -1.0)
+
+
+def _orientation_components(t, k, flip_h, flip_v):
+    """Re-express (H, W, 2) cos/sin orientation channels in the transformed
+    frame.  rot90 by k shifts the angle by −k·π/2 (≙ the offline pipeline's
+    ``(θ − π/2·factor) mod 2π`` rule, reference multi_output_unet/
+    data.py:270-282); a horizontal flip maps θ→π−θ, a vertical flip θ→−θ."""
+    c, s = t[..., 0], t[..., 1]
+    ck = jnp.asarray(_COS_K)[k]
+    sk = jnp.asarray(_SIN_K)[k]
+    c, s = c * ck + s * sk, s * ck - c * sk
+    c = jnp.where(flip_h, -c, c)
+    s = jnp.where(flip_v, -s, s)
+    return jnp.stack([c, s], axis=-1)
+
+
+def augment_batch_heads(key, image, targets, orientation_keys=(),
+                        brightness_contrast: Tuple[float, float] = (0.25, 0.25),
+                        noise_mult: Optional[Tuple[float, float]] = (0.5, 1.2),
+                        gauss_sigma: Optional[float] = None,
+                        p_pipeline: float = 0.8):
+    """Device augmentation for multi-output batches: one per-sample random
+    rot90 + flips applied to the image and EVERY head target; heads listed in
+    ``orientation_keys`` additionally get their cos/sin channels rotated into
+    the new frame (the device counterpart of the offline orientation
+    angle-shift, multi_output_unet/data.py:270-282).  Intensity ops touch the
+    image only.  3D volumes ((B, Z, X, Y, C)) rotate in the (X, Y) plane."""
+    k_gate, k_rot, k_h, k_v, k_bc, k_mult, k_gauss = jax.random.split(key, 7)
+    b = image.shape[0]
+    gate = jax.random.bernoulli(k_gate, p_pipeline, (b,))
+    ks = jax.random.randint(k_rot, (b,), 0, 4)
+    flip_h = jax.random.bernoulli(k_h, 0.5, (b,))
+    flip_v = jax.random.bernoulli(k_v, 0.5, (b,))
+    ax0, ax1 = (1, 2) if image.ndim == 5 else (0, 1)
+
+    def spatial_one(x, k, fh, fv):
+        x = _rot90_single(x, k, axes=(ax0, ax1))
+        x = jnp.where(fh, jnp.flip(x, axis=ax1), x)
+        x = jnp.where(fv, jnp.flip(x, axis=ax0), x)
+        return x
+
+    def tx(img, tgts, k, fh, fv, g):
+        img_a = spatial_one(img, k, fh, fv)
+        out = {}
+        for name, t in tgts.items():
+            ta = spatial_one(t, k, fh, fv)
+            if name in orientation_keys:
+                ta = _orientation_components(ta, k, fh, fv)
+            out[name] = jnp.where(g, ta, t)
+        return jnp.where(g, img_a, img), out
+
+    aug_image, out_targets = jax.vmap(tx)(image, dict(targets), ks, flip_h,
+                                          flip_v, gate)
+
+    shape = (b,) + (1,) * (image.ndim - 1)
+    out = random_brightness_contrast(k_bc, aug_image, *brightness_contrast)
+    if noise_mult is not None:
+        out = random_multiplicative_noise(k_mult, out, noise_mult)
+    if gauss_sigma is not None:
+        out = random_gauss_noise(k_gauss, out, gauss_sigma)
+    out_image = jnp.where(gate.reshape(shape), out, aug_image)
+    return out_image, out_targets

@@ -72,16 +72,31 @@ def _model_name(model) -> str:
 class ReduceLROnPlateau:
     """torch optim.lr_scheduler.ReduceLROnPlateau(mode='min') semantics
     (reference unet/train.py:103: patience 4, factor 0.1;
-    multi_output_unet/train.py:71: patience 5, factor 0.2)."""
+    multi_output_unet/train.py:71: patience 5, factor 0.2), including torch's
+    ``threshold``/``threshold_mode``: an epoch only counts as an improvement
+    when the metric beats the best by a relative 1e-4 (default) — without it
+    any infinitesimal improvement resets patience and the schedule diverges
+    from torch's on plateaus."""
 
-    def __init__(self, factor=0.1, patience=4, min_lr=0.0):
+    def __init__(self, factor=0.1, patience=4, min_lr=0.0,
+                 threshold=1e-4, threshold_mode="rel"):
+        if threshold_mode not in ("rel", "abs"):
+            raise ValueError(f"threshold_mode {threshold_mode!r} not in ('rel', 'abs')")
         self.factor, self.patience, self.min_lr = factor, patience, min_lr
+        self.threshold, self.threshold_mode = threshold, threshold_mode
         self.best = float("inf")
         self.num_bad = 0
         self.scale = 1.0
 
+    def _is_better(self, metric: float) -> bool:
+        if self.best == float("inf"):
+            return True
+        if self.threshold_mode == "rel":
+            return metric < self.best * (1.0 - self.threshold)
+        return metric < self.best - self.threshold
+
     def step(self, metric: float) -> float:
-        if metric < self.best:
+        if self._is_better(metric):
             self.best = metric
             self.num_bad = 0
         else:
@@ -226,11 +241,19 @@ class Trainer:
 
         # --- mesh & sharding ---
         if mesh is None:
+            # largest data-parallel axis ≤ device count that divides the
+            # batch: batch 12 on an 8-chip host trains on 6 chips, not 1
             n_dev = jax.device_count()
-            n_data = n_dev if batch_size % n_dev == 0 else 1
+            n_data = max(d for d in range(1, min(n_dev, batch_size) + 1)
+                         if batch_size % d == 0)
             mesh = get_mesh(n_data=n_data, n_spatial=1,
                             devices=jax.devices()[:n_data])
         self.mesh = mesh
+        if batch_size % self.mesh.shape["data"] != 0:
+            raise ValueError(
+                f"batch_size {batch_size} must be divisible by the mesh data "
+                f"axis ({self.mesh.shape['data']})"
+            )
 
         # --- optimizer (Adam ≙ unet/train.py:102; grad clip ≙
         # multi_output_unet/train.py:186) ---
@@ -248,11 +271,6 @@ class Trainer:
         sample = dataset[0]
         self.sample_keys = list(sample.keys())
         self.input_key = "volume" if "volume" in sample else "image"
-        if device_augment and self.multi_output:
-            raise ValueError(
-                "device_augment currently supports the single-head flows "
-                "(image/volume + mask [+ prev_image]) only"
-            )
         init_args = [jnp.zeros((1,) + sample[self.input_key].shape)]
         if self.mode is not None:
             init_args.append(jnp.zeros((1,) + sample["prev_image"].shape))
@@ -332,16 +350,20 @@ class Trainer:
         # The TPU-idiomatic train loop: the (small) tile dataset lives in HBM
         # once, every epoch is ONE jitted lax.scan over shuffled index rows —
         # no per-step host→device copies and no per-step dispatch latency
-        # (~40 ms/step on tunneled TPUs).  Single-chip data axis only.
+        # (~40 ms/step on tunneled TPUs).  Multi-chip: the dataset is
+        # replicated across the data axis (it must fit HBM to be cached at
+        # all) while each scan row's index vector is sharded over ``data``,
+        # so every device gathers only its batch slice locally and XLA
+        # inserts the psum gradient/BN reductions — global-shuffle semantics
+        # identical to the single-chip path.
         self._device_data = None
         if device_cache:
-            if self.mesh.shape["data"] != 1:
-                raise ValueError("device_cache currently requires a 1-chip data axis")
             self._train_rng = np.random.default_rng(seed + 1)
             stacked = {}
             samples = [train_data[i] for i in range(len(train_data))]
             for k in samples[0]:
-                stacked[k] = jax.device_put(np.stack([s_[k] for s_ in samples]))
+                stacked[k] = jax.device_put(np.stack([s_[k] for s_ in samples]),
+                                            replicated(self.mesh))
             self._device_data = stacked
             self._n_train = len(samples)
             self._jit_epoch = jax.jit(self._epoch_scan, donate_argnums=(0,))
@@ -413,9 +435,18 @@ class Trainer:
         if self.device_augment:
             # fresh on-device augmentation draw per step (augment_jax.py) —
             # replaces the reference's aug_factor disk copies
-            from ..data.augment_jax import augment_batch
+            from ..data.augment_jax import augment_batch, augment_batch_heads
 
-            if self.mode is not None:
+            if self.multi_output:
+                img, tgts = augment_batch_heads(
+                    aug_rng, batch[self.input_key],
+                    {k: batch[k] for k in self.output_heads},
+                    orientation_keys=tuple(
+                        k for k in self.output_heads if "orientation" in k
+                    ),
+                )
+                batch = {**batch, self.input_key: img, **tgts}
+            elif self.mode is not None:
                 img, mask, prev = augment_batch(
                     aug_rng, batch[self.input_key], batch["mask"],
                     batch["prev_image"],
@@ -493,10 +524,16 @@ class Trainer:
             return float("nan")
         perm = self._train_rng.permutation(self._n_train)[: n_steps * self.batch_size]
         idx_matrix = perm.reshape(n_steps, self.batch_size).astype(np.int32)
+        # shard each step's index row over the data axis: the on-device
+        # gather (and everything downstream) then runs batch-parallel
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        idx_dev = jax.device_put(idx_matrix,
+                                 NamedSharding(self.mesh, P(None, "data")))
         carry = (self.params, self.batch_stats, self.opt_state)
         self.rng, epoch_rng = jax.random.split(self.rng)
         carry, losses = self._jit_epoch(carry, self._device_data,
-                                        jnp.asarray(idx_matrix), epoch_rng)
+                                        idx_dev, epoch_rng)
         self.params, self.batch_stats, self.opt_state = carry
         return float(jnp.mean(losses))
 
@@ -524,9 +561,10 @@ class Trainer:
         for batch in self.val_loader:
             loss, outputs = self._jit_eval_step(self.params, self.batch_stats,
                                                 self._shard(batch))
-            losses.append(float(loss))
+            losses.append(loss)  # device scalar — defer the host sync so val
+            # batches stay queued on the accelerator like the train loop
             last = (batch, outputs)
-        val_loss = float(np.mean(losses)) if losses else float("nan")
+        val_loss = float(np.mean(jax.device_get(losses))) if losses else float("nan")
         if self.log_images and last is not None:
             self._plot_validation(epoch, *last)
         return val_loss

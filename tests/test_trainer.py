@@ -214,3 +214,100 @@ def test_trainer_device_cache_fused_epoch(tmp_path, rng):
     assert (tmp_path / "out" / "model.ckpt").exists()
     # two epochs logged
     assert (tmp_path / "out" / "metrics.csv").read_text().count("\n") >= 3
+
+
+def test_reduce_lr_threshold_matches_torch():
+    """Scheduler parity vs torch.optim.lr_scheduler.ReduceLROnPlateau on a
+    recorded loss sequence with sub-threshold 'improvements' (the reference
+    relies on torch's default rel threshold 1e-4, unet/train.py:103)."""
+    import torch
+
+    seq = [1.0, 0.99995, 0.99994, 0.99993, 0.99992, 0.99991, 0.9999,
+           0.5, 0.49999, 0.49998, 0.49997, 0.49996, 0.49995, 0.3]
+    opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=1.0)
+    tsched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, mode="min", factor=0.1, patience=4)
+    ours = ReduceLROnPlateau(factor=0.1, patience=4)
+    for v in seq:
+        tsched.step(v)
+        scale = ours.step(v)
+        assert scale == pytest.approx(opt.param_groups[0]["lr"]), v
+
+
+def test_default_mesh_uses_largest_dividing_data_axis(tmp_path, rng):
+    """batch 12 on an 8-device host must train on 6 devices (largest divisor
+    of the batch ≤ device count), not silently fall back to 1."""
+    data = _random_dataset_2d(tmp_path, rng, n=4)
+    trainer = Trainer(data, num_epochs=1, network="Unet", batch_size=12,
+                      n_filter=4, save_dir=str(tmp_path / "out"), seed=0)
+    assert trainer.mesh.shape["data"] == 6
+
+
+def test_device_cache_multichip_matches_single_chip(tmp_path, rng):
+    """The fused-epoch scan with the dataset replicated and index rows
+    sharded over 8 devices reproduces the single-device loss trajectory."""
+    from bio_image_unet_tpu.parallel import get_mesh
+
+    data = _random_dataset_2d(tmp_path, rng, n=4)
+
+    def run(mesh, out):
+        t = Trainer(data, num_epochs=2, network="Unet", batch_size=8,
+                    n_filter=4, device_cache=True, mesh=mesh,
+                    save_dir=str(tmp_path / out), seed=0)
+        t.start()
+        rows = (tmp_path / out / "metrics.csv").read_text().strip().splitlines()[1:]
+        return [float(r.split(",")[1]) for r in rows]
+
+    single = run(get_mesh(n_data=1), "single")
+    multi = run(get_mesh(n_data=8), "multi")
+    np.testing.assert_allclose(multi, single, rtol=1e-4)
+
+
+def test_device_augment_multi_output_orientation():
+    """augment_batch_heads: orientation cos/sin channels stay unit-norm under
+    the rotated-frame re-expression; non-orientation targets keep shape."""
+    import jax
+    import jax.numpy as jnp
+
+    from bio_image_unet_tpu.data.augment_jax import augment_batch_heads
+
+    rng = np.random.default_rng(3)
+    b = 8
+    image = jnp.asarray(rng.random((b, 16, 16, 1), np.float32))
+    theta = rng.uniform(0, 2 * np.pi, (b, 16, 16)).astype(np.float32)
+    targets = {
+        "mask": jnp.asarray((rng.random((b, 16, 16, 1)) > 0.5).astype(np.float32)),
+        "orientation": jnp.stack([jnp.cos(theta), jnp.sin(theta)], axis=-1),
+    }
+    img, out = augment_batch_heads(jax.random.PRNGKey(0), image, targets,
+                                   orientation_keys=("orientation",),
+                                   p_pipeline=1.0)
+    assert img.shape == image.shape
+    assert out["mask"].shape == targets["mask"].shape
+    norm = np.asarray(out["orientation"][..., 0] ** 2 + out["orientation"][..., 1] ** 2)
+    np.testing.assert_allclose(norm, 1.0, atol=1e-5)
+    # mask stays binary (pure spatial permutation, no intensity ops)
+    assert set(np.unique(np.asarray(out["mask"]))) <= {0.0, 1.0}
+
+
+def test_trainer_multi_output_device_augment(tmp_path, rng):
+    """Multi-output training with device_augment=True (previously rejected)."""
+    img_dir, t1 = str(tmp_path / "image"), str(tmp_path / "mask")
+    os.makedirs(img_dir), os.makedirs(t1)
+    for i in range(2):
+        name = f"s{i}.tif"
+        tiff.imwrite(os.path.join(img_dir, name),
+                     rng.integers(0, 255, (64, 64), dtype=np.uint8))
+        tiff.imwrite(os.path.join(t1, name),
+                     (rng.random((64, 64)) > 0.5).astype(np.float32))
+    data = DataProcessMultiOutput(
+        img_dir, [t1], {"mask": "mask"}, data_dir=str(tmp_path / "data"),
+        dim_out=(32, 32), aug_factor=8, seed=0,
+    )
+    heads = {"mask": {"channels": 1, "activation": "sigmoid",
+                      "loss": "BCEDiceLoss", "weight": 1.0}}
+    trainer = Trainer(data, num_epochs=1, network="MultiOutputUnet",
+                      batch_size=4, n_filter=4, output_heads=heads,
+                      device_augment=True, save_dir=str(tmp_path / "out"), seed=0)
+    best = trainer.start()
+    assert np.isfinite(best)
