@@ -28,6 +28,39 @@ def pytest_configure(config):
     assert jax.device_count() == 8, f"expected 8 virtual devices, got {jax.device_count()}"
 
 
+# `pytest -m quick`: a <2-minute smoke subset touching every subsystem once
+# (losses, tiff codec, morphology/progress, tools, checkpoint, augmentation,
+# mesh/collectives, pipelines, predict/stitch, model parity, .pt interop,
+# halo sharding).  Selected centrally so the slow e2e files stay unmarked.
+_QUICK = (
+    "test_losses.py",
+    "test_tiff.py",
+    "test_morphology_progress.py",
+    "test_tools.py",
+    "test_checkpoint.py::test_roundtrip",
+    "test_checkpoint.py::test_bad_magic",
+    "test_augment.py::test_rotate_array_nan_preserved",
+    "test_augment.py::test_device_rot90_flip_shared",
+    "test_parallel.py::test_get_mesh_shapes",
+    "test_parallel.py::test_data_parallel_grad_matches_single_device",
+    "test_data_pipelines.py::test_tile_starts_matches_reference_rule",
+    "test_data_pipelines.py::test_dataprocess2d_end_to_end",
+    "test_predict.py::test_grid_starts_matches_reference",
+    "test_predict.py::test_stitch_mean_equals_nanmean",
+    "test_model_parity.py::test_unet_parity",
+    "test_pt_reader.py::test_read_pt_matches_torch_load",
+    "test_sharded_inference.py::test_unet_whole_frame_halo_sharded",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        name = item.nodeid.split("tests/")[-1]
+        if any(name == q or (q.endswith(".py") and name.startswith(q + "::"))
+               for q in _QUICK):
+            item.add_marker(pytest.mark.quick)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

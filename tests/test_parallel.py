@@ -108,3 +108,19 @@ def test_data_parallel_grad_matches_single_device(rng):
 
     np.testing.assert_allclose(float(got_l), float(ref_l), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref_g), rtol=1e-5, atol=1e-6)
+
+
+def test_initialize_distributed_plumbs_kwargs(monkeypatch):
+    """Multi-host entry point: kwargs must pass through verbatim to
+    jax.distributed.initialize (we cannot run a real multi-host ring here)."""
+    import jax
+
+    from bio_image_unet_tpu.parallel import initialize_distributed
+
+    captured = {}
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: captured.update(kw))
+    initialize_distributed(coordinator_address="10.0.0.1:1234",
+                           num_processes=4, process_id=2)
+    assert captured == {"coordinator_address": "10.0.0.1:1234",
+                        "num_processes": 4, "process_id": 2}
