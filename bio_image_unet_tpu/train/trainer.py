@@ -333,12 +333,12 @@ class Trainer:
         # --- observability ---
         self.writer = None
         if tensorboard:
-            try:
-                from torch.utils.tensorboard import SummaryWriter
+            # own event writer (utils/tboard.py) — the reference rides
+            # torch's SummaryWriter (multi_output_unet/train.py:100-101);
+            # this rebuild logs the same scalars/images torch-free
+            from ..utils.tboard import SummaryWriter
 
-                self.writer = SummaryWriter(log_dir=os.path.join(save_dir, "logs"))
-            except Exception as e:  # pragma: no cover
-                print(f"TensorBoard unavailable ({e}); falling back to CSV only")
+            self.writer = SummaryWriter(log_dir=os.path.join(save_dir, "logs"))
         self.metrics_path = os.path.join(save_dir, "metrics.csv")
         with open(self.metrics_path, "w", newline="") as fh:
             csv.writer(fh).writerow(["epoch", "train_loss", "val_loss", "lr", "seconds"])

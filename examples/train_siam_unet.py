@@ -7,8 +7,13 @@ Siam training inputs are frame *pairs*: either a W-doubled tif
 (generate_coupled_image / find_frame_of_image / utilize_search_result).
 """
 
-import argparse
 import os
+import sys
+
+# allow running from a plain repo checkout (no pip install)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
 
 import numpy as np
 

@@ -11,8 +11,13 @@ named tif files —
 Run with ``--demo`` to generate a synthetic dataset first.
 """
 
-import argparse
 import os
+import sys
+
+# allow running from a plain repo checkout (no pip install)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
 
 import numpy as np
 

@@ -40,3 +40,32 @@ def test_cli_train_predict(tmp_path, rng):
 def test_cli_devices(capsys):
     assert main(["devices"]) == 0
     assert "backend" in capsys.readouterr().out
+
+
+def test_cli_train_predict_multi_output(tmp_path, rng):
+    """The multi_output families train and predict from the CLI: target dirs
+    become heads (default sigmoid/BCEDiceLoss config)."""
+    for sub in ("image", "mask"):
+        os.makedirs(tmp_path / sub)
+    for i in range(2):
+        tiff.imwrite(str(tmp_path / "image" / f"s{i}.tif"),
+                     rng.integers(0, 255, (64, 64), dtype=np.uint8))
+        tiff.imwrite(str(tmp_path / "mask" / f"s{i}.tif"),
+                     (rng.random((64, 64)) > 0.5).astype(np.float32))
+    rc = main(["train", "--family", "multi_output_unet",
+               "--image-dir", str(tmp_path / "image"),
+               "--target-dir", str(tmp_path / "mask"),
+               "--network", "MultiOutputUnet",
+               "--workdir", str(tmp_path / "run"),
+               "--epochs", "1", "--batch-size", "4", "--n-filter", "4",
+               "--dim", "32", "32", "--aug-factor", "4"])
+    assert rc == 0
+    ckpt = tmp_path / "run" / "model" / "model.ckpt"
+    assert ckpt.exists()
+
+    rc = main(["predict", "--family", "multi_output_unet",
+               "--input", str(tmp_path / "image" / "s0.tif"),
+               "--output", str(tmp_path / "results"),
+               "--checkpoint", str(ckpt), "--batch-size", "4"])
+    assert rc == 0
+    assert (tmp_path / "results" / "mask.tif").exists()
