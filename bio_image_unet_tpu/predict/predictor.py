@@ -213,13 +213,15 @@ class _Engine:
             col_idx = (np.asarray(ys)[:, None] + np.arange(tw)[None, :]).ravel()
 
             def pipeline(variables, movie_u8):
-                f = movie_u8.astype(jnp.float32)
-                # per-frame percentile clip + min-max → [0, 255]
-                lo = jnp.percentile(f, clip_threshold[0], axis=(1, 2), keepdims=True)
-                hi = jnp.percentile(f, clip_threshold[1], axis=(1, 2), keepdims=True)
-                f = jnp.clip(f, lo, hi)
-                fmin = jnp.min(f, axis=(1, 2), keepdims=True)
-                fmax = jnp.max(f, axis=(1, 2), keepdims=True)
+                from ..ops.histogram import u8_clip_bounds
+
+                # per-frame percentile clip + min-max → [0, 255]; exact
+                # histogram percentiles — jnp.percentile would SORT 1M
+                # pixels per frame, competing with the U-Net for device time
+                lo, hi, fmin, fmax = (
+                    v[:, None, None] for v in u8_clip_bounds(
+                        movie_u8, clip_threshold[0], clip_threshold[1]))
+                f = jnp.clip(movie_u8.astype(jnp.float32), lo, hi)
                 f = jnp.where(fmax > fmin, (f - fmin) / (fmax - fmin) * 255.0, 0.0)
                 if invert:
                     f = 255.0 - f

@@ -1,0 +1,43 @@
+"""Histogram percentiles must be bit-exact vs numpy on uint8 data."""
+
+import numpy as np
+import pytest
+
+from bio_image_unet_tpu.ops.histogram import u8_clip_bounds, u8_counts, u8_percentile
+
+pytestmark = pytest.mark.quick
+
+
+def test_u8_counts_matches_bincount(rng):
+    x = rng.integers(0, 256, (3, 4096 * 2), dtype=np.uint8)
+    ours = np.asarray(u8_counts(x))
+    for i in range(3):
+        np.testing.assert_array_equal(ours[i], np.bincount(x[i], minlength=256))
+    # non-divisible fallback path
+    y = rng.integers(0, 256, (2, 1000), dtype=np.uint8)
+    ours = np.asarray(u8_counts(y))
+    for i in range(2):
+        np.testing.assert_array_equal(ours[i], np.bincount(y[i], minlength=256))
+
+
+@pytest.mark.parametrize("qs", [(0.0, 99.8), (0.2, 99.98), (50.0,), (0.0, 100.0)])
+def test_u8_percentile_exact(rng, qs):
+    frames = rng.integers(0, 256, (4, 37, 53), dtype=np.uint8)
+    ours = u8_percentile(frames, qs)
+    for j, q in enumerate(qs):
+        ref = np.percentile(frames.reshape(4, -1).astype(np.float64), q, axis=1)
+        np.testing.assert_allclose(np.asarray(ours[j]), ref, atol=1e-4)
+
+
+def test_u8_clip_bounds_semantics(rng):
+    frames = np.clip(rng.integers(20, 200, (3, 64, 64)), 0, 255).astype(np.uint8)
+    lo, hi, fmin, fmax = (np.asarray(v) for v in u8_clip_bounds(frames, 0.2, 99.8))
+    for i in range(3):
+        f = frames[i].astype(np.float64)
+        rlo = np.percentile(f, 0.2)
+        rhi = np.percentile(f, 99.8)
+        clipped = np.clip(f, rlo, rhi)
+        np.testing.assert_allclose(lo[i], rlo, atol=1e-4)
+        np.testing.assert_allclose(hi[i], rhi, atol=1e-4)
+        np.testing.assert_allclose(fmin[i], clipped.min(), atol=1e-4)
+        np.testing.assert_allclose(fmax[i], clipped.max(), atol=1e-4)
