@@ -76,8 +76,12 @@ def measure_ours():
 
     from bio_image_unet_tpu.models import Unet
 
+    from bio_image_unet_tpu.utils.utils import no_compilation_cache
+
     model = Unet(n_filter=N_FILTER)
-    with jax.default_device(jax.devices("cpu")[0]):  # init compile off-TPU
+    # init compile off-TPU, bypassing the persistent cache (CPU AOT entries
+    # are host-feature-specific — SIGILL risk on heterogeneous hosts)
+    with no_compilation_cache(), jax.default_device(jax.devices("cpu")[0]):
         variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, PATCH, PATCH, 1)))
     ckpt = "/tmp/bench_model.ckpt"
     checkpoint.save(ckpt, variables,

@@ -53,12 +53,16 @@ def _init_on_cpu(model, rng, *args):
     """Run flax init on the host CPU backend: initialization is a one-shot
     program whose accelerator compile can cost minutes on a tunneled TPU
     (measured ~95s for the 32-filter U-Net) vs ~1s on CPU; the parameters
-    are transferred to the mesh right afterwards anyway."""
+    are transferred to the mesh right afterwards anyway.  The persistent
+    compile cache is bypassed here — CPU AOT entries are host-feature
+    specific and this fleet's hosts are heterogeneous (SIGILL risk)."""
+    from ..utils.utils import no_compilation_cache
+
     try:
         cpu = jax.devices("cpu")[0]
     except RuntimeError:
         return model.init(rng, *args)
-    with jax.default_device(cpu):
+    with no_compilation_cache(), jax.default_device(cpu):
         return model.init(rng, *args)
 
 

@@ -51,6 +51,31 @@ def enable_compilation_cache(path: str = "/tmp/bio_image_unet_tpu_jax_cache") ->
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
+class no_compilation_cache:
+    """Context manager that bypasses the persistent compile cache.
+
+    XLA:CPU AOT cache entries record the build host's CPU features; loading
+    one on a different microarchitecture risks SIGILL (observed on this
+    heterogeneous fleet).  The cache is enabled for TPU programs, but the
+    host-CPU side compiles we do alongside them (parameter init, small
+    utility programs) must not read or write it."""
+
+    def __enter__(self):
+        import jax
+
+        self._prev = jax.config.jax_compilation_cache_dir
+        if self._prev is not None:
+            jax.config.update("jax_compilation_cache_dir", None)
+        return self
+
+    def __exit__(self, *exc):
+        import jax
+
+        if self._prev is not None:
+            jax.config.update("jax_compilation_cache_dir", self._prev)
+        return False
+
+
 def get_device(print_device: bool = False):
     """Pick the most capable JAX device: TPU → GPU → CPU (with a warning),
     mirroring the reference's cuda→mps→cpu policy (utils/utils.py:56-73)."""
