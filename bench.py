@@ -101,7 +101,36 @@ def measure_ours():
         t0 = time.perf_counter()
         Predict(movie, None, ckpt, **kwargs)
         best_dt = min(best_dt, time.perf_counter() - t0)
-    return FRAMES * H * W / 1e6 / best_dt
+    e2e = FRAMES * H * W / 1e6 / best_dt
+
+    # device-resident compute throughput: the same fused program with the
+    # movie already in HBM and only a 1-byte sync fetched — isolates the
+    # chip from the tunnel link (this host's link moves ~15-30 MB/s with
+    # ~1 s fixed latency per transfer, which bounds the end-to-end number;
+    # production PCIe-attached chips move GB/s)
+    from bio_image_unet_tpu.predict.predictor import _Engine
+    from bio_image_unet_tpu.predict.tiling import grid_starts
+
+    engine = _Engine(ckpt, None, batch_size=8, half_precision=True)
+    xs = grid_starts(H, PATCH, 0)
+    ys = grid_starts(W, PATCH, 0)
+    chunk = engine.FUSED_CHUNK_FRAMES
+    movie_dev = jax.device_put(movie)
+    # warm (compiles + caches the chunk program)
+    engine.fused_predict_frames(np.asarray(movie[:chunk]), xs, ys,
+                                (PATCH, PATCH), (0.0, 99.8), False)
+    key = [k for k in _Engine._FUSED_CACHE if k[0] == "Unet"][-1]
+    fn = _Engine._FUSED_CACHE[key]
+    best_dev = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [fn(engine.variables, movie_dev[i : i + chunk])
+                for i in range(0, FRAMES, chunk)]
+        import jax.numpy as jnp2
+
+        jax.device_get(jnp2.ravel(outs[-1])[:1])  # sync, no bulk fetch
+        best_dev = min(best_dev, time.perf_counter() - t0)
+    return e2e, FRAMES * H * W / 1e6 / best_dev
 
 
 def implied_tflops(mpix_per_s: float) -> float:
@@ -121,7 +150,7 @@ def main():
                        "config": f"Unet n_filter={N_FILTER}, {PATCH}x{PATCH} "
                                  "patches, batch-1 reference loop"}, fh)
 
-    value = measure_ours()
+    value, device_value = measure_ours()
     print(json.dumps({
         "metric": "tiled_unet_inference_throughput",
         "value": round(value, 3),
@@ -130,6 +159,12 @@ def main():
         "workload": f"{FRAMES}x{H}x{W} uint8 movie, {PATCH}^2 patches, "
                     f"n_filter={N_FILTER}, bf16, fused device pipeline",
         "implied_tflops": round(implied_tflops(value), 2),
+        "device_resident_mpix_per_s": round(device_value, 3),
+        "device_resident_tflops": round(implied_tflops(device_value), 2),
+        "note": "end-to-end value includes host<->TPU transfers over this "
+                "host's tunneled link (~15-30 MB/s, ~1 s fixed latency per "
+                "transfer), which is the binding constraint; "
+                "device_resident_* isolates the chip",
     }))
 
 

@@ -22,6 +22,7 @@ from ..data import tiff
 from ..models import get_model
 from ..progress import ProgressNotifier
 from ..utils.utils import save_as_tif
+from .fast2d import build_fast_apply
 from .tiling import grid_starts, overlap_starts
 
 
@@ -112,10 +113,21 @@ class _Engine:
         self.model = get_model(name, **{**hp, "dtype": jnp.bfloat16 if half_precision else None})
         self.variables = state["variables"]
         self.batch_size = batch_size
+        # eval-mode fast path for the 2D U-Net family: BatchNorms folded into
+        # the convs, raw-lax forward (predict/fast2d.py) — ~10× faster than
+        # the layered flax graph on the target chip, same math
+        fast = build_fast_apply(self.model, self.variables,
+                                jnp.bfloat16 if half_precision else None)
+        if fast is not None:
+            self._apply_fn, self.variables = fast
+        else:
+            self._apply_fn = lambda variables, *args: self.model.apply(
+                variables, *args, train=False)
         self._cache_key = (
             type(self.model).__name__,
             json.dumps({k: repr(v) for k, v in hp.items()}, sort_keys=True),
             str(self.dtype),
+            fast is not None,
         )
         # multi-chip data parallelism: each lax.map step's batch axis is
         # sharded over the mesh's `data` axis (SURVEY.md §2.8 — the predict
@@ -140,7 +152,7 @@ class _Engine:
         scale = 1.0 / 255.0 if x.dtype == jnp.uint8 else 1.0
         xf = x.astype(self.dtype) * scale
         args = (xf,) if prev is None else (xf, prev.astype(self.dtype) * scale)
-        out = self.model.apply(variables, *args, train=False)
+        out = self._apply_fn(variables, *args)
         if isinstance(out, dict):
             return {k: v.astype(jnp.float16) for k, v in out.items()}
         probs = out[0]
@@ -175,9 +187,12 @@ class _Engine:
     # frames per fused dispatch: the compiled program's shape is
     # (FUSED_CHUNK_FRAMES, h, w) regardless of movie length — a 10,000-frame
     # movie reuses the SAME compiled program chunk after chunk (the last chunk
-    # is padded on host by repeating its final frame).  Large enough that each
+    # is padded by repeating its final frame).  Large enough that each
     # dispatch amortizes the ~40 ms tunneled-TPU round-trip over many batches.
     FUSED_CHUNK_FRAMES = 16
+    # chunks per host→device upload (bigger transfers amortize the link's
+    # fixed per-transfer latency; per-chunk slicing happens on device)
+    SUPER_CHUNKS = 4
 
     def fused_predict_frames(self, imgs_u8: np.ndarray, xs, ys, resize_dim,
                              clip_threshold, invert: bool, progress=None):
@@ -259,17 +274,31 @@ class _Engine:
             _Engine._FUSED_CACHE[key] = jax.jit(pipeline)
         fn = _Engine._FUSED_CACHE[key]
 
+        # Upload in large super-blocks (one device_put per SUPER_CHUNKS
+        # chunks) and slice per-chunk ON DEVICE: on remote/tunneled TPUs each
+        # transfer pays ~1 s fixed latency, so 4× fewer, 4× bigger uploads
+        # are markedly faster; chunk results are still fetched per-chunk
+        # (the link's sweet spot) in one batched device_get at the end.
+        super_frames = n_chunk * self.SUPER_CHUNKS
         pending = []
-        steps = list(range(0, n_frames, n_chunk))
+        steps = list(range(0, n_frames, super_frames))
         it = progress.iterator(steps) if progress is not None else steps
-        for start in it:
-            stop = min(start + n_chunk, n_frames)
-            block = imgs_u8[start:stop]
-            if stop - start < n_chunk:
+        for sstart in it:
+            sstop = min(sstart + super_frames, n_frames)
+            block = imgs_u8[sstart:sstop]
+            k = block.shape[0]
+            k_pad = int(np.ceil(k / n_chunk)) * n_chunk
+            if k_pad != k and not isinstance(block, jax.Array):
                 block = np.concatenate(
-                    [block, np.broadcast_to(block[-1:],
-                                            (n_chunk - (stop - start), h, w))])
-            pending.append((fn(self.variables, jnp.asarray(block)), stop - start))
+                    [block, np.broadcast_to(block[-1:], (k_pad - k, h, w))])
+            elif k_pad != k:
+                block = jnp.concatenate(
+                    [block, jnp.broadcast_to(block[-1:], (k_pad - k, h, w))])
+            dev = jnp.asarray(block)  # no-op for already-resident arrays
+            for cstart in range(0, k, n_chunk):
+                n_real = min(n_chunk, k - cstart)
+                pending.append(
+                    (fn(self.variables, dev[cstart : cstart + n_chunk]), n_real))
         fetched = jax.device_get([dev for dev, _ in pending])
         return np.concatenate([buf[:k] for buf, (_, k) in zip(fetched, pending)])
 

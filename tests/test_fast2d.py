@@ -1,0 +1,86 @@
+"""BN-folded fast forward (predict/fast2d.py) must reproduce model.apply
+eval-mode outputs across every 2D variant it claims to cover."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bio_image_unet_tpu.models import (
+    AttentionUnet,
+    MultiOutputUnet,
+    Siam_UNet,
+    Unet,
+)
+from bio_image_unet_tpu.predict.fast2d import build_fast_apply
+
+pytestmark = pytest.mark.quick
+
+
+def _warm_bn(model, variables, *shapes, steps=3):
+    """Run a few train-mode steps so running stats differ from init
+    (otherwise folding trivially passes with mean 0 / var 1)."""
+    rng = jax.random.PRNGKey(7)
+    for i in range(steps):
+        args = [jax.random.uniform(jax.random.fold_in(rng, 10 * i + j), s)
+                for j, s in enumerate(shapes)]
+        _, mutated = model.apply(variables, *args, train=True,
+                                 mutable=["batch_stats"],
+                                 rngs={"dropout": jax.random.fold_in(rng, i)})
+        variables = {"params": variables["params"],
+                     "batch_stats": mutated["batch_stats"]}
+    return variables
+
+
+def _check(model, *shapes, atol=2e-5):
+    variables = model.init(jax.random.PRNGKey(0), *(jnp.zeros(s) for s in shapes))
+    variables = _warm_bn(model, variables, *shapes)
+    fast = build_fast_apply(model, variables, dtype=None)
+    assert fast is not None
+    apply_fn, folded = fast
+    args = [jax.random.uniform(jax.random.fold_in(jax.random.PRNGKey(1), j), s)
+            for j, s in enumerate(shapes)]
+    ref = model.apply(variables, *args, train=False)
+    out = apply_fn(folded, *args)
+    if isinstance(ref, dict):
+        assert set(ref) == set(out)
+        for k in ref:
+            np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                       atol=atol, err_msg=k)
+    else:
+        for r, o in zip(ref, out):
+            np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=atol)
+
+
+def test_fast_unet():
+    _check(Unet(n_filter=4), (2, 32, 32, 1))
+
+
+def test_fast_unet_dilation():
+    _check(Unet(n_filter=4, dilation=2), (2, 32, 32, 1))
+
+
+def test_fast_attention_unet():
+    _check(AttentionUnet(n_filter=4), (2, 32, 32, 1))
+
+
+@pytest.mark.parametrize("mode", ["concat", "corr", "max", "control"])
+def test_fast_siam(mode):
+    _check(Siam_UNet(n_filter=4, mode=mode), (2, 32, 32, 1), (2, 32, 32, 1))
+
+
+def test_fast_multi_output():
+    heads = {"mask": {"channels": 1, "activation": "sigmoid"},
+             "orientation": {"channels": 2, "activation": None}}
+    _check(MultiOutputUnet(n_filter=4, output_heads=heads), (2, 32, 32, 1))
+
+
+def test_fast_unsupported_models_return_none():
+    from bio_image_unet_tpu.models import UNet3D, get_model
+
+    m3 = UNet3D(n_filter=4)
+    v3 = m3.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 16, 16, 1)))
+    assert build_fast_apply(m3, v3, None) is None
+    legacy = get_model("Unet_v0", in_channels=1, out_channels=1)
+    vl = legacy.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))
+    assert build_fast_apply(legacy, vl, None) is None
