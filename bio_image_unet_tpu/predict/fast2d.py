@@ -24,6 +24,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from ..ops.functional import depthwise_xcorr, max_pool
@@ -93,12 +94,35 @@ def fold_unet2d(variables) -> dict:
     return folded
 
 
+def pack_tree(tree):
+    """Flatten a pytree of f32 arrays into ONE device buffer + a static
+    unpack recipe.  Dispatching a jitted call costs ~0.4 ms PER argument
+    buffer on tunneled TPU runtimes (measured: 60 leaves ≈ 25 ms/call,
+    captured ≈ 10 ms), so the fast path ships its ~44 folded arrays as a
+    single argument; the static slices/reshapes inside jit are free."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    shapes = [l.shape for l in leaves]
+    sizes = [int(np.prod(s)) for s in shapes]
+    offsets = np.concatenate([[0], np.cumsum(sizes)]).tolist()
+    packed = jnp.concatenate(
+        [jnp.ravel(jnp.asarray(l, jnp.float32)) for l in leaves])
+
+    def unpack(buf):
+        parts = [
+            lax.slice(buf, (offsets[i],), (offsets[i + 1],)).reshape(shapes[i])
+            for i in range(len(shapes))
+        ]
+        return jax.tree_util.tree_unflatten(treedef, parts)
+
+    return packed, unpack
+
+
 def build_fast_apply(model, variables, dtype: Optional[jnp.dtype]):
-    """Return ``(apply_fn, folded_variables)`` for a UNet2DBase model in eval
+    """Return ``(apply_fn, packed_variables)`` for a UNet2DBase model in eval
     mode, or ``None`` when the model is not supported (legacy/3D/UNet++
-    variants keep the flax path).  ``apply_fn(folded, x[, prev_x])`` mirrors
+    variants keep the flax path).  ``apply_fn(packed, x[, prev_x])`` mirrors
     ``model.apply(variables, x[, prev_x], train=False)`` exactly (same output
-    structure)."""
+    structure); ``packed`` is the single-buffer fold of all weights."""
     from ..models.unet2d import UNet2DBase, apply_activation
 
     if not isinstance(model, UNet2DBase):
@@ -106,7 +130,8 @@ def build_fast_apply(model, variables, dtype: Optional[jnp.dtype]):
     if "batch_stats" not in variables:
         return None
 
-    folded = fold_unet2d(variables)
+    folded_tree = fold_unet2d(variables)
+    packed, unpack = pack_tree(folded_tree)
     d = 1 if model.dilation in (False, None, True) else int(model.dilation)
     mode = model.mode
     attention = model.attention
@@ -129,7 +154,8 @@ def build_fast_apply(model, variables, dtype: Optional[jnp.dtype]):
         e8 = _conv(e7, f["encode8"], d)
         return e2, e4, e6, e8, max_pool(e8)
 
-    def apply_fn(f, x, prev_x=None):
+    def apply_fn(packed_buf, x, prev_x=None):
+        f = unpack(packed_buf)
         if dtype is not None:
             x = x.astype(dtype)
         e2, e4, e6, e8, m4 = encode(f, x)
@@ -171,4 +197,4 @@ def build_fast_apply(model, variables, dtype: Optional[jnp.dtype]):
             for name, cfg in heads.items()
         }
 
-    return apply_fn, folded
+    return apply_fn, packed
