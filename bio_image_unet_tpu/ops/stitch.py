@@ -1,5 +1,4 @@
-"""On-device patch stitching (scatter-accumulate) — Pallas TPU kernel with an
-XLA fallback.
+"""On-device patch stitching (scatter-accumulate).
 
 The reference stitches on host with NaN stacks (unet/predict.py:204-229); the
 host numpy rewrite lives in predict/tiling.py.  This module moves the
@@ -7,13 +6,13 @@ accumulation onto the TPU so the only device→host transfer is the stitched
 frame itself (patch sets are overlap-inflated by up to (1+add_tile)² — on a
 tunneled/PCIe-attached TPU the transfer is the predict path's main cost).
 
-Kernel structure: grid over patches; the (x, y) start offsets are
-scalar-prefetch operands (pltpu.PrefetchScalarGridSpec) so the output-block
-dynamic slice is known before the body runs; the full (H, W, C) result and
-weight planes live in VMEM across grid steps (TPU grid steps execute
-sequentially, making read-modify-write accumulation well-defined).  Falls
-back to a lax.scan of dynamic_update_slice adds when the planes exceed the
-VMEM budget or on non-TPU backends.
+Kernel choice is MEASURED, not assumed: a Pallas scatter-accumulate kernel
+(grid over patches, scalar-prefetch offsets, result plane resident in VMEM)
+was built and A/B-timed at 0.14 s vs 0.06 s for the XLA
+``dynamic_update_slice`` scan on 4×(1024² from 16×256²) on v5e — full-plane
+VMEM read-modify-write loses to XLA's in-place DUS, so the scan is the
+shipped implementation (benchmarks/NOTES.md).  Exact non-overlapping grids
+skip accumulation entirely via transposes in the fused predict pipeline.
 """
 
 from __future__ import annotations
@@ -26,65 +25,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-_VMEM_BUDGET_BYTES = 12 * 1024 * 1024  # leave headroom of the ~16 MB/core
-
 
 def _starts_product(starts_per_axis: Sequence[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
     xs, ys = starts_per_axis
     gx, gy = np.meshgrid(np.asarray(xs), np.asarray(ys), indexing="ij")
     return gx.ravel().astype(np.int32), gy.ravel().astype(np.int32)
-
-
-def _stitch_pallas(patches, x_starts, y_starts, out_h: int, out_w: int):
-    """patches: (N, th, tw, 1) f32 on device → (H, W, 1) sum and count.
-
-    2D refs (channel squeezed) keep the lane dimension = W; offsets are
-    pre-checked for sublane/lane alignment by the caller (``_pallas_ok``)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    n, th, tw, _ = patches.shape
-    patches2d = patches[..., 0]
-
-    def kernel(xs_ref, ys_ref, patch_ref, out_ref, cnt_ref):
-        i = pl.program_id(0)
-
-        @pl.when(i == 0)
-        def _():
-            out_ref[:] = jnp.zeros_like(out_ref)
-            cnt_ref[:] = jnp.zeros_like(cnt_ref)
-
-        x0 = pl.multiple_of(xs_ref[i], 8)
-        y0 = pl.multiple_of(ys_ref[i], 128)
-        block = out_ref[pl.ds(x0, th), pl.ds(y0, tw)]
-        out_ref[pl.ds(x0, th), pl.ds(y0, tw)] = block + patch_ref[0]
-        cnt = cnt_ref[pl.ds(x0, th), pl.ds(y0, tw)]
-        cnt_ref[pl.ds(x0, th), pl.ds(y0, tw)] = cnt + 1.0
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n,),
-        in_specs=[
-            pl.BlockSpec((1, th, tw), lambda i, xs, ys: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((out_h, out_w), lambda i, xs, ys: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((out_h, out_w), lambda i, xs, ys: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-    )
-
-    out, cnt = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((out_h, out_w), jnp.float32),
-            jax.ShapeDtypeStruct((out_h, out_w), jnp.float32),
-        ),
-    )(x_starts, y_starts, patches2d)
-    return out[..., None], cnt[..., None]
 
 
 def _stitch_xla(patches, x_starts, y_starts, out_h: int, out_w: int):
@@ -105,14 +50,11 @@ def _stitch_xla(patches, x_starts, y_starts, out_h: int, out_w: int):
     return out, cnt
 
 
-@partial(jax.jit, static_argnames=("out_h", "out_w", "use_pallas", "quantize_u8"))
+@partial(jax.jit, static_argnames=("out_h", "out_w", "quantize_u8"))
 def _stitch_device(patches, x_starts, y_starts, out_h: int, out_w: int,
-                   use_pallas: bool, quantize_u8: bool):
+                   quantize_u8: bool):
     patches = patches.astype(jnp.float32)
-    if use_pallas:
-        out, cnt = _stitch_pallas(patches, x_starts, y_starts, out_h, out_w)
-    else:
-        out, cnt = _stitch_xla(patches, x_starts, y_starts, out_h, out_w)
+    out, cnt = _stitch_xla(patches, x_starts, y_starts, out_h, out_w)
     result = out / jnp.maximum(cnt, 1.0)
     if quantize_u8:
         result = result.astype(jnp.uint8)  # truncation ≙ unet/predict.py:223
@@ -256,27 +198,7 @@ def stitch_mean_device(patches, starts_per_axis, out_spatial: Tuple[int, int],
     (H, W, C) stitched frame as a device array (uint8 when ``quantize_u8`` —
     the reference's output quantization, minimizing device→host traffic).
     """
-    import os
-
     out_h, out_w = int(out_spatial[0]), int(out_spatial[1])
     xs, ys = _starts_product(starts_per_axis)
-    c = patches.shape[-1]
-    plane_bytes = out_h * out_w * c * 4 * 2
-    # The XLA dynamic_update_slice scan measured FASTER than the Pallas
-    # kernel on v5e (0.06s vs 0.14s per 4×(1024² from 16×256²) — full-plane
-    # VMEM read-modify-write loses to XLA's in-place DUS), so XLA is the
-    # default; BIU_TPU_STITCH=pallas opts into the kernel, which additionally
-    # needs tile alignment: sublane (8) x offsets, lane (128) y offsets,
-    # single channel, both planes resident in VMEM.
-    use_pallas = (
-        os.environ.get("BIU_TPU_STITCH") == "pallas"
-        and jax.default_backend() == "tpu"
-        and c == 1
-        and plane_bytes < _VMEM_BUDGET_BYTES
-        and out_w % 128 == 0
-        and patches.shape[2] % 128 == 0
-        and bool(np.all(xs % 8 == 0))
-        and bool(np.all(ys % 128 == 0))
-    )
     return _stitch_device(jnp.asarray(patches), jnp.asarray(xs), jnp.asarray(ys),
-                          out_h, out_w, use_pallas, quantize_u8)
+                          out_h, out_w, quantize_u8)
