@@ -41,29 +41,37 @@ def _fold(conv: dict, bn: dict, stats: dict):
     }
 
 
+def _dn(nsp: int):
+    return (("NHWC", "HWIO", "NHWC") if nsp == 2
+            else ("NDHWC", "DHWIO", "NDHWC"))
+
+
 def _conv(x, p, dilation: int = 1, leaky: bool = True):
+    nsp = x.ndim - 2
     dt = x.dtype
     y = lax.conv_general_dilated(
-        x, p["kernel"].astype(dt), (1, 1),
-        [(dilation, dilation)] * 2, rhs_dilation=(dilation, dilation),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        x, p["kernel"].astype(dt), (1,) * nsp,
+        [(dilation, dilation)] * nsp, rhs_dilation=(dilation,) * nsp,
+        dimension_numbers=_dn(nsp),
     ) + p["bias"].astype(dt)
     return jax.nn.leaky_relu(y, 0.1) if leaky else y
 
 
 def _conv1x1(x, p):
+    nsp = x.ndim - 2
     dt = x.dtype
     return lax.conv_general_dilated(
-        x, p["kernel"].astype(dt), (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        x, p["kernel"].astype(dt), (1,) * nsp, "VALID",
+        dimension_numbers=_dn(nsp),
     ) + p["bias"].astype(dt)
 
 
 def _convt(x, p):
+    nsp = x.ndim - 2
     dt = x.dtype
     return lax.conv_transpose(
-        x, p["kernel"].astype(dt), (2, 2), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True,
+        x, p["kernel"].astype(dt), (2,) * nsp, "VALID",
+        dimension_numbers=_dn(nsp), transpose_kernel=True,
     ) + p["bias"].astype(dt)
 
 
@@ -118,17 +126,24 @@ def pack_tree(tree):
 
 
 def build_fast_apply(model, variables, dtype: Optional[jnp.dtype]):
-    """Return ``(apply_fn, packed_variables)`` for a UNet2DBase model in eval
-    mode, or ``None`` when the model is not supported (legacy/3D/UNet++
-    variants keep the flax path).  ``apply_fn(packed, x[, prev_x])`` mirrors
+    """Return ``(apply_fn, packed_variables)`` for a supported model in eval
+    mode, or ``None`` when the model is not supported (legacy/UNet++ variants
+    keep the flax path).  ``apply_fn(packed, x[, prev_x])`` mirrors
     ``model.apply(variables, x[, prev_x], train=False)`` exactly (same output
-    structure); ``packed`` is the single-buffer fold of all weights."""
-    from ..models.unet2d import UNet2DBase, apply_activation
+    structure); ``packed`` is the single-buffer fold of all weights.
 
-    if not isinstance(model, UNet2DBase):
-        return None
+    Covers the 2D family (plain/attention/siamese/multi-output) and the 3D
+    family (UNet3D, MultiOutputUnet3D, both decoder styles)."""
+    from ..models.unet2d import UNet2DBase
+    from ..models.unet3d import MultiOutputUnet3D, UNet3D
+
     if "batch_stats" not in variables:
         return None
+    if isinstance(model, (UNet3D, MultiOutputUnet3D)):
+        return _build_fast_3d(model, variables, dtype)
+    if not isinstance(model, UNet2DBase):
+        return None
+    from ..models.unet2d import apply_activation
 
     folded_tree = fold_unet2d(variables)
     packed, unpack = pack_tree(folded_tree)
@@ -188,6 +203,61 @@ def build_fast_apply(model, variables, dtype: Optional[jnp.dtype]):
             h = _conv(_conv(h, f[f"decode{2 * i - 1}"]), f[f"decode{2 * i}"])
 
         if heads is None:
+            logits = _conv1x1(h, f["final"]).astype(jnp.float32)
+            return jax.nn.sigmoid(logits), logits
+        return {
+            name: apply_activation(
+                _conv1x1(h, f[f"output_layers_{name}"]).astype(jnp.float32),
+                cfg.get("activation"))
+            for name, cfg in heads.items()
+        }
+
+    return apply_fn, packed
+
+
+def _build_fast_3d(model, variables, dtype: Optional[jnp.dtype]):
+    """BN-folded raw-lax forward for the 3-level volumetric trunks
+    (models/unet3d.py): UNet3D's maxpool/ConvTranspose-or-trilinear decoder
+    and MultiOutputUnet3D's nearest-resample decoder."""
+    from ..models.unet2d import apply_activation
+    from ..models.unet3d import MultiOutputUnet3D
+    from ..ops.functional import (
+        downsample_nearest,
+        upsample_linear,
+        upsample_nearest,
+    )
+
+    packed, unpack = pack_tree(fold_unet2d(variables))
+    interp = model.use_interpolation
+    multi = isinstance(model, MultiOutputUnet3D)
+    heads = model.heads if multi else None
+
+    def apply_fn(packed_buf, x):
+        f = unpack(packed_buf)
+        if dtype is not None:
+            x = x.astype(dtype)
+        down = downsample_nearest if (multi and interp) else max_pool
+
+        e1 = _conv(x, f["encode1"])
+        e2 = _conv(e1, f["encode2"])
+        e3 = _conv(down(e2), f["encode3"])
+        e4 = _conv(e3, f["encode4"])
+        e5 = _conv(down(e4), f["encode5"])
+        e6 = _conv(e5, f["encode6"])
+        h = _conv(_conv(down(e6), f["middle_conv1"]), f["middle_conv2"])
+
+        def up(h, i):
+            if not interp:
+                return _convt(h, f[f"up{i}"])
+            if multi:  # nearest ×2 + conv block
+                return _conv(upsample_nearest(h), f[f"up{i}_conv"])
+            return upsample_linear(h)  # trilinear, align_corners=False
+
+        for i, skip in zip(range(1, 4), (e6, e4, e2)):
+            h = jnp.concatenate([up(h, i), skip], axis=-1)
+            h = _conv(_conv(h, f[f"decode{2 * i - 1}"]), f[f"decode{2 * i}"])
+
+        if not multi:
             logits = _conv1x1(h, f["final"]).astype(jnp.float32)
             return jax.nn.sigmoid(logits), logits
         return {

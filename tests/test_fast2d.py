@@ -76,11 +76,29 @@ def test_fast_multi_output():
 
 
 def test_fast_unsupported_models_return_none():
-    from bio_image_unet_tpu.models import UNet3D, get_model
+    from bio_image_unet_tpu.models import get_model
 
-    m3 = UNet3D(n_filter=4)
-    v3 = m3.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 16, 16, 1)))
-    assert build_fast_apply(m3, v3, None) is None
     legacy = get_model("Unet_v0", in_channels=1, out_channels=1)
     vl = legacy.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))
     assert build_fast_apply(legacy, vl, None) is None
+    nested = get_model("MultiOutputNestedUNet_3Levels", n_filter=4)
+    vn = nested.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))
+    assert build_fast_apply(nested, vn, None) is None
+
+
+@pytest.mark.parametrize("use_interpolation", [False, True])
+def test_fast_unet3d(use_interpolation):
+    from bio_image_unet_tpu.models import UNet3D
+
+    _check(UNet3D(n_filter=4, use_interpolation=use_interpolation),
+           (2, 8, 16, 16, 1))
+
+
+@pytest.mark.parametrize("use_interpolation", [False, True])
+def test_fast_multi_output_unet3d(use_interpolation):
+    from bio_image_unet_tpu.models import MultiOutputUnet3D
+
+    heads = {"mask": {"channels": 1, "activation": "sigmoid"}}
+    _check(MultiOutputUnet3D(n_filter=4, output_heads=heads,
+                             use_interpolation=use_interpolation),
+           (2, 8, 16, 16, 1))
