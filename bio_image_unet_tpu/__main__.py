@@ -57,11 +57,39 @@ def _add_train(sub):
     p.add_argument("--resume", action="store_true")
 
 
+_MODEL_FAMILY = {
+    "Unet": "unet", "AttentionUnet": "unet", "Unet_v0": "unet",
+    "BabyUnet": "unet", "Siam_UNet": "siam_unet", "UNet3D": "unet3d",
+    "MultiOutputUnet": "multi_output_unet",
+    "MultiOutputNestedUNet": "multi_output_unet",
+    "MultiOutputNestedUNet_3Levels": "multi_output_unet",
+    "MultiOutputUnet3D": "multi_output_unet3d",
+}
+
+
+def _detect_family(checkpoint_path: str) -> str:
+    """Map the checkpoint's self-described model_name to its facade family
+    (checkpoints embed their hyperparams — reference unet/predict.py:83-101)."""
+    from . import checkpoint
+
+    try:
+        hp = checkpoint.peek(checkpoint_path)["hyperparams"]
+    except ValueError:  # torch .pt — full load needed for the dict
+        hp = checkpoint.load(checkpoint_path)["hyperparams"]
+    name = hp.get("model_name") or hp.get("network")
+    family = _MODEL_FAMILY.get(name)
+    if family is None:
+        raise SystemExit(
+            f"cannot infer family from checkpoint model '{name}' — pass --family")
+    return family
+
+
 def _add_predict(sub):
     p = sub.add_parser("predict", help="tiled inference on a tif/movie")
-    p.add_argument("--family", default="unet",
+    p.add_argument("--family", default=None,
                    choices=["unet", "siam_unet", "unet3d",
-                            "multi_output_unet", "multi_output_unet3d"])
+                            "multi_output_unet", "multi_output_unet3d"],
+                   help="default: inferred from the checkpoint's model_name")
     p.add_argument("--input", required=True, help="tif file to predict")
     p.add_argument("--output", required=True,
                    help="result tif (single-head) or directory (multi-head)")
@@ -114,6 +142,8 @@ def main(argv=None):
     import importlib
     import os
 
+    if args.command == "predict" and args.family is None:
+        args.family = _detect_family(args.checkpoint)
     pkg = importlib.import_module(f"bio_image_unet_tpu.{args.family}")
 
     if args.command == "train":

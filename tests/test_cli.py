@@ -63,7 +63,8 @@ def test_cli_train_predict_multi_output(tmp_path, rng):
     ckpt = tmp_path / "run" / "model" / "model.ckpt"
     assert ckpt.exists()
 
-    rc = main(["predict", "--family", "multi_output_unet",
+    # no --family: inferred from the checkpoint's embedded model_name
+    rc = main(["predict",
                "--input", str(tmp_path / "image" / "s0.tif"),
                "--output", str(tmp_path / "results"),
                "--checkpoint", str(ckpt), "--batch-size", "4"])
