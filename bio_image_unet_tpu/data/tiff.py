@@ -365,8 +365,20 @@ class TiffReader:
 
 def imwrite(path, data: np.ndarray, compress: Optional[int] = None) -> None:
     """Write an array as TIFF.  (H,W), (H,W,C) write one page; (N,H,W[,C])
-    writes a multipage stack."""
+    writes a multipage stack.
+
+    Compressed writes of ≥1 MB route through the native multithreaded
+    encoder (native/biotiff.cpp — deflate per row-band on a thread pool;
+    Python zlib is single-threaded) and fall back here transparently."""
     data = np.asarray(data)
+    if compress and data.nbytes >= (1 << 20):
+        try:
+            from .. import native
+
+            if native.imwrite(path, data, compress=compress):
+                return
+        except Exception:
+            pass
     with TiffWriter(path, compress=compress) as tw:
         if data.ndim <= 2 or (data.ndim == 3 and data.shape[-1] <= 8):
             tw.write(data)

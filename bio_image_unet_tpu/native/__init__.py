@@ -83,6 +83,15 @@ def get_lib():
             ctypes.c_int64, ctypes.c_int,
         ]
         lib.biotiff_read_batch.restype = ctypes.c_int
+        try:
+            lib.biotiff_write.argtypes = [
+                ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ]
+            lib.biotiff_write.restype = ctypes.c_int
+        except AttributeError:  # stale .so without the encoder
+            pass
         _lib = lib
         return _lib
 
@@ -146,3 +155,43 @@ def imread_batch(paths: List[str], n_threads: int = 0) -> Optional[np.ndarray]:
     if n == 1:
         arr = arr[:, 0]
     return arr
+
+
+_DTYPE_CODES = {np.dtype(v): k for k, v in _DTYPES.items()}
+
+
+def imwrite(path, data: np.ndarray, compress: Optional[int] = None,
+            rows_per_strip: int = 64, n_threads: int = 0) -> bool:
+    """Native multithreaded TIFF write of a (N,H,W[,C]) / (H,W[,C]) array.
+
+    Pages are split into ``rows_per_strip`` bands and deflate-compressed in
+    parallel (the win over the pure-Python writer: zlib is single-threaded
+    there).  Returns False when the native library is unavailable or the
+    dtype is unsupported — callers fall back to the Python writer."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "biotiff_write"):
+        return False
+    data = np.ascontiguousarray(data)
+    if data.dtype == np.dtype(bool):
+        data = data.astype(np.uint8) * 255
+    code = _DTYPE_CODES.get(data.dtype)
+    if code is None:
+        return False
+    if data.ndim == 2:
+        n, h, w, c = 1, data.shape[0], data.shape[1], 1
+    elif data.ndim == 3 and data.shape[-1] <= 8:
+        n, (h, w, c) = 1, data.shape
+    elif data.ndim == 3:
+        (n, h, w), c = data.shape, 1
+    elif data.ndim == 4:
+        n, h, w, c = data.shape
+    else:
+        return False
+    level = 0 if not compress else (6 if compress is True else int(compress))
+    # containers often under-report cpu_count while the cgroup quota allows
+    # more; oversubscription is harmless (measured faster even at nproc=1)
+    rc = lib.biotiff_write(str(path).encode(),
+                           data.ctypes.data_as(ctypes.c_void_p), code,
+                           n, h, w, c, level, rows_per_strip,
+                           n_threads or min(max(os.cpu_count() or 4, 8), 16))
+    return rc == 0

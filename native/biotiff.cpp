@@ -13,9 +13,16 @@
 //   biotiff_read(path, out, capacity)               -> 0 ok / negative error
 //   biotiff_read_batch(paths, n, out, item_bytes, n_threads)
 //                                                   -> 0 ok / first error
+//   biotiff_write(path, data, dtype_code, n, h, w, c, level, rows_per_strip,
+//                 n_threads)                        -> 0 ok / negative error
+//       multithreaded encoder: pages are split into row bands (strips),
+//       deflate-compressed in parallel on a thread pool, then laid out
+//       sequentially with per-page IFDs — the output is a standard
+//       little-endian strip-based TIFF 6.0 readable by any TIFF reader.
 //
 // dtype codes: 1 u8, 2 u16, 3 u32, 4 i8, 5 i16, 6 i32, 7 f16, 8 f32, 9 f64.
 
+#include <algorithm>
 #include <atomic>
 #include <cstdint>
 #include <cstdio>
@@ -271,6 +278,174 @@ int biotiff_read_batch(const char** paths, int n, uint8_t* out,
     for (int i = 0; i < workers; ++i) threads.emplace_back(work);
     for (auto& t : threads) t.join();
     return first_error.load();
+}
+
+// ---------------------------------------------------------------------------
+// encoder
+// ---------------------------------------------------------------------------
+
+int biotiff_write(const char* path, const void* data, int dtype_code,
+                  int64_t n_frames, int64_t h, int64_t w, int64_t c,
+                  int compress_level, int rows_per_strip, int n_threads) {
+    struct Fmt { int bytes; uint16_t bits; uint16_t fmt; };
+    Fmt fmt{};
+    switch (dtype_code) {
+        case 1: fmt = {1, 8, 1}; break;
+        case 2: fmt = {2, 16, 1}; break;
+        case 3: fmt = {4, 32, 1}; break;
+        case 4: fmt = {1, 8, 2}; break;
+        case 5: fmt = {2, 16, 2}; break;
+        case 6: fmt = {4, 32, 2}; break;
+        case 7: fmt = {2, 16, 3}; break;
+        case 8: fmt = {4, 32, 3}; break;
+        case 9: fmt = {8, 64, 3}; break;
+        default: return ERR_UNSUPPORTED;
+    }
+    if (n_frames <= 0 || h <= 0 || w <= 0 || c <= 0) return ERR_FORMAT;
+    const auto* base = static_cast<const uint8_t*>(data);
+    const int64_t row_bytes = w * c * fmt.bytes;
+    const int64_t frame_bytes = h * row_bytes;
+
+    if (compress_level <= 0 || rows_per_strip <= 0 || rows_per_strip > h)
+        rows_per_strip = compress_level > 0 ? 64 : static_cast<int>(h);
+    const int64_t strips_per_frame = (h + rows_per_strip - 1) / rows_per_strip;
+    const int64_t n_strips = n_frames * strips_per_frame;
+
+    // compress all strips on a thread pool (raw spans when level 0)
+    std::vector<std::vector<uint8_t>> compressed;
+    if (compress_level > 0) {
+        compressed.resize(static_cast<size_t>(n_strips));
+        std::atomic<int64_t> next{0};
+        std::atomic<int> first_error{0};
+        int workers = n_threads > 0 ? n_threads
+            : static_cast<int>(std::thread::hardware_concurrency());
+        if (workers < 1) workers = 4;
+        if (workers > n_strips) workers = static_cast<int>(n_strips);
+        auto work = [&]() {
+            while (true) {
+                int64_t i = next.fetch_add(1);
+                if (i >= n_strips || first_error.load() != 0) return;
+                const int64_t frame = i / strips_per_frame;
+                const int64_t strip = i % strips_per_frame;
+                const int64_t row0 = strip * rows_per_strip;
+                const int64_t rows = std::min<int64_t>(rows_per_strip, h - row0);
+                const uint8_t* src = base + frame * frame_bytes + row0 * row_bytes;
+                const uLong src_len = static_cast<uLong>(rows * row_bytes);
+                uLongf cap = compressBound(src_len);
+                auto& out = compressed[static_cast<size_t>(i)];
+                out.resize(cap);
+                int rc = compress2(out.data(), &cap, src, src_len, compress_level);
+                if (rc != Z_OK) { first_error.store(ERR_INFLATE); return; }
+                out.resize(cap);
+            }
+        };
+        std::vector<std::thread> threads;
+        threads.reserve(static_cast<size_t>(workers));
+        for (int i = 0; i < workers; ++i) threads.emplace_back(work);
+        for (auto& t : threads) t.join();
+        if (first_error.load() != 0) return first_error.load();
+    }
+
+    FILE* fh = std::fopen(path, "wb");
+    if (!fh) return ERR_OPEN;
+    auto wr = [&](const void* p, size_t nbytes) {
+        return std::fwrite(p, 1, nbytes, fh) == nbytes;
+    };
+    auto put16 = [](std::vector<uint8_t>& v, uint16_t x) {
+        v.push_back(static_cast<uint8_t>(x)); v.push_back(static_cast<uint8_t>(x >> 8));
+    };
+    auto put32 = [](std::vector<uint8_t>& v, uint32_t x) {
+        for (int i = 0; i < 4; ++i) v.push_back(static_cast<uint8_t>(x >> (8 * i)));
+    };
+
+    const uint8_t header[8] = {'I', 'I', 42, 0, 0, 0, 0, 0};
+    if (!wr(header, 8)) { std::fclose(fh); return ERR_OPEN; }
+    uint64_t pos = 8;
+    uint64_t prev_link = 4;  // where to patch the next-IFD pointer
+
+    for (int64_t frame = 0; frame < n_frames; ++frame) {
+        // strip data
+        std::vector<uint32_t> offs, cnts;
+        for (int64_t strip = 0; strip < strips_per_frame; ++strip) {
+            if (pos % 2) { uint8_t z = 0; wr(&z, 1); ++pos; }
+            const uint8_t* p;
+            size_t nbytes;
+            if (compress_level > 0) {
+                auto& buf = compressed[static_cast<size_t>(
+                    frame * strips_per_frame + strip)];
+                p = buf.data(); nbytes = buf.size();
+            } else {
+                p = base + frame * frame_bytes;
+                nbytes = static_cast<size_t>(frame_bytes);
+            }
+            offs.push_back(static_cast<uint32_t>(pos));
+            cnts.push_back(static_cast<uint32_t>(nbytes));
+            if (!wr(p, nbytes)) { std::fclose(fh); return ERR_OPEN; }
+            pos += nbytes;
+        }
+
+        // IFD (entries ascending by tag; >4-byte payloads deferred after it)
+        struct Entry { uint16_t tag, type; std::vector<uint8_t> payload; uint32_t count; };
+        std::vector<Entry> entries;
+        auto add = [&](uint16_t tag, uint16_t type,
+                       const std::vector<uint32_t>& values) {
+            Entry e{tag, type, {}, static_cast<uint32_t>(values.size())};
+            for (uint32_t v : values) {
+                if (type == 3) put16(e.payload, static_cast<uint16_t>(v));
+                else put32(e.payload, v);
+            }
+            entries.push_back(std::move(e));
+        };
+        const uint16_t SHORT_ = 3, LONG_ = 4;
+        add(256, LONG_, {static_cast<uint32_t>(w)});
+        add(257, LONG_, {static_cast<uint32_t>(h)});
+        add(258, SHORT_, std::vector<uint32_t>(c, fmt.bits));
+        add(259, SHORT_, {compress_level > 0 ? 8u : 1u});
+        add(262, SHORT_, {1});  // BlackIsZero
+        add(273, LONG_, offs);
+        add(277, SHORT_, {static_cast<uint32_t>(c)});
+        add(278, LONG_, {static_cast<uint32_t>(rows_per_strip)});
+        add(279, LONG_, cnts);
+        if (c > 1) add(284, SHORT_, {1});  // chunky
+        add(339, SHORT_, std::vector<uint32_t>(c, fmt.fmt));
+
+        if (pos % 2) { uint8_t z = 0; wr(&z, 1); ++pos; }
+        const uint64_t ifd_offset = pos;
+        const size_t n_entries = entries.size();
+        const uint64_t value_area = ifd_offset + 2 + 12 * n_entries + 4;
+        std::vector<uint8_t> ifd, deferred;
+        put16(ifd, static_cast<uint16_t>(n_entries));
+        for (auto& e : entries) {
+            put16(ifd, e.tag); put16(ifd, e.type); put32(ifd, e.count);
+            if (e.payload.size() <= 4) {
+                auto p = e.payload; p.resize(4, 0);
+                ifd.insert(ifd.end(), p.begin(), p.end());
+            } else {
+                if (deferred.size() % 2) deferred.push_back(0);
+                put32(ifd, static_cast<uint32_t>(value_area + deferred.size()));
+                deferred.insert(deferred.end(), e.payload.begin(), e.payload.end());
+            }
+        }
+        put32(ifd, 0);  // next IFD — patched by the following page
+        if (!wr(ifd.data(), ifd.size()) ||
+            (!deferred.empty() && !wr(deferred.data(), deferred.size()))) {
+            std::fclose(fh); return ERR_OPEN;
+        }
+        pos += ifd.size() + deferred.size();
+
+        // link previous IFD (or header) to this one
+        std::fseek(fh, static_cast<long>(prev_link), SEEK_SET);
+        uint32_t link = static_cast<uint32_t>(ifd_offset);
+        uint8_t link_le[4] = {static_cast<uint8_t>(link),
+                              static_cast<uint8_t>(link >> 8),
+                              static_cast<uint8_t>(link >> 16),
+                              static_cast<uint8_t>(link >> 24)};
+        wr(link_le, 4);
+        std::fseek(fh, 0, SEEK_END);
+        prev_link = ifd_offset + 2 + 12 * n_entries;
+    }
+    std::fclose(fh);
+    return 0;
 }
 
 }  // extern "C"
