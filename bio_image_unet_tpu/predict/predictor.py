@@ -22,7 +22,7 @@ from ..data import tiff
 from ..models import get_model
 from ..progress import ProgressNotifier
 from ..utils.utils import save_as_tif
-from .fast2d import build_fast_apply
+from .fastpath import build_fast_apply
 from .tiling import grid_starts, overlap_starts
 
 
@@ -114,7 +114,7 @@ class _Engine:
         self.variables = state["variables"]
         self.batch_size = batch_size
         # eval-mode fast path for the 2D U-Net family: BatchNorms folded into
-        # the convs, raw-lax forward (predict/fast2d.py) — ~10× faster than
+        # the convs, raw-lax forward (predict/fastpath.py) — ~10× faster than
         # the layered flax graph on the target chip, same math
         fast = build_fast_apply(self.model, self.variables,
                                 jnp.bfloat16 if half_precision else None)

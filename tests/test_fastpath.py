@@ -1,4 +1,4 @@
-"""BN-folded fast forward (predict/fast2d.py) must reproduce model.apply
+"""BN-folded fast forward (predict/fastpath.py) must reproduce model.apply
 eval-mode outputs across every 2D variant it claims to cover."""
 
 import jax
@@ -12,7 +12,7 @@ from bio_image_unet_tpu.models import (
     Siam_UNet,
     Unet,
 )
-from bio_image_unet_tpu.predict.fast2d import build_fast_apply
+from bio_image_unet_tpu.predict.fastpath import build_fast_apply
 
 pytestmark = pytest.mark.quick
 
