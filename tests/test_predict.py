@@ -287,3 +287,18 @@ def test_fused_pipeline_compile_count_independent_of_movie_length(
     diff = np.abs(host_b.result.astype(int) - pred_b.result.astype(int))
     assert np.mean(diff > 1) < 0.01, (diff.max(), np.mean(diff > 1))
     assert pred_a.result.shape[0] == chunk + 3
+
+
+def test_int_percentile_matches_numpy(rng):
+    """Exact bincount percentiles for integer frames must equal numpy's
+    sort-based result (same 'linear' interpolation rule)."""
+    from bio_image_unet_tpu.predict.predictor import _int_percentile
+
+    for dtype, lo, hi in ((np.uint8, 0, 256), (np.uint16, 0, 60000),
+                          (np.int16, -500, 500)):
+        img = rng.integers(lo, hi, (123, 77)).astype(dtype)
+        for q in (0.0, 0.2, 50.0, 99.8, 100.0):
+            np.testing.assert_allclose(
+                _int_percentile(img, q),
+                np.percentile(img.astype(np.float64), q), atol=1e-6,
+                err_msg=f"{dtype} q={q}")
