@@ -63,12 +63,24 @@ def predict_frames_spatial_sharded(
     if halo % stride != 0:
         raise ValueError(f"halo {halo} must be a multiple of {stride}")
 
-    norm = _normalize_stack(imgs.astype(np.float32), normalization_mode,
+    norm = _normalize_stack(imgs, normalization_mode,
                             clip_threshold, invert).astype(np.uint8)
     x = jnp.asarray(norm[..., None].astype(np.float32) / 255.0)
 
-    def forward(t):
-        return model.apply(variables, t, train=False)[0]
+    # BN-folded raw-lax forward where supported (same ~10× device win as the
+    # tiled engine); flax fallback otherwise
+    from .fastpath import build_fast_apply
+
+    fast = build_fast_apply(model, variables,
+                            jnp.bfloat16 if half_precision else None)
+    if fast is not None:
+        apply_fn, packed = fast
+
+        def forward(t):
+            return apply_fn(packed, t)[0]
+    else:
+        def forward(t):
+            return model.apply(variables, t, train=False)[0]
 
     probs = spatial_shard_apply(forward, x, mesh, halo=halo)
     out = (probs.astype(jnp.float32) * 255.0).astype(jnp.uint8)
