@@ -85,6 +85,11 @@ def fold_unet2d(variables) -> dict:
     for name, p in params.items():
         if "conv" in p and "bn" in p:  # ConvBlock
             folded[name] = _fold(p["conv"], p["bn"], stats[name]["bn"])
+        elif "conv1" in p and "bn1" in p:  # VGGBlock (UNet++ grid)
+            folded[name] = {
+                "stage1": _fold(p["conv1"], p["bn1"], stats[name]["bn1"]),
+                "stage2": _fold(p["conv2"], p["bn2"], stats[name]["bn2"]),
+            }
         elif name.startswith("up"):  # ConvTranspose
             folded[name] = dict(p)
         elif name.startswith("attention"):  # AttentionBlock: three 1×1+BN
@@ -127,13 +132,16 @@ def pack_tree(tree):
 
 def build_fast_apply(model, variables, dtype: Optional[jnp.dtype]):
     """Return ``(apply_fn, packed_variables)`` for a supported model in eval
-    mode, or ``None`` when the model is not supported (legacy/UNet++ variants
-    keep the flax path).  ``apply_fn(packed, x[, prev_x])`` mirrors
-    ``model.apply(variables, x[, prev_x], train=False)`` exactly (same output
-    structure); ``packed`` is the single-buffer fold of all weights.
+    mode, or ``None`` when the model is not supported (the legacy
+    Unet_v0/BabyUnet keep the flax path).  ``apply_fn(packed, x[, prev_x])``
+    mirrors ``model.apply(variables, x[, prev_x], train=False)`` exactly
+    (same output structure); ``packed`` is the single-buffer fold of all
+    weights.
 
-    Covers the 2D family (plain/attention/siamese/multi-output) and the 3D
-    family (UNet3D, MultiOutputUnet3D, both decoder styles)."""
+    Covers the 2D family (plain/attention/siamese/multi-output), UNet++
+    (both depths, deep supervision) and the 3D family (UNet3D,
+    MultiOutputUnet3D, both decoder styles)."""
+    from ..models.nested_unet import MultiOutputNestedUNet
     from ..models.unet2d import UNet2DBase
     from ..models.unet3d import MultiOutputUnet3D, UNet3D
 
@@ -141,6 +149,8 @@ def build_fast_apply(model, variables, dtype: Optional[jnp.dtype]):
         return None
     if isinstance(model, (UNet3D, MultiOutputUnet3D)):
         return _build_fast_3d(model, variables, dtype)
+    if isinstance(model, MultiOutputNestedUNet):
+        return _build_fast_nested(model, variables, dtype)
     if not isinstance(model, UNet2DBase):
         return None
     from ..models.unet2d import apply_activation
@@ -266,5 +276,46 @@ def _build_fast_3d(model, variables, dtype: Optional[jnp.dtype]):
                 cfg.get("activation"))
             for name, cfg in heads.items()
         }
+
+    return apply_fn, packed
+
+
+def _build_fast_nested(model, variables, dtype: Optional[jnp.dtype]):
+    """BN-folded raw-lax forward for UNet++ (models/nested_unet.py), eval
+    mode: the dense x_{i,j} VGG grid with bilinear align_corners=True
+    upsampling; deep-supervision checkpoints emit only the deepest head
+    (the reference's eval contract, multi_output_nested_unet.py:136-154)."""
+    from ..models.unet2d import apply_activation
+    from ..ops.functional import upsample_linear
+
+    packed, unpack = pack_tree(fold_unet2d(variables))
+    L = model.levels
+    dil = model.dilations
+    heads = model.heads
+    deep = model.deep_supervision
+
+    def vgg(x, f, d=1):
+        return _conv(_conv(x, f["stage1"], d), f["stage2"], d)
+
+    def apply_fn(packed_buf, x):
+        f = unpack(packed_buf)
+        if dtype is not None:
+            x = x.astype(dtype)
+        col = {0: {0: vgg(x, f["grid_conv0_0"], dil[0])}}
+        for i in range(1, L + 1):
+            col.setdefault(i, {})
+            col[i][0] = vgg(max_pool(col[i - 1][0]), f[f"grid_conv{i}_0"], dil[i])
+            for k in range(i - 1, -1, -1):
+                j = i - k
+                inputs = [col[k][jj] for jj in range(j)] + [
+                    upsample_linear(col[k + 1][j - 1], 2, align_corners=True)]
+                col[k][j] = vgg(jnp.concatenate(inputs, axis=-1),
+                                f[f"grid_conv{k}_{j}"])
+        outputs = {}
+        for name, cfg in heads.items():
+            layer = f"output_layers_{name}_{L}" if deep else f"output_layers_{name}"
+            logits = _conv1x1(col[0][L], f[layer]).astype(jnp.float32)
+            outputs[name] = apply_activation(logits, cfg.get("activation"))
+        return outputs
 
     return apply_fn, packed

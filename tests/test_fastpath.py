@@ -78,12 +78,10 @@ def test_fast_multi_output():
 def test_fast_unsupported_models_return_none():
     from bio_image_unet_tpu.models import get_model
 
-    legacy = get_model("Unet_v0", in_channels=1, out_channels=1)
-    vl = legacy.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))
-    assert build_fast_apply(legacy, vl, None) is None
-    nested = get_model("MultiOutputNestedUNet_3Levels", n_filter=4)
-    vn = nested.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))
-    assert build_fast_apply(nested, vn, None) is None
+    for name in ("Unet_v0", "BabyUnet"):
+        legacy = get_model(name, in_channels=1, out_channels=1)
+        vl = legacy.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))
+        assert build_fast_apply(legacy, vl, None) is None
 
 
 @pytest.mark.parametrize("use_interpolation", [False, True])
@@ -102,3 +100,16 @@ def test_fast_multi_output_unet3d(use_interpolation):
     _check(MultiOutputUnet3D(n_filter=4, output_heads=heads,
                              use_interpolation=use_interpolation),
            (2, 8, 16, 16, 1))
+
+
+@pytest.mark.parametrize("levels,deep", [(4, False), (4, True), (3, True)])
+def test_fast_nested_unet(levels, deep):
+    from bio_image_unet_tpu.models import (
+        MultiOutputNestedUNet,
+        MultiOutputNestedUNet_3Levels,
+    )
+
+    heads = {"mask": {"channels": 1, "activation": "sigmoid"}}
+    cls = MultiOutputNestedUNet if levels == 4 else MultiOutputNestedUNet_3Levels
+    _check(cls(n_filter=4, output_heads=heads, deep_supervision=deep),
+           (2, 32, 32, 1))
