@@ -302,3 +302,18 @@ def test_int_percentile_matches_numpy(rng):
                 _int_percentile(img, q),
                 np.percentile(img.astype(np.float64), q), atol=1e-6,
                 err_msg=f"{dtype} q={q}")
+
+
+def test_device_pipeline_exact_grid(tmp_path, rng, torch_unet_ckpt):
+    """Frame size an exact multiple of the tile (no overlap): the fused path
+    takes the reshape-only tiling/stitch branch and must still match the
+    host-staged path."""
+    ckpt_path, _ = torch_unet_ckpt
+    movie = rng.integers(0, 255, (3, 128, 128), dtype=np.uint8)
+    host = Predict(movie, None, ckpt_path, resize_dim=(64, 64),
+                   show_progress=False, batch_size=4)
+    fused = Predict(movie, None, ckpt_path, resize_dim=(64, 64),
+                    show_progress=False, batch_size=4, device_pipeline=True)
+    diff = np.abs(host.result.astype(int) - fused.result.astype(int))
+    assert np.mean(diff > 1) < 0.01, (diff.max(), np.mean(diff > 1))
+    assert diff.max() <= 16
