@@ -46,7 +46,7 @@ def _dn(nsp: int):
             else ("NDHWC", "DHWIO", "NDHWC"))
 
 
-def _conv(x, p, dilation: int = 1, leaky: bool = True):
+def _conv(x, p, dilation: int = 1, activation: str = "leaky"):
     nsp = x.ndim - 2
     dt = x.dtype
     y = lax.conv_general_dilated(
@@ -54,7 +54,7 @@ def _conv(x, p, dilation: int = 1, leaky: bool = True):
         [(dilation, dilation)] * nsp, rhs_dilation=(dilation,) * nsp,
         dimension_numbers=_dn(nsp),
     ) + p["bias"].astype(dt)
-    return jax.nn.leaky_relu(y, 0.1) if leaky else y
+    return jax.nn.relu(y) if activation == "relu" else jax.nn.leaky_relu(y, 0.1)
 
 
 def _conv1x1(x, p):
@@ -132,15 +132,16 @@ def pack_tree(tree):
 
 def build_fast_apply(model, variables, dtype: Optional[jnp.dtype]):
     """Return ``(apply_fn, packed_variables)`` for a supported model in eval
-    mode, or ``None`` when the model is not supported (the legacy
-    Unet_v0/BabyUnet keep the flax path).  ``apply_fn(packed, x[, prev_x])``
-    mirrors ``model.apply(variables, x[, prev_x], train=False)`` exactly
-    (same output structure); ``packed`` is the single-buffer fold of all
-    weights.
+    mode, or ``None`` when the model is not supported (variable trees with
+    no batch_stats have nothing to fold and keep the flax path).
+    ``apply_fn(packed, x[, prev_x])`` mirrors
+    ``model.apply(variables, x[, prev_x], train=False)`` exactly (same
+    output structure); ``packed`` is the single-buffer fold of all weights.
 
-    Covers the 2D family (plain/attention/siamese/multi-output), UNet++
-    (both depths, deep supervision) and the 3D family (UNet3D,
-    MultiOutputUnet3D, both decoder styles)."""
+    Covers EVERY model family: 2D (plain/attention/siamese/multi-output),
+    UNet++ (both depths, deep supervision), 3D (UNet3D, MultiOutputUnet3D,
+    both decoder styles), and the legacy ReLU variants."""
+    from ..models.legacy import BabyUnet, Unet_v0
     from ..models.nested_unet import MultiOutputNestedUNet
     from ..models.unet2d import UNet2DBase
     from ..models.unet3d import MultiOutputUnet3D, UNet3D
@@ -151,6 +152,8 @@ def build_fast_apply(model, variables, dtype: Optional[jnp.dtype]):
         return _build_fast_3d(model, variables, dtype)
     if isinstance(model, MultiOutputNestedUNet):
         return _build_fast_nested(model, variables, dtype)
+    if isinstance(model, (Unet_v0, BabyUnet)):
+        return _build_fast_legacy(model, variables)
     if not isinstance(model, UNet2DBase):
         return None
     from ..models.unet2d import apply_activation
@@ -317,5 +320,38 @@ def _build_fast_nested(model, variables, dtype: Optional[jnp.dtype]):
             logits = _conv1x1(col[0][L], f[layer]).astype(jnp.float32)
             outputs[name] = apply_activation(logits, cfg.get("activation"))
         return outputs
+
+    return apply_fn, packed
+
+
+def _build_fast_legacy(model, variables):
+    """BN-folded raw-lax forward for the legacy ReLU variants
+    (models/legacy.py): Unet_v0 (4 levels) and BabyUnet (3 levels), skips
+    from the FIRST conv of each level and an extra 1-channel decode stage.
+    Always f32 (the legacy flax models have no bf16 mode — parity first)."""
+    from ..models.legacy import Unet_v0
+
+    packed, unpack = pack_tree(fold_unet2d(variables))
+    levels = 4 if isinstance(model, Unet_v0) else 3
+    last = "decode9" if levels == 4 else "decode7"
+
+    def apply_fn(packed_buf, x):
+        f = unpack(packed_buf)
+        skips = []
+        h = x
+        for k in range(1, levels + 1):
+            a = _conv(h, f[f"encode{2 * k - 1}"], activation="relu")
+            skips.append(a)
+            h = max_pool(_conv(a, f[f"encode{2 * k}"], activation="relu"))
+        h = _conv(h, f["middle_conv1"], activation="relu")
+        h = _conv(h, f["middle_conv2"], activation="relu")  # dropout: eval no-op
+        for i in range(1, levels + 1):
+            u = _convt(h, f[f"up{i}"])
+            h = jnp.concatenate([u, skips[levels - i]], axis=-1)
+            h = _conv(h, f[f"decode{2 * i - 1}"], activation="relu")
+            h = _conv(h, f[f"decode{2 * i}"], activation="relu")
+        h = _conv(h, f[last], activation="relu")
+        logits = _conv1x1(h, f["final"])
+        return jax.nn.sigmoid(logits), logits
 
     return apply_fn, packed

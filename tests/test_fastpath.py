@@ -75,13 +75,12 @@ def test_fast_multi_output():
     _check(MultiOutputUnet(n_filter=4, output_heads=heads), (2, 32, 32, 1))
 
 
-def test_fast_unsupported_models_return_none():
-    from bio_image_unet_tpu.models import get_model
-
-    for name in ("Unet_v0", "BabyUnet"):
-        legacy = get_model(name, in_channels=1, out_channels=1)
-        vl = legacy.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))
-        assert build_fast_apply(legacy, vl, None) is None
+def test_fast_requires_batch_stats():
+    """Variable trees without batch_stats (nothing to fold) fall back to the
+    flax path."""
+    m = Unet(n_filter=4)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))
+    assert build_fast_apply(m, {"params": v["params"]}, None) is None
 
 
 @pytest.mark.parametrize("use_interpolation", [False, True])
@@ -113,3 +112,10 @@ def test_fast_nested_unet(levels, deep):
     cls = MultiOutputNestedUNet if levels == 4 else MultiOutputNestedUNet_3Levels
     _check(cls(n_filter=4, output_heads=heads, deep_supervision=deep),
            (2, 32, 32, 1))
+
+
+@pytest.mark.parametrize("name", ["Unet_v0", "BabyUnet"])
+def test_fast_legacy(name):
+    from bio_image_unet_tpu.models import get_model
+
+    _check(get_model(name, n_filter=4), (2, 32, 32, 1))
