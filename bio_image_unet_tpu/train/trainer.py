@@ -152,7 +152,7 @@ class Trainer:
         seed: int = 0,
         half_precision: bool = False,
         remat: bool = False,
-        device_cache: bool = False,
+        device_cache: Union[bool, str] = False,  # True/"replicated" | "sharded"
         device_augment: bool = False,
         tensorboard: bool = False,
         log_images: bool = False,
@@ -351,26 +351,46 @@ class Trainer:
         self._jit_eval_step = jax.jit(self._eval_step)
 
         # --- device-resident dataset + fused epoch scan ---
-        # The TPU-idiomatic train loop: the (small) tile dataset lives in HBM
-        # once, every epoch is ONE jitted lax.scan over shuffled index rows —
-        # no per-step host→device copies and no per-step dispatch latency
-        # (~40 ms/step on tunneled TPUs).  Multi-chip: the dataset is
-        # replicated across the data axis (it must fit HBM to be cached at
-        # all) while each scan row's index vector is sharded over ``data``,
-        # so every device gathers only its batch slice locally and XLA
-        # inserts the psum gradient/BN reductions — global-shuffle semantics
-        # identical to the single-chip path.
+        # The TPU-idiomatic train loop: the tile dataset lives in HBM once,
+        # every epoch is ONE jitted lax.scan over shuffled index rows — no
+        # per-step host→device copies and no per-step dispatch latency
+        # (~40 ms/step on tunneled TPUs).  Two multi-chip layouts:
+        #
+        # device_cache=True / "replicated": the dataset is replicated across
+        #   the data axis while each scan row's index vector is sharded over
+        #   ``data`` — every device gathers its batch slice locally, XLA
+        #   inserts the psum gradient/BN reductions, and the shuffle is
+        #   GLOBAL (loss trajectory identical to single-chip).
+        # device_cache="sharded": the dataset itself is sharded over ``data``
+        #   (cacheable size scales with chip count) and the epoch runs under
+        #   shard_map — each device shuffles and samples its OWN shard
+        #   (torch DistributedSampler semantics) with explicit pmean of
+        #   grads/loss and of the BatchNorm running stats (non-sync per-chip
+        #   BN, the DDP default).
         self._device_data = None
-        if device_cache:
+        self._cache_mode = (
+            "sharded" if device_cache == "sharded"
+            else ("replicated" if device_cache else None)
+        )
+        if self._cache_mode is not None:
             self._train_rng = np.random.default_rng(seed + 1)
-            stacked = {}
             samples = [train_data[i] for i in range(len(train_data))]
-            for k in samples[0]:
-                stacked[k] = jax.device_put(np.stack([s_[k] for s_ in samples]),
-                                            replicated(self.mesh))
-            self._device_data = stacked
             self._n_train = len(samples)
-            self._jit_epoch = jax.jit(self._epoch_scan, donate_argnums=(0,))
+            n_data = self.mesh.shape["data"]
+            if self._cache_mode == "sharded":
+                # pad (wrap-around) so every shard holds the same count
+                n_pad = int(np.ceil(len(samples) / n_data)) * n_data
+                samples = samples + samples[: n_pad - len(samples)]
+                self._n_local = n_pad // n_data
+                put = lambda a: jax.device_put(a, data_sharding(self.mesh, a.ndim))
+                self._jit_epoch = jax.jit(self._epoch_scan_sharded,
+                                          donate_argnums=(0,))
+            else:
+                put = lambda a: jax.device_put(a, replicated(self.mesh))
+                self._jit_epoch = jax.jit(self._epoch_scan, donate_argnums=(0,))
+            self._device_data = {
+                k: put(np.stack([s_[k] for s_ in samples])) for k in samples[0]
+            }
 
     def _loss_kwargs(self):
         if self.loss_function in ("BCEDice",):
@@ -433,7 +453,7 @@ class Trainer:
     # steps
     # ------------------------------------------------------------------
 
-    def _train_step(self, carry, batch, rng):
+    def _train_step(self, carry, batch, rng, pmean_axis=None):
         params, batch_stats, opt_state = carry
         rng, aug_rng = jax.random.split(rng)
         if self.device_augment:
@@ -482,9 +502,17 @@ class Trainer:
             return self._compute_loss(outputs, batch, train=True), mutated
 
         (loss, mutated), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        new_stats = mutated.get("batch_stats", batch_stats)
+        if pmean_axis is not None:
+            # explicit collectives (shard_map path): average grads/loss over
+            # the data axis; BN running stats are pmean'd too (non-sync
+            # per-chip BN ≙ torch DDP default, then kept consistent)
+            grads = jax.lax.pmean(grads, pmean_axis)
+            loss = jax.lax.pmean(loss, pmean_axis)
+            new_stats = jax.lax.pmean(new_stats, pmean_axis)
         updates, opt_state = self.tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return (params, mutated.get("batch_stats", batch_stats), opt_state), loss
+        return (params, new_stats, opt_state), loss
 
     def _eval_step(self, params, batch_stats, batch):
         variables = {"params": params}
@@ -521,17 +549,60 @@ class Trainer:
 
         return jax.lax.scan(body, carry, (idx_matrix, rngs))
 
+    def _epoch_scan_sharded(self, carry, data, idx_matrix, rng):
+        """Fused epoch over a dataset SHARDED across the ``data`` axis:
+        shard_map runs the scan per device on its local shard with LOCAL
+        indices (``idx_matrix``'s batch axis is sharded), grads/loss/BN
+        stats pmean over ``data`` inside the step."""
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def per_device(c, data_shard, idx_local, epoch_rng):
+            n_steps = idx_local.shape[0]
+            rngs = jax.random.split(epoch_rng, n_steps)
+
+            def body(c, inp):
+                idx, step_rng = inp
+                batch = {k: v[idx] for k, v in data_shard.items()}
+                return self._train_step(c, batch, step_rng, pmean_axis="data")
+
+            return jax.lax.scan(body, c, (idx_local, rngs))
+
+        return shard_map(
+            per_device,
+            mesh=self.mesh,
+            in_specs=(P(), P("data"), P(None, "data"), P()),
+            out_specs=(P(), P()),
+            check_rep=False,
+        )(carry, data, idx_matrix, rng)
+
     def _iterate_train_fused(self, epoch):
         print(f"\nStarting training epoch {epoch} (fused on-device) ...")
-        n_steps = self._n_train // self.batch_size
-        if n_steps == 0:
-            return float("nan")
-        perm = self._train_rng.permutation(self._n_train)[: n_steps * self.batch_size]
-        idx_matrix = perm.reshape(n_steps, self.batch_size).astype(np.int32)
-        # shard each step's index row over the data axis: the on-device
-        # gather (and everything downstream) then runs batch-parallel
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        n_data = self.mesh.shape["data"]
+        if self._cache_mode == "sharded":
+            # per-shard local shuffle (DistributedSampler semantics): each
+            # device's column block holds LOCAL indices into its own shard
+            local_bs = self.batch_size // n_data
+            n_steps = self._n_local // local_bs
+            if n_steps == 0:
+                return float("nan")
+            cols = []
+            for _ in range(n_data):
+                perm = self._train_rng.permutation(self._n_local)
+                cols.append(perm[: n_steps * local_bs]
+                            .reshape(n_steps, local_bs))
+            idx_matrix = np.concatenate(cols, axis=1).astype(np.int32)
+        else:
+            n_steps = self._n_train // self.batch_size
+            if n_steps == 0:
+                return float("nan")
+            perm = self._train_rng.permutation(self._n_train)[
+                : n_steps * self.batch_size]
+            idx_matrix = perm.reshape(n_steps, self.batch_size).astype(np.int32)
+        # shard each step's index row over the data axis: the on-device
+        # gather (and everything downstream) then runs batch-parallel
         idx_dev = jax.device_put(idx_matrix,
                                  NamedSharding(self.mesh, P(None, "data")))
         carry = (self.params, self.batch_stats, self.opt_state)

@@ -311,3 +311,37 @@ def test_trainer_multi_output_device_augment(tmp_path, rng):
                       device_augment=True, save_dir=str(tmp_path / "out"), seed=0)
     best = trainer.start()
     assert np.isfinite(best)
+
+
+def test_device_cache_sharded(tmp_path, rng):
+    """device_cache='sharded': the dataset shards over the 8-device data
+    axis, the epoch runs under shard_map with per-shard shuffling and pmean
+    collectives — trains to a finite loss and checkpoints."""
+    from bio_image_unet_tpu.parallel import get_mesh
+
+    data = _random_dataset_2d(tmp_path, rng, n=4)
+    trainer = Trainer(data, num_epochs=2, network="Unet", batch_size=8,
+                      n_filter=4, device_cache="sharded",
+                      mesh=get_mesh(n_data=8), save_dir=str(tmp_path / "out"),
+                      seed=0)
+    best = trainer.start()
+    assert np.isfinite(best)
+    assert (tmp_path / "out" / "model.ckpt").exists()
+
+
+def test_device_cache_sharded_single_chip_equals_replicated(tmp_path, rng):
+    """On a 1-chip data axis the sharded mode degenerates exactly to the
+    replicated mode (same permutations, pmean over one device is identity)."""
+    from bio_image_unet_tpu.parallel import get_mesh
+
+    data = _random_dataset_2d(tmp_path, rng, n=4)
+
+    def run(mode, out):
+        t = Trainer(data, num_epochs=2, network="Unet", batch_size=4,
+                    n_filter=4, device_cache=mode, mesh=get_mesh(n_data=1),
+                    save_dir=str(tmp_path / out), seed=0)
+        t.start()
+        rows = (tmp_path / out / "metrics.csv").read_text().strip().splitlines()[1:]
+        return [float(r.split(",")[1]) for r in rows]
+
+    np.testing.assert_allclose(run(True, "rep"), run("sharded", "sh"), rtol=1e-5)
