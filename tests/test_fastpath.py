@@ -14,8 +14,6 @@ from bio_image_unet_tpu.models import (
 )
 from bio_image_unet_tpu.predict.fastpath import build_fast_apply
 
-pytestmark = pytest.mark.quick
-
 
 def _warm_bn(model, variables, *shapes, steps=3):
     """Run a few train-mode steps so running stats differ from init
@@ -52,6 +50,7 @@ def _check(model, *shapes, atol=2e-5):
             np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=atol)
 
 
+@pytest.mark.quick
 def test_fast_unet():
     _check(Unet(n_filter=4), (2, 32, 32, 1))
 
