@@ -317,3 +317,48 @@ def test_device_pipeline_exact_grid(tmp_path, rng, torch_unet_ckpt):
     diff = np.abs(host.result.astype(int) - fused.result.astype(int))
     assert np.mean(diff > 1) < 0.01, (diff.max(), np.mean(diff > 1))
     assert diff.max() <= 16
+
+
+def test_normalize_stack_modes_and_invert(rng):
+    """'single'/'first'/'all' + invert semantics vs a direct numpy oracle
+    (reference unet/predict.py:122-150)."""
+    from bio_image_unet_tpu.predict.predictor import _normalize_stack
+
+    imgs = rng.integers(0, 200, (3, 40, 40), dtype=np.uint8)
+
+    # single: frame 1 normalized from its own histogram
+    out = _normalize_stack(imgs, "single", (2.0, 98.0))
+    f = imgs[1].astype(np.float64)
+    c = np.clip(f, np.percentile(f, 2.0), np.percentile(f, 98.0))
+    ref = (c - c.min()) / (c.max() - c.min()) * 255.0
+    np.testing.assert_allclose(out[1], ref, atol=1e-3)
+
+    # first: clip bounds from frame 0, min/max over the whole stack
+    out = _normalize_stack(imgs, "first", (2.0, 98.0))
+    lo = np.percentile(imgs[0].astype(np.float64), 2.0)
+    hi = np.percentile(imgs[0].astype(np.float64), 98.0)
+    c = np.clip(imgs.astype(np.float64), lo, hi)
+    ref = (c - c.min()) / (c.max() - c.min()) * 255.0
+    np.testing.assert_allclose(out, ref, atol=1e-3)
+
+    # all: bounds from the whole stack; invert flips around the scale
+    out = _normalize_stack(imgs, "all", (2.0, 98.0), invert=True)
+    lo = np.percentile(imgs.astype(np.float64), 2.0)
+    hi = np.percentile(imgs.astype(np.float64), 98.0)
+    c = np.clip(imgs.astype(np.float64), lo, hi)
+    ref = 255.0 - (c - c.min()) / (c.max() - c.min()) * 255.0
+    np.testing.assert_allclose(out, ref, atol=1e-3)
+
+    with pytest.raises(ValueError, match="not valid"):
+        _normalize_stack(imgs, "bogus", (0, 100))
+
+
+def test_device_pipeline_invert_matches_host(tmp_path, rng, torch_unet_ckpt):
+    ckpt_path, _ = torch_unet_ckpt
+    movie = rng.integers(0, 255, (2, 96, 96), dtype=np.uint8)
+    host = Predict(movie, None, ckpt_path, resize_dim=(64, 64), invert=True,
+                   show_progress=False, batch_size=4)
+    fused = Predict(movie, None, ckpt_path, resize_dim=(64, 64), invert=True,
+                    show_progress=False, batch_size=4, device_pipeline=True)
+    diff = np.abs(host.result.astype(int) - fused.result.astype(int))
+    assert np.mean(diff > 1) < 0.01, (diff.max(), np.mean(diff > 1))
