@@ -345,3 +345,20 @@ def test_device_cache_sharded_single_chip_equals_replicated(tmp_path, rng):
         return [float(r.split(",")[1]) for r in rows]
 
     np.testing.assert_allclose(run(True, "rep"), run("sharded", "sh"), rtol=1e-5)
+
+
+def test_trainer_per_epoch_test_prediction(tmp_path, rng):
+    """start(test_data_path=...) predicts the test folder after each epoch
+    (≙ unet/train.py:190-197)."""
+    data = _random_dataset_2d(tmp_path, rng)
+    test_dir = tmp_path / "testdata"
+    os.makedirs(test_dir)
+    tiff.imwrite(str(test_dir / "t0.tif"),
+                 rng.integers(0, 255, (48, 48), dtype=np.uint8))
+    trainer = Trainer(data, num_epochs=1, network="Unet", batch_size=4,
+                      n_filter=4, save_dir=str(tmp_path / "out"), seed=0)
+    trainer.start(test_data_path=str(test_dir),
+                  result_path=str(tmp_path / "results"),
+                  test_resize_dim=(32, 32))
+    outs = os.listdir(str(tmp_path / "results"))
+    assert any("t0.tif" in f and "epoch_0" in f for f in outs), outs
