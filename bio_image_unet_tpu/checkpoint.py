@@ -99,7 +99,8 @@ def load(path, opt_state_template=None) -> Dict[str, Any]:
     'best_loss', 'opt_state'}``.
 
     Dispatches on file magic: native checkpoints load torch-free; reference
-    ``.pt`` files route through interop (requires the baked-in CPU torch).
+    ``.pt`` files route through interop's restricted zip/pickle reader —
+    also torch-free (``torch.load`` is only a fallback for exotic payloads).
     ``opt_state_template`` (an optax state with the right structure) restores
     the optimizer state into real pytrees; without it the raw state dict is
     returned.

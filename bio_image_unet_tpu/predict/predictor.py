@@ -342,8 +342,16 @@ class _Engine:
             dev = jnp.asarray(block)  # no-op for already-resident arrays
             for cstart in range(0, k, n_chunk):
                 n_real = min(n_chunk, k - cstart)
-                pending.append(
-                    (fn(self.variables, dev[cstart : cstart + n_chunk]), n_real))
+                out = fn(self.variables, dev[cstart : cstart + n_chunk])
+                try:
+                    # start the D2H copy as soon as the chunk's compute
+                    # finishes — downloads of early chunks then overlap the
+                    # uploads/compute of later ones (the link is the
+                    # bottleneck on tunneled runtimes and is full-duplex)
+                    out.copy_to_host_async()
+                except (AttributeError, RuntimeError):
+                    pass
+                pending.append((out, n_real))
         fetched = jax.device_get([dev for dev, _ in pending])
         return np.concatenate([buf[:k] for buf, (_, k) in zip(fetched, pending)])
 

@@ -42,6 +42,8 @@ def main():
     ap.add_argument("--epochs", type=int, default=20)
     ap.add_argument("--batch-size", type=int, default=12)
     ap.add_argument("--n-filter", type=int, default=32)  # batch 12 fits 8 GB
+    ap.add_argument("--dim", type=int, default=256)
+    ap.add_argument("--aug-factor", type=int, default=10)
     ap.add_argument("--mode", default="max",
                     choices=["concat", "corr", "max", "control"])
     args = ap.parse_args()
@@ -50,7 +52,8 @@ def main():
         os.path.join(args.workdir, "training_data"))
 
     data = siam.DataProcess(
-        (image_dir, label_dir), dim_out=(256, 256), aug_factor=10,
+        (image_dir, label_dir), dim_out=(args.dim, args.dim),
+        aug_factor=args.aug_factor,
         data_path=os.path.join(args.workdir, "data"),
     )
     trainer = siam.Trainer(
@@ -64,7 +67,8 @@ def main():
     # at a time — bounded memory for arbitrarily long movies
     siam.Predict(
         movie, os.path.join(args.workdir, "prediction.tif"),
-        os.path.join(args.workdir, "model", "model.ckpt"), resize_dim=(256, 256),
+        os.path.join(args.workdir, "model", "model.ckpt"),
+        resize_dim=(args.dim, args.dim),
     )
     print(f"done — results under {args.workdir}")
 
