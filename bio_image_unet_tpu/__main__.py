@@ -73,8 +73,9 @@ def _detect_family(checkpoint_path: str) -> str:
     from . import checkpoint
 
     try:
+        # peek is metadata-only for BOTH formats (no weight bytes read)
         hp = checkpoint.peek(checkpoint_path)["hyperparams"]
-    except ValueError:  # torch .pt — full load needed for the dict
+    except ValueError:  # pre-1.6 legacy .pt — full torch load needed
         hp = checkpoint.load(checkpoint_path)["hyperparams"]
     name = hp.get("model_name") or hp.get("network")
     family = _MODEL_FAMILY.get(name)

@@ -85,11 +85,23 @@ def save(
 
 
 def peek(path) -> Dict[str, Any]:
-    """Read only the json header (hyperparams/epoch/best_loss) — no weights."""
+    """Read only the hyperparams/epoch/best_loss — no weight bytes.  Native
+    checkpoints read the json header; torch ``.pt`` files go through the
+    restricted unpickler in metadata-only mode (tensor records untouched)."""
     with open(path, "rb") as fh:
         magic = fh.read(8)
         if magic != _MAGIC:
-            raise ValueError(f"{path} is not a bio_image_unet_tpu checkpoint")
+            from .interop.pt_reader import read_pt_meta
+
+            ckpt = read_pt_meta(path)
+            return {
+                "hyperparams": {
+                    k: v for k, v in ckpt.items()
+                    if k not in ("state_dict", "optimizer_state_dict")
+                },
+                "epoch": ckpt.get("epoch"),
+                "best_loss": ckpt.get("best_loss"),
+            }
         (n,) = struct.unpack("<I", fh.read(4))
         return json.loads(fh.read(n))
 

@@ -38,23 +38,32 @@ def _rot90_single(x, k, axes=(0, 1)):
     )
 
 
+def _spatial_tx(x, k, fh, fv, axes):
+    """One sample's rot90-by-k + optional H/V flips in the ``axes`` plane —
+    the single definition every batched spatial augmentation maps over."""
+    x = _rot90_single(x, k, axes=axes)
+    x = jnp.where(fh, jnp.flip(x, axis=axes[1]), x)
+    x = jnp.where(fv, jnp.flip(x, axis=axes[0]), x)
+    return x
+
+
+def _draw_spatial(key, b):
+    """Per-sample (k, flip_h, flip_v) draws shared by image and targets."""
+    k_rot, k_h, k_v = jax.random.split(key, 3)
+    return (jax.random.randint(k_rot, (b,), 0, 4),
+            jax.random.bernoulli(k_h, 0.5, (b,)),
+            jax.random.bernoulli(k_v, 0.5, (b,)))
+
+
 def random_rot90_flip(key, *arrays, spatial_axes=(0, 1)):
     """Apply the same per-sample random rot90 + flips (in the per-sample
     ``spatial_axes`` plane) to every array in ``arrays``.  2D tiles use the
     default (0, 1); 3D (Z, X, Y, C) volumes pass (1, 2) so rotation stays in
     the image plane.  Square spatial extent required."""
-    b = arrays[0].shape[0]
-    k_rot, k_h, k_v = jax.random.split(key, 3)
-    ks = jax.random.randint(k_rot, (b,), 0, 4)
-    flip_h = jax.random.bernoulli(k_h, 0.5, (b,))
-    flip_v = jax.random.bernoulli(k_v, 0.5, (b,))
-    ax0, ax1 = spatial_axes
+    ks, flip_h, flip_v = _draw_spatial(key, arrays[0].shape[0])
 
     def tx(x, k, fh, fv):
-        x = _rot90_single(x, k, axes=(ax0, ax1))
-        x = jnp.where(fh, jnp.flip(x, axis=ax1), x)
-        x = jnp.where(fv, jnp.flip(x, axis=ax0), x)
-        return x
+        return _spatial_tx(x, k, fh, fv, spatial_axes)
 
     return tuple(jax.vmap(tx)(a, ks, flip_h, flip_v) for a in arrays)
 
@@ -96,6 +105,19 @@ def random_gauss_noise(key, image, sigma: float = 0.04, p: float = 0.3,
     return jnp.where(apply, jnp.clip(image + noise, 0.0, max_value), image)
 
 
+def _intensity(img, k_bc, k_mult, k_gauss, brightness_contrast, noise_mult,
+               gauss_sigma):
+    """The shared image-only intensity stage (brightness/contrast,
+    multiplicative noise, Gaussian noise — each gated on its own
+    probability)."""
+    out = random_brightness_contrast(k_bc, img, *brightness_contrast)
+    if noise_mult is not None:
+        out = random_multiplicative_noise(k_mult, out, noise_mult)
+    if gauss_sigma is not None:
+        out = random_gauss_noise(k_gauss, out, gauss_sigma)
+    return out
+
+
 def augment_batch(key, image, mask, prev_image=None,
                   brightness_contrast: Tuple[float, float] = (0.25, 0.25),
                   noise_mult: Optional[Tuple[float, float]] = (0.5, 1.2),
@@ -115,12 +137,8 @@ def augment_batch(key, image, mask, prev_image=None,
     spatial = random_rot90_flip(k_spatial, *targets, spatial_axes=spatial_axes)
 
     def intensity(img, k_bc_i):
-        out = random_brightness_contrast(k_bc_i, img, *brightness_contrast)
-        if noise_mult is not None:
-            out = random_multiplicative_noise(k_mult, out, noise_mult)
-        if gauss_sigma is not None:
-            out = random_gauss_noise(k_gauss, out, gauss_sigma)
-        return out
+        return _intensity(img, k_bc_i, k_mult, k_gauss, brightness_contrast,
+                          noise_mult, gauss_sigma)
 
     aug_image = intensity(spatial[0], k_bc)
     aug_mask = spatial[1]
@@ -162,25 +180,17 @@ def augment_batch_heads(key, image, targets, orientation_keys=(),
     the new frame (the device counterpart of the offline orientation
     angle-shift, multi_output_unet/data.py:270-282).  Intensity ops touch the
     image only.  3D volumes ((B, Z, X, Y, C)) rotate in the (X, Y) plane."""
-    k_gate, k_rot, k_h, k_v, k_bc, k_mult, k_gauss = jax.random.split(key, 7)
+    k_gate, k_spatial, k_bc, k_mult, k_gauss = jax.random.split(key, 5)
     b = image.shape[0]
     gate = jax.random.bernoulli(k_gate, p_pipeline, (b,))
-    ks = jax.random.randint(k_rot, (b,), 0, 4)
-    flip_h = jax.random.bernoulli(k_h, 0.5, (b,))
-    flip_v = jax.random.bernoulli(k_v, 0.5, (b,))
-    ax0, ax1 = (1, 2) if image.ndim == 5 else (0, 1)
-
-    def spatial_one(x, k, fh, fv):
-        x = _rot90_single(x, k, axes=(ax0, ax1))
-        x = jnp.where(fh, jnp.flip(x, axis=ax1), x)
-        x = jnp.where(fv, jnp.flip(x, axis=ax0), x)
-        return x
+    ks, flip_h, flip_v = _draw_spatial(k_spatial, b)
+    axes = (1, 2) if image.ndim == 5 else (0, 1)
 
     def tx(img, tgts, k, fh, fv, g):
-        img_a = spatial_one(img, k, fh, fv)
+        img_a = _spatial_tx(img, k, fh, fv, axes)
         out = {}
         for name, t in tgts.items():
-            ta = spatial_one(t, k, fh, fv)
+            ta = _spatial_tx(t, k, fh, fv, axes)
             if name in orientation_keys:
                 ta = _orientation_components(ta, k, fh, fv)
             out[name] = jnp.where(g, ta, t)
@@ -190,10 +200,7 @@ def augment_batch_heads(key, image, targets, orientation_keys=(),
                                           flip_v, gate)
 
     shape = (b,) + (1,) * (image.ndim - 1)
-    out = random_brightness_contrast(k_bc, aug_image, *brightness_contrast)
-    if noise_mult is not None:
-        out = random_multiplicative_noise(k_mult, out, noise_mult)
-    if gauss_sigma is not None:
-        out = random_gauss_noise(k_gauss, out, gauss_sigma)
+    out = _intensity(aug_image, k_bc, k_mult, k_gauss, brightness_contrast,
+                     noise_mult, gauss_sigma)
     out_image = jnp.where(gate.reshape(shape), out, aug_image)
     return out_image, out_targets

@@ -158,6 +158,13 @@ class TiffWriter:
         if data_offset % 2:  # keep word alignment
             fh.write(b"\x00")
             data_offset += 1
+        if data_offset + len(data) > 0xFFFFFFFF:
+            # classic TIFF offsets are 32-bit; fail loudly instead of
+            # writing wrapped offsets (struct.pack would raise later with a
+            # far less actionable message)
+            raise TiffFormatError(
+                "file would exceed the classic-TIFF 4 GiB limit — split the "
+                "stack across files or reduce precision")
         fh.write(data)
 
         # Build the IFD. Entries must be ascending by tag.

@@ -134,11 +134,30 @@ class _ZipReader:
         return self.zf.read(self.prefix + name)
 
 
+class _LazyTensor:
+    """Shape/dtype-only stand-in produced by metadata reads — the weight
+    bytes are never pulled from the archive."""
+
+    __slots__ = ("shape", "dtype")
+
+    def __init__(self, shape, dtype):
+        self.shape, self.dtype = tuple(int(s) for s in shape), dtype
+
+
+def _rebuild_tensor_lazy(storage: _Storage, storage_offset, size, stride,
+                         requires_grad=False, backward_hooks=None,
+                         metadata=None) -> _LazyTensor:
+    return _LazyTensor(size, storage.dtype)
+
+
 class _RestrictedUnpickler(pickle.Unpickler):
-    def __init__(self, data: bytes, reader: _ZipReader):
+    def __init__(self, data: bytes, reader: _ZipReader, lazy: bool = False):
         super().__init__(io.BytesIO(data))
         self._reader = reader
         self._globals = _allowed_globals()
+        if lazy:  # metadata-only read: skip every tensor-record decode
+            self._globals[("torch._utils", "_rebuild_tensor_v2")] = (
+                _rebuild_tensor_lazy)
 
     def find_class(self, module, name):
         try:
@@ -171,3 +190,19 @@ def read_pt(path) -> Dict[str, Any]:
     with zipfile.ZipFile(path) as zf:
         reader = _ZipReader(zf)
         return _RestrictedUnpickler(reader.read_record("data.pkl"), reader).load()
+
+
+def read_pt_meta(path) -> Dict[str, Any]:
+    """Like :func:`read_pt` but metadata-only: tensors come back as
+    :class:`_LazyTensor` shape/dtype stubs and no weight bytes are read —
+    cheap hyperparameter inspection of arbitrarily large checkpoints
+    (used by ``checkpoint.peek`` and the CLI's family autodetection)."""
+    if not zipfile.is_zipfile(path):
+        raise ValueError(
+            f"{path} is not a zip-serialized torch checkpoint (pre-torch-1.6 "
+            "legacy format — re-save it with a modern torch, or install torch)"
+        )
+    with zipfile.ZipFile(path) as zf:
+        reader = _ZipReader(zf)
+        return _RestrictedUnpickler(reader.read_record("data.pkl"), reader,
+                                    lazy=True).load()

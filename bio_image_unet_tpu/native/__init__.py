@@ -183,8 +183,15 @@ def imwrite(path, data: np.ndarray, compress: Optional[int] = None,
         n, (h, w, c) = 1, data.shape
     elif data.ndim == 3:
         (n, h, w), c = data.shape, 1
-    elif data.ndim == 4:
+    elif data.ndim == 4 and data.shape[-1] <= 8:
         n, h, w, c = data.shape
+    elif data.ndim == 4:
+        # channels-first page stacks (e.g. multi-output (N, C, H, W)
+        # results): flatten to N·C grayscale pages — the exact layout the
+        # Python TiffWriter produces for the same array, so the file format
+        # never depends on which encoder was picked
+        data = data.reshape(-1, data.shape[2], data.shape[3])
+        (n, h, w), c = data.shape, 1
     else:
         return False
     level = 0 if not compress else (6 if compress is True else int(compress))

@@ -338,7 +338,10 @@ def _build_fast_legacy(model, variables):
     def apply_fn(packed_buf, x):
         f = unpack(packed_buf)
         skips = []
-        h = x
+        # enforce the documented f32 contract even under half_precision
+        # (the flax legacy models have no dtype knob, so the fallback path
+        # is f32 — the fast path must not silently diverge from it)
+        h = x.astype(jnp.float32)
         for k in range(1, levels + 1):
             a = _conv(h, f[f"encode{2 * k - 1}"], activation="relu")
             skips.append(a)

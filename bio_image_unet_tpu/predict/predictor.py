@@ -32,7 +32,10 @@ def _int_percentile(img: np.ndarray, q: float) -> float:
     host normalization otherwise rivals the device forward per frame)."""
     flat = img.reshape(-1)
     lo = int(flat.min())
-    counts = np.bincount((flat - lo).astype(np.int64))
+    # widen BEFORE subtracting: int8/int16 data spanning more than the
+    # dtype's positive range would wrap (e.g. int16 -30000..32000) and
+    # crash bincount with negative values
+    counts = np.bincount(flat.astype(np.int64) - lo)
     cum = np.cumsum(counts)
     pos = (flat.size - 1) * (q / 100.0)
     lo_k, hi_k = int(np.floor(pos)), int(np.ceil(pos))
@@ -132,6 +135,11 @@ class _Engine:
         if name == "Unet_v0":
             hp.setdefault("in_channels", 1)
             hp.setdefault("out_channels", 1)
+        if name in ("Unet_v0", "BabyUnet"):
+            # the legacy models have no bf16 mode (parity first): keep the
+            # whole path f32 so fold and flax fallback agree under the same
+            # user flags
+            half_precision = False
         self.dtype = jnp.bfloat16 if half_precision else jnp.float32
         # bf16 threads through the model blocks (params/BN/logits stay fp32)
         self.model = get_model(name, **{**hp, "dtype": jnp.bfloat16 if half_precision else None})
@@ -217,6 +225,11 @@ class _Engine:
     # chunks per host→device upload (bigger transfers amortize the link's
     # fixed per-transfer latency; per-chunk slicing happens on device)
     SUPER_CHUNKS = 4
+    # max un-fetched chunk outputs kept on device: bounds HBM use at
+    # O(window · chunk) for arbitrarily long movies (64 × 16 frames of
+    # 1024² uint8 ≈ 1 GB) while staying deep enough that fetches of the
+    # oldest chunk overlap compute of the newest
+    FUSED_PENDING_CHUNKS = 64
 
     def fused_predict_frames(self, imgs_u8: np.ndarray, xs, ys, resize_dim,
                              clip_threshold, invert: bool, progress=None):
@@ -326,6 +339,10 @@ class _Engine:
         # (the link's sweet spot) in one batched device_get at the end.
         super_frames = n_chunk * self.SUPER_CHUNKS
         pending = []
+        done = []
+        # cap device-resident outputs: without a window, a 20k-frame movie
+        # would hold every stitched chunk in HBM until the final fetch
+        window = max(1, self.FUSED_PENDING_CHUNKS)
         steps = list(range(0, n_frames, super_frames))
         it = progress.iterator(steps) if progress is not None else steps
         for sstart in it:
@@ -352,8 +369,12 @@ class _Engine:
                 except (AttributeError, RuntimeError):
                     pass
                 pending.append((out, n_real))
+                if len(pending) > window:
+                    buf, k_old = pending.pop(0)
+                    done.append(jax.device_get(buf)[:k_old])
         fetched = jax.device_get([dev for dev, _ in pending])
-        return np.concatenate([buf[:k] for buf, (_, k) in zip(fetched, pending)])
+        done.extend(buf[:k] for buf, (_, k) in zip(fetched, pending))
+        return np.concatenate(done)
 
     @staticmethod
     def _pad_to(arr: np.ndarray, n_pad: int) -> np.ndarray:

@@ -558,6 +558,12 @@ class Trainer:
         from jax.sharding import PartitionSpec as P
 
         def per_device(c, data_shard, idx_local, epoch_rng):
+            # decorrelate the per-device streams: the epoch rng arrives
+            # replicated (P()), so without the axis_index fold every shard
+            # would draw IDENTICAL augmentation/dropout randomness and
+            # cross-device diversity would be batch/n_data, not batch
+            epoch_rng = jax.random.fold_in(epoch_rng,
+                                           jax.lax.axis_index("data"))
             n_steps = idx_local.shape[0]
             rngs = jax.random.split(epoch_rng, n_steps)
 

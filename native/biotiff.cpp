@@ -378,6 +378,15 @@ int biotiff_write(const char* path, const void* data, int dtype_code,
                 p = base + frame * frame_bytes;
                 nbytes = static_cast<size_t>(frame_bytes);
             }
+            // classic TIFF carries 32-bit offsets; past 4 GiB they would
+            // silently wrap into a corrupt file — refuse instead (the
+            // caller surfaces the error rather than falling back, since
+            // every classic-TIFF writer shares the limit)
+            if (pos + nbytes > UINT32_MAX) {
+                std::fclose(fh);
+                std::remove(path);
+                return ERR_CAPACITY;
+            }
             offs.push_back(static_cast<uint32_t>(pos));
             cnts.push_back(static_cast<uint32_t>(nbytes));
             if (!wr(p, nbytes)) { std::fclose(fh); return ERR_OPEN; }
@@ -427,6 +436,11 @@ int biotiff_write(const char* path, const void* data, int dtype_code,
             }
         }
         put32(ifd, 0);  // next IFD — patched by the following page
+        if (ifd_offset + ifd.size() + deferred.size() > UINT32_MAX) {
+            std::fclose(fh);
+            std::remove(path);
+            return ERR_CAPACITY;  // IFD past the classic-TIFF 32-bit limit
+        }
         if (!wr(ifd.data(), ifd.size()) ||
             (!deferred.empty() && !wr(deferred.data(), deferred.size()))) {
             std::fclose(fh); return ERR_OPEN;

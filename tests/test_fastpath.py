@@ -118,3 +118,29 @@ def test_fast_legacy(name):
     from bio_image_unet_tpu.models import get_model
 
     _check(get_model(name, n_filter=4), (2, 32, 32, 1))
+
+
+@pytest.mark.parametrize("name", ["Unet_v0", "BabyUnet"])
+def test_fast_legacy_f32_contract(name, tmp_path):
+    """The legacy models have no bf16 mode (parity first): requesting
+    half_precision must leave the whole legacy path f32, so results are
+    IDENTICAL with and without the flag."""
+    from bio_image_unet_tpu import checkpoint
+    from bio_image_unet_tpu.models import get_model
+    from bio_image_unet_tpu.predict.predictor import _Engine
+
+    model = get_model(name, n_filter=4)
+    shape = (2, 32, 32, 1)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros(shape))
+    variables = _warm_bn(model, variables, shape)
+    ckpt = str(tmp_path / "legacy.ckpt")
+    checkpoint.save(ckpt, variables, {"model_name": name, "n_filter": 4,
+                                      "in_channels": 1, "out_channels": 1})
+    eng_half = _Engine(ckpt, half_precision=True)
+    eng_full = _Engine(ckpt, half_precision=False)
+    assert eng_half.dtype == jnp.float32
+    x = np.asarray(jax.random.uniform(jax.random.PRNGKey(1), shape),
+                   np.float32)
+    out_half = eng_half.predict_patches(x)
+    out_full = eng_full.predict_patches(x)
+    np.testing.assert_array_equal(np.asarray(out_half), np.asarray(out_full))

@@ -119,3 +119,31 @@ def test_native_write_uncompressed_and_fallback(tmp_path, rng):
     p2 = str(tmp_path / "big.tif")
     tiff.imwrite(p2, big, compress=6)
     np.testing.assert_array_equal(tiff.imread(p2), big)
+
+
+def test_channels_first_4d_matches_python_writer(tmp_path, rng):
+    """Multi-output predictors save (N, C, H, W) stacks; the native encoder
+    must produce the same N·C-page layout as the Python writer, so the file
+    format never depends on which encoder the size/compression routing
+    picked."""
+    arr = rng.standard_normal((3, 2, 300, 400)).astype(np.float32)
+    p_native = str(tmp_path / "native.tif")
+    p_python = str(tmp_path / "python.tif")
+    imwrite(p_native, arr, compress=6)     # ≥1 MB compressed → native
+    imwrite(p_python, arr, compress=None)  # always the Python writer
+    a, b = _python_read(p_native), _python_read(p_python)
+    assert a.shape == b.shape == (6, 300, 400)
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a, arr.reshape(-1, 300, 400))
+
+
+def test_channels_last_4d_single_write(tmp_path, rng):
+    """(N, H, W, C≤8) stacks keep the channels-last interpretation in both
+    encoders."""
+    arr = rng.integers(0, 255, (5, 200, 240, 3)).astype(np.uint8)
+    p_native = str(tmp_path / "native.tif")
+    p_python = str(tmp_path / "python.tif")
+    imwrite(p_native, arr, compress=6)
+    imwrite(p_python, arr, compress=None)
+    np.testing.assert_array_equal(_python_read(p_native), arr)
+    np.testing.assert_array_equal(_python_read(p_python), arr)

@@ -362,3 +362,35 @@ def test_device_pipeline_invert_matches_host(tmp_path, rng, torch_unet_ckpt):
                     show_progress=False, batch_size=4, device_pipeline=True)
     diff = np.abs(host.result.astype(int) - fused.result.astype(int))
     assert np.mean(diff > 1) < 0.01, (diff.max(), np.mean(diff > 1))
+
+
+def test_int_percentile_signed_wide_range():
+    """int8/int16 frames spanning more than the dtype's positive range must
+    not wrap in the bincount shift (offset-subtracted cameras emit these)."""
+    from bio_image_unet_tpu.predict.predictor import _percentile
+
+    arr16 = np.array([[-30000, 0, 32000, 100, -5, 7]], dtype=np.int16)
+    arr8 = np.arange(-128, 128, dtype=np.int8).reshape(16, 16)
+    for arr in (arr16, arr8):
+        for q in (0.2, 50.0, 99.8):
+            got = _percentile(arr, q)
+            want = float(np.percentile(arr.astype(np.float64), q))
+            assert abs(got - want) < 1e-9, (arr.dtype, q, got, want)
+
+
+def test_fused_pipeline_bounded_pending_window(tmp_path, rng, torch_unet_ckpt,
+                                               monkeypatch):
+    """Device-resident chunk outputs are capped at FUSED_PENDING_CHUNKS: with
+    the window squeezed to 1 a long movie still returns identical results
+    (old chunks are fetched and released mid-loop)."""
+    from bio_image_unet_tpu.predict.predictor import _Engine
+
+    ckpt_path, _ = torch_unet_ckpt
+    kwargs = dict(resize_dim=(64, 64), show_progress=False, batch_size=4,
+                  device_pipeline=True)
+    movie = rng.integers(0, 255, (3 * _Engine.FUSED_CHUNK_FRAMES + 5, 96, 96),
+                         dtype=np.uint8)
+    wide = Predict(movie, None, ckpt_path, **kwargs).result
+    monkeypatch.setattr(_Engine, "FUSED_PENDING_CHUNKS", 1)
+    narrow = Predict(movie, None, ckpt_path, **kwargs).result
+    np.testing.assert_array_equal(wide, narrow)

@@ -105,3 +105,25 @@ def test_checkpoint_load_pt_without_torch(tmp_path, monkeypatch):
     out = model.apply(state["variables"], jnp.asarray(np.moveaxis(x.numpy(), 1, -1)),
                       train=False)[0]
     np.testing.assert_allclose(np.moveaxis(np.asarray(out), -1, 1), ref, atol=2e-4)
+
+
+def test_peek_pt_is_lazy(tmp_path, monkeypatch):
+    """checkpoint.peek on a .pt must read hyperparams WITHOUT touching any
+    tensor record (arbitrarily large checkpoints stay cheap to inspect)."""
+    from bio_image_unet_tpu import checkpoint
+    from bio_image_unet_tpu.interop import pt_reader
+
+    net = _ref_unet()
+    path = str(tmp_path / "m.pt")
+    torch.save({"state_dict": net.state_dict(), "epoch": 3, "best_loss": 0.5,
+                "model_name": "Unet", "n_filter": 4}, path)
+
+    def boom(self):
+        raise AssertionError("peek must not read tensor records")
+
+    monkeypatch.setattr(pt_reader._Storage, "as_array", boom)
+    meta = checkpoint.peek(path)
+    assert meta["epoch"] == 3 and meta["best_loss"] == 0.5
+    assert meta["hyperparams"]["model_name"] == "Unet"
+    assert meta["hyperparams"]["n_filter"] == 4
+    assert "state_dict" not in meta["hyperparams"]
