@@ -105,6 +105,9 @@ def tile_starts(extent: int, tile: int, n_extra: int = 0) -> np.ndarray:
 
 
 def _tif_files(directory: str, exts=(".tif", ".tiff")) -> List[str]:
+    if isinstance(exts, str):
+        exts = (exts,)
+    exts = tuple(e.lower() for e in exts)  # '.TIF' must match too
     files = [
         f
         for f in sorted(glob.glob(os.path.join(directory, "*")))
@@ -592,7 +595,12 @@ class DataProcess3D(_TileDataset):
             merge = tiff.imread(os.path.join(self.merge_path, f"{i}.tif"))
             gaps = [max(0, self.dim_out[a] - merge.shape[a]) for a in range(3)]
             merge = np.pad(merge, ((0, gaps[0]), (0, gaps[1]), (0, gaps[2]), (0, 0)), "reflect")
-            zs = tile_starts(merge.shape[0], self.dim_out[0])
+            # add_patch on every axis with >1 tiles.  Divergence from the
+            # reference (unet3d/data.py:188-190), whose literal rule is a
+            # copy-paste bug: `N_x += add_patch if N_z > 1` bumps x when *z*
+            # is tiled and never bumps z — we implement the evident intent
+            # (each tiled axis gets the extra overlap patches)
+            zs = tile_starts(merge.shape[0], self.dim_out[0], self.add_patch)
             xs = tile_starts(merge.shape[1], self.dim_out[1], self.add_patch)
             ys = tile_starts(merge.shape[2], self.dim_out[2], self.add_patch)
             for z0 in zs:
@@ -1005,22 +1013,41 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         error: list = []
+        stop = threading.Event()
 
         def worker():
             try:
                 for batch in self._batches():
-                    q.put(batch)
+                    # poll the stop flag so an abandoned iteration (early
+                    # break, exception in the train step) releases the
+                    # thread instead of leaking it blocked on a full queue
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except BaseException as e:  # surface loader errors in the consumer
                 error.append(e)
             finally:
-                q.put(sentinel)
+                while not stop.is_set():  # deliver unless the consumer left
+                    try:
+                        q.put(sentinel, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if error:
-                    raise error[0]
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if error:
+                        raise error[0]
+                    break
+                yield item
+        finally:
+            stop.set()  # generator closed early: unblock and end the worker

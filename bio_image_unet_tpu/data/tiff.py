@@ -306,6 +306,9 @@ class TiffReader:
 
     def page_shape(self, index: int = 0) -> Tuple[int, ...]:
         tags = self._read_tags(self._ifd_offsets[index])
+        for required in (TAG_IMAGE_LENGTH, TAG_IMAGE_WIDTH):
+            if required not in tags:
+                raise TiffFormatError(f"missing required tag {required}")
         h = tags[TAG_IMAGE_LENGTH][0]
         w = tags[TAG_IMAGE_WIDTH][0]
         c = tags.get(TAG_SAMPLES_PER_PIXEL, (1,))[0]
@@ -322,6 +325,9 @@ class TiffReader:
 
     def read_page(self, index: int) -> np.ndarray:
         tags = self._read_tags(self._ifd_offsets[index])
+        for required in (TAG_IMAGE_LENGTH, TAG_IMAGE_WIDTH):
+            if required not in tags:
+                raise TiffFormatError(f"missing required tag {required}")
         h = tags[TAG_IMAGE_LENGTH][0]
         w = tags[TAG_IMAGE_WIDTH][0]
         c = tags.get(TAG_SAMPLES_PER_PIXEL, (1,))[0]
@@ -334,6 +340,12 @@ class TiffReader:
             raise TiffFormatError(f"predictor {predictor} not supported")
         dtype = self.page_dtype(index)
 
+        if TAG_STRIP_OFFSETS not in tags or TAG_STRIP_BYTE_COUNTS not in tags:
+            # TileOffsets (324) instead of strips = a tiled TIFF — raise the
+            # codec's own error so imread's imageio/PIL fallback triggers
+            raise TiffFormatError(
+                "no strip offsets (tiled or malformed TIFF) — not supported "
+                "by the built-in codec")
         offsets = tags[TAG_STRIP_OFFSETS]
         counts = tags[TAG_STRIP_BYTE_COUNTS]
         chunks = []
@@ -411,7 +423,8 @@ def imread(path) -> np.ndarray:
     try:
         with TiffReader(path) as tr:
             return tr.asarray()
-    except TiffFormatError:
+    except (TiffFormatError, struct.error):
+        # struct.error = truncated/garbled container — let PIL/imageio try
         pass
     try:
         import imageio.v3 as iio

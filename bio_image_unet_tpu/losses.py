@@ -120,9 +120,9 @@ def tversky_loss(inputs, targets, alpha: float = 0.5, beta: float = 0.5,
 
 def logcosh_tversky_loss(inputs, targets, alpha: float = 0.5, beta: float = 0.5,
                          smooth: float = 1.0, from_logits: bool = True):
-    """log(cosh(1 − Tversky)) (reference unet/losses.py:194-240)."""
-    x = 1.0 - (1.0 - tversky_loss(inputs, targets, alpha, beta, smooth, from_logits))
-    # x is exactly (1 - Tversky); keep formulation explicit:
+    """log(cosh(1 − Tversky)) (reference unet/losses.py:194-240);
+    ``tversky_loss`` already returns 1 − Tversky."""
+    x = tversky_loss(inputs, targets, alpha, beta, smooth, from_logits)
     return jnp.log(jnp.cosh(x))
 
 

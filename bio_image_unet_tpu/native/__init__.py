@@ -81,6 +81,7 @@ def get_lib():
         lib.biotiff_read_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
         ]
         lib.biotiff_read_batch.restype = ctypes.c_int
         try:
@@ -146,7 +147,10 @@ def imread_batch(paths: List[str], n_threads: int = 0) -> Optional[np.ndarray]:
     rc = lib.biotiff_read_batch(c_paths, len(paths),
                                 out.ctypes.data_as(ctypes.c_void_p),
                                 item_bytes,
-                                n_threads or min(os.cpu_count() or 4, 16))
+                                n_threads or min(os.cpu_count() or 4, 16),
+                                shape, dtype.value)  # every file must match
+                                # file 0's probe — a smaller page would fill
+                                # only part of its slot (silent corruption)
     if rc != 0:
         return None
     arr = out.reshape((len(paths), n, h, w, c))

@@ -118,10 +118,14 @@ class ConvBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         nsp = x.ndim - 2
         fan_in = x.shape[-1] * self.kernel_size**nsp
+        # shape-preserving padding for any odd kernel: dilation·(k−1)/2
+        # (equals the reference's padding=dilation at its fixed k=3,
+        # unet/unet.py:54-60)
+        pad = self.dilation * (self.kernel_size - 1) // 2
         x = nn.Conv(
             self.features,
             (self.kernel_size,) * nsp,
-            padding=[(self.dilation, self.dilation)] * nsp,
+            padding=[(pad, pad)] * nsp,
             kernel_dilation=(self.dilation,) * nsp,
             kernel_init=he_normal_leaky,
             bias_init=_torch_bias_uniform(fan_in),

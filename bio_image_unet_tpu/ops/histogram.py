@@ -44,20 +44,19 @@ def u8_percentile(frames_u8, qs):
     (N,) float32 arrays following numpy's 'linear' interpolation rule."""
     n = frames_u8.shape[0]
     flat = frames_u8.reshape(n, -1)
-    p = flat.shape[1]
     cum = jnp.cumsum(u8_counts(flat), axis=1)
-    out = []
-    for q in qs:
-        pos = (p - 1) * (float(q) / 100.0)
-        lo_k = int(np.floor(pos))
-        hi_k = int(np.ceil(pos))
-        lo = _order_stat(cum, lo_k)
-        if hi_k == lo_k:
-            out.append(lo)
-        else:
-            hi = _order_stat(cum, hi_k)
-            out.append(lo + (pos - lo_k) * (hi - lo))
-    return out
+    return [_interp_pct(cum, flat.shape[1], q) for q in qs]
+
+
+def _interp_pct(cum, p: int, q: float):
+    """numpy 'linear'-rule percentile from a per-frame cumulative histogram
+    (the single definition both u8_percentile and u8_clip_bounds use)."""
+    pos = (p - 1) * (float(q) / 100.0)
+    lo_k, hi_k = int(np.floor(pos)), int(np.ceil(pos))
+    lo = _order_stat(cum, lo_k)
+    if hi_k == lo_k:
+        return lo
+    return lo + (pos - lo_k) * (_order_stat(cum, hi_k) - lo)
 
 
 def u8_clip_bounds(frames_u8, q_lo: float, q_hi: float):
@@ -69,16 +68,7 @@ def u8_clip_bounds(frames_u8, q_lo: float, q_hi: float):
     flat = frames_u8.reshape(n, -1)
     p = flat.shape[1]
     cum = jnp.cumsum(u8_counts(flat), axis=1)
-
-    def pct(q):
-        pos = (p - 1) * (float(q) / 100.0)
-        lo_k, hi_k = int(np.floor(pos)), int(np.ceil(pos))
-        lo = _order_stat(cum, lo_k)
-        if hi_k == lo_k:
-            return lo
-        return lo + (pos - lo_k) * (_order_stat(cum, hi_k) - lo)
-
-    lo, hi = pct(q_lo), pct(q_hi)
+    lo, hi = _interp_pct(cum, p, q_lo), _interp_pct(cum, p, q_hi)
     vmin = _order_stat(cum, 0)
     vmax = _order_stat(cum, p - 1)
     return lo, hi, jnp.maximum(vmin, lo), jnp.minimum(vmax, hi)

@@ -46,6 +46,11 @@ def get_mesh(
     if n_data is None:
         n_data = len(devices) // n_spatial
     n = n_data * n_spatial
+    if n <= 0:  # e.g. n_spatial > device count → n_data floor-divides to 0
+        raise ValueError(
+            f"mesh {n_data}x{n_spatial} is empty — n_spatial={n_spatial} "
+            f"exceeds the {len(devices)} available device(s)"
+        )
     if n > len(devices):
         raise ValueError(
             f"mesh {n_data}x{n_spatial} needs {n} devices, have {len(devices)}"

@@ -180,11 +180,15 @@ class _Engine:
 
             self.variables = jax.device_put(self.variables, replicated(mesh))
 
-    def _forward(self, x, prev, quantize: bool, variables):
+    @staticmethod
+    def _forward_with(apply_fn, dtype, x, prev, quantize: bool, variables):
+        """Free function so cached jitted closures capture only
+        (apply_fn, dtype) — NOT the engine instance: class-level program
+        caches must not pin an engine's device-resident weights alive."""
         scale = 1.0 / 255.0 if x.dtype == jnp.uint8 else 1.0
-        xf = x.astype(self.dtype) * scale
-        args = (xf,) if prev is None else (xf, prev.astype(self.dtype) * scale)
-        out = self._apply_fn(variables, *args)
+        xf = x.astype(dtype) * scale
+        args = (xf,) if prev is None else (xf, prev.astype(dtype) * scale)
+        out = apply_fn(variables, *args)
         if isinstance(out, dict):
             return {k: v.astype(jnp.float16) for k, v in out.items()}
         probs = out[0]
@@ -192,26 +196,45 @@ class _Engine:
             return (probs.astype(jnp.float32) * 255.0).astype(jnp.uint8)
         return probs.astype(jnp.float32)
 
+    def _forward(self, x, prev, quantize: bool, variables):
+        return self._forward_with(self._apply_fn, self.dtype, x, prev,
+                                  quantize, variables)
+
     # batches per compiled super-chunk: every dispatch sees the same static
     # shape (CHUNK_BATCHES, bs, *tile, C), so a movie of ANY length reuses
     # the same two compiled programs (full chunk + padded tail chunk)
     CHUNK_BATCHES = 8
 
+    # bound: each retained entry keeps a compiled executable (and its
+    # apply_fn recipe) alive; evict oldest-first past the cap so a
+    # long-running process predicting many distinct configs cannot grow
+    # host/HBM footprint without limit
+    CACHE_CAP = 32
+
+    @classmethod
+    def _cache_put(cls, cache: dict, key, value):
+        cache[key] = value
+        while len(cache) > cls.CACHE_CAP:
+            cache.pop(next(iter(cache)))  # dicts preserve insertion order
+
     def _get_runner(self, with_prev: bool, quantize: bool):
         key = self._cache_key + (with_prev, quantize)
         if key not in _Engine._RUNNER_CACHE:
+            forward, apply_fn, dtype = self._forward_with, self._apply_fn, self.dtype
 
             def run_all(variables, batches, prev_batches=None):
                 if with_prev:
                     return jax.lax.map(
-                        lambda ab: self._forward(ab[0], ab[1], quantize, variables),
+                        lambda ab: forward(apply_fn, dtype, ab[0], ab[1],
+                                           quantize, variables),
                         (batches, prev_batches),
                     )
                 return jax.lax.map(
-                    lambda b: self._forward(b, None, quantize, variables), batches
+                    lambda b: forward(apply_fn, dtype, b, None, quantize,
+                                      variables), batches
                 )
 
-            _Engine._RUNNER_CACHE[key] = jax.jit(run_all)
+            self._cache_put(_Engine._RUNNER_CACHE, key, jax.jit(run_all))
         return _Engine._RUNNER_CACHE[key]
 
     _FUSED_CACHE: dict = {}
@@ -260,6 +283,7 @@ class _Engine:
                                  tuple(clip_threshold), invert, bs)
         if key not in _Engine._FUSED_CACHE:
             from ..ops.stitch import _stitch_xla
+            forward, apply_fn, dt = self._forward_with, self._apply_fn, self.dtype
             nx, ny = len(xs), len(ys)
             per = nx * ny
             n = n_chunk * per
@@ -309,7 +333,8 @@ class _Engine:
                                                    (n_pad - n,) + patches.shape[1:])])
                 batches = patches.reshape((n_pad // bs, bs, th, tw, 1))
                 probs = jax.lax.map(
-                    lambda b: self._forward(b, None, True, variables), batches
+                    lambda b: forward(apply_fn, dt, b, None, True, variables),
+                    batches
                 ).reshape((-1, th, tw, 1))[:n]
 
                 if exact:  # inverse of the tiling transpose — no accumulation
@@ -329,7 +354,7 @@ class _Engine:
                 framed = probs.reshape((n_chunk, per, th, tw, 1))
                 return jax.vmap(stitch_one)(framed)[:, :h, :w]
 
-            _Engine._FUSED_CACHE[key] = jax.jit(pipeline)
+            self._cache_put(_Engine._FUSED_CACHE, key, jax.jit(pipeline))
         fn = _Engine._FUSED_CACHE[key]
 
         # Upload in large super-blocks (one device_put per SUPER_CHUNKS
@@ -401,8 +426,13 @@ class _Engine:
             prev = self._pad_to(prev, n_pad)
         runner = self._get_runner(prev is not None, quantize)
 
-        # dispatch all chunks asynchronously, fetch once at the end
+        # dispatch chunks asynchronously; host-bound results are fetched with
+        # a bounded pending window (like the fused path) so device memory
+        # stays O(window) on arbitrarily long inputs.  return_device callers
+        # keep everything resident by design (their downstream stitch is
+        # device-side and their own chunking bounds the size).
         pending = []
+        done = []
         steps = list(range(0, n_pad, chunk))
         it = progress.iterator(steps) if progress is not None else steps
         def _put(arr):
@@ -419,6 +449,8 @@ class _Engine:
                 pending.append(runner(self.variables, _put(b), _put(pb)))
             else:
                 pending.append(runner(self.variables, _put(b)))
+            if not return_device and len(pending) > self.FUSED_PENDING_CHUNKS:
+                done.append(jax.device_get(pending.pop(0)))
         if return_device:
             if isinstance(pending[0], dict):
                 return {
@@ -430,7 +462,7 @@ class _Engine:
                 }
             flat = [p.reshape((-1,) + p.shape[2:]) for p in pending]
             return jnp.concatenate(flat)[:n] if len(flat) > 1 else flat[0][:n]
-        chunks = [jax.device_get(p) for p in pending]
+        chunks = done + [jax.device_get(p) for p in pending]
         if isinstance(chunks[0], dict):
             return {
                 k: np.concatenate([c[k].reshape((-1,) + c[k].shape[2:]) for c in chunks])[:n]
@@ -608,7 +640,12 @@ class PredictSiam:
                         prev = reader.read_page(i - 1)
                     current = reader.read_page(i)
                     # keep the source dtype: integer frames take the exact
-                    # bincount percentile fast path inside _normalize_stack
+                    # bincount percentile fast path inside _normalize_stack.
+                    # NB: 'first'/'all' apply per frame-PAIR ('first' = the
+                    # prev frame, 'all' = the pair) — exactly the reference's
+                    # semantics (siam_unet/predict.py:117-118 builds
+                    # [prev, current] inside the frame loop and __preprocess
+                    # takes its percentiles from that 2-frame stack)
                     pair = _normalize_stack(
                         np.stack([np.asarray(prev), np.asarray(current)]),
                         normalization_mode, clip_threshold, invert,

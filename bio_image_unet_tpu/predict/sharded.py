@@ -54,7 +54,15 @@ def predict_frames_spatial_sharded(
 
     n_spatial = mesh.shape["spatial"]
     h, w = imgs.shape[1], imgs.shape[2]
-    stride = 16  # 4-level U-Net family pooling stride
+    # pooling stride = 2^levels, derived from the resolved model (16 for the
+    # 4-level trunks, 8 for the 3-level BabyUnet/UNet3D families)
+    from ..models.legacy import BabyUnet
+    from ..models.unet3d import MultiOutputUnet3D, UNet3D
+
+    levels = getattr(model, "levels", None)
+    if levels is None:
+        levels = 3 if isinstance(model, (BabyUnet, UNet3D, MultiOutputUnet3D)) else 4
+    stride = 2 ** levels
     if h % (n_spatial * stride) != 0:
         raise ValueError(
             f"frame height {h} must be divisible by mesh_spatial×{stride} "

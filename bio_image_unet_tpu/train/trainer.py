@@ -184,7 +184,7 @@ class Trainer:
         self.time_loss_weight = time_loss_weight
         self.output_heads = output_heads
         self.deep_supervision = deep_supervision
-        self.levels = levels
+        self.levels = levels  # reconciled with the model's actual depth below
         self.save_dir = save_dir
         self.save_name = save_name
         self.save_iter = save_iter
@@ -208,6 +208,10 @@ class Trainer:
         self.multi_output = output_heads is not None or bool(
             getattr(self.model, "heads", None)
         )
+        # deep-supervision weights must match the model's actual grid depth
+        # (MultiOutputNestedUNet_3Levels emits name_1..name_3 regardless of
+        # the trainer kwarg) — derive from the model when it knows better
+        self.levels = getattr(self.model, "levels", self.levels)
         if self.multi_output and self.output_heads is None:
             # default single sigmoid/BCEDice head (≙ the model-side default,
             # multi_output_unet/multi_output_unet.py:26-29)
@@ -297,6 +301,11 @@ class Trainer:
                 self.epoch_start = int(state["epoch"])
             if state.get("best_loss") is not None:
                 self.best_loss = float(state["best_loss"])
+            sched = state.get("hyperparams", {}).get("scheduler_state")
+            if sched:  # keep the decayed LR decayed across the resume
+                self.scheduler.best = float(sched["best"])
+                self.scheduler.num_bad = int(sched["num_bad"])
+                self.scheduler.scale = float(sched["scale"])
 
         # replicate across the mesh
         rep = replicated(self.mesh)
@@ -331,7 +340,10 @@ class Trainer:
         # differently (UNet3D False, MultiOutputUnet3D True)
         self.params_meta["use_interpolation"] = use_interpolation
         if self.multi_output:
-            self.params_meta["output_heads"] = output_heads
+            # the RESOLVED heads, not the ctor arg: with output_heads=None
+            # the model's default head dict fills in, and PredictMultiOutput
+            # rebuilds its target keys from this checkpoint field
+            self.params_meta["output_heads"] = self.output_heads
             self.params_meta["deep_supervision"] = deep_supervision
 
         # --- observability ---
@@ -554,7 +566,7 @@ class Trainer:
         shard_map runs the scan per device on its local shard with LOCAL
         indices (``idx_matrix``'s batch axis is sharded), grads/loss/BN
         stats pmean over ``data`` inside the step."""
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         def per_device(c, data_shard, idx_local, epoch_rng):
@@ -579,7 +591,7 @@ class Trainer:
             mesh=self.mesh,
             in_specs=(P(), P("data"), P(None, "data"), P()),
             out_specs=(P(), P()),
-            check_rep=False,
+            check_vma=False,
         )(carry, data, idx_matrix, rng)
 
     def _iterate_train_fused(self, epoch):
@@ -624,13 +636,18 @@ class Trainer:
         print(f"\nStarting training epoch {epoch} ...")
         losses = []
         carry = (self.params, self.batch_stats, self.opt_state)
-        for batch in self.train_loader:
-            self.rng, step_rng = jax.random.split(self.rng)
-            carry, loss = self._jit_train_step(carry, self._shard(batch), step_rng)
-            losses.append(loss)  # device scalar — no per-step host sync:
-            # steps stay queued on the accelerator and overlap the host
-            # loader; the single jax.device_get below syncs once per epoch
-        self.params, self.batch_stats, self.opt_state = carry
+        try:
+            for batch in self.train_loader:
+                self.rng, step_rng = jax.random.split(self.rng)
+                carry, loss = self._jit_train_step(carry, self._shard(batch), step_rng)
+                losses.append(loss)  # device scalar — no per-step host sync:
+                # steps stay queued on the accelerator and overlap the host
+                # loader; the single jax.device_get below syncs once per epoch
+        finally:
+            # donate_argnums invalidated the PRE-epoch buffers on the first
+            # step; rebind to the freshest completed-step state even on
+            # KeyboardInterrupt so the emergency checkpoint can be written
+            self.params, self.batch_stats, self.opt_state = carry
         if not losses:
             return float("nan")
         return float(np.mean(jax.device_get(losses)))
@@ -701,7 +718,15 @@ class Trainer:
         variables = {"params": self.params}
         if self.batch_stats:
             variables["batch_stats"] = self.batch_stats
-        checkpoint.save(path, variables, self.params_meta, epoch=epoch,
+        meta = {
+            **self.params_meta,
+            # plateau-scheduler state: without it a resume silently resets
+            # the learning rate to its undecayed value on the first epoch
+            "scheduler_state": {"best": self.scheduler.best,
+                                "num_bad": self.scheduler.num_bad,
+                                "scale": self.scheduler.scale},
+        }
+        checkpoint.save(path, variables, meta, epoch=epoch,
                         best_loss=self.best_loss, opt_state=self.opt_state)
 
     def start(self, test_data_path=None, result_path=None, test_resize_dim=(512, 512)):
@@ -718,10 +743,12 @@ class Trainer:
             # (atomic write) so training resumes from the last completed step
             emergency = os.path.join(self.save_dir, "model_interrupted.ckpt")
             try:
-                self._save(emergency, self.epoch_start)
+                # the epoch a resume should continue FROM (last completed)
+                self._save(emergency, getattr(self, "_epoch_reached",
+                                              self.epoch_start))
                 print(f"\nInterrupted — state saved to {emergency}")
-            except Exception:
-                pass
+            except Exception as save_err:
+                print(f"\nInterrupted — emergency checkpoint failed: {save_err}")
             raise
         finally:
             if self.profile_dir:
@@ -765,6 +792,8 @@ class Trainer:
                 if self.save_iter:
                     self._save(os.path.join(self.save_dir, f"model_epoch_{epoch}.ckpt"),
                                epoch)
+
+                self._epoch_reached = epoch + 1  # resume continues from here
 
                 if test_data_path is not None:
                     self._predict_test_folder(epoch, test_data_path, result_path,

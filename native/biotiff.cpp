@@ -250,8 +250,12 @@ int biotiff_read(const char* path, uint8_t* out, int64_t capacity,
 }
 
 // Decode n equal-shaped files in parallel into one contiguous buffer.
+// Every file must decode to exactly (expected_shape, expected_dtype) — a
+// smaller file would otherwise fill only part of its slot and leave
+// uninitialized bytes that read as silently corrupt data downstream.
 int biotiff_read_batch(const char** paths, int n, uint8_t* out,
-                       int64_t item_bytes, int n_threads) {
+                       int64_t item_bytes, int n_threads,
+                       const int64_t expected_shape[4], int expected_dtype) {
     if (n <= 0) return 0;
     std::atomic<int> next{0};
     std::atomic<int> first_error{0};
@@ -266,6 +270,12 @@ int biotiff_read_batch(const char** paths, int n, uint8_t* out,
             if (i >= n || first_error.load() != 0) return;
             int rc = read_one(paths[i], out + static_cast<int64_t>(i) * item_bytes,
                               item_bytes, shape, &dtype);
+            if (rc == 0 && expected_shape != nullptr) {
+                if (dtype != expected_dtype ||
+                    shape[0] != expected_shape[0] || shape[1] != expected_shape[1] ||
+                    shape[2] != expected_shape[2] || shape[3] != expected_shape[3])
+                    rc = ERR_INCONSISTENT;
+            }
             if (rc != 0) {
                 int expected = 0;
                 first_error.compare_exchange_strong(expected, rc);

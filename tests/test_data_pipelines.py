@@ -174,3 +174,50 @@ def test_random_split_and_loader(tmp_path, rng):
     assert batches[0]["mask"].shape == (4, 64, 64, 1)
     # unprefetched iteration matches length too
     assert len(list(DataLoader(train, batch_size=4, prefetch=0))) == 2
+
+
+def test_dataloader_abandoned_iteration_releases_worker():
+    """Breaking out of a DataLoader early (early stopping, smoke tests) must
+    not leak the prefetch thread blocked on a full queue."""
+    import gc
+    import threading
+    import time
+
+    from bio_image_unet_tpu.data.pipelines import DataLoader
+
+    class _DS:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            return {"x": np.full((4, 4), i, np.float32)}
+
+    before = threading.active_count()
+    for _ in range(5):
+        it = iter(DataLoader(_DS(), batch_size=2, prefetch=2))
+        next(it)
+        it.close()  # abandon mid-iteration
+    gc.collect()
+    deadline = time.time() + 5
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "prefetch threads leaked"
+
+
+def test_tif_files_uppercase_extension(tmp_path):
+    from bio_image_unet_tpu.data.pipelines import _tif_files
+
+    (tmp_path / "A.TIF").write_bytes(b"x")
+    (tmp_path / "b.tif").write_bytes(b"x")
+    assert len(_tif_files(str(tmp_path))) == 2
+    assert len(_tif_files(str(tmp_path), (".TIF",))) == 2  # user-supplied case
+
+
+def test_3d_split_add_patch_every_tiled_axis(tmp_path, rng):
+    """add_patch applies to every axis with >1 tiles (documented divergence
+    from the reference's copy-paste rule, unet3d/data.py:188-190)."""
+    from bio_image_unet_tpu.data.pipelines import tile_starts
+
+    # z tiled (2 tiles) now gets the extra patch too
+    assert len(tile_starts(16, 8, 1)) == 3
+    assert len(tile_starts(8, 8, 1)) == 1  # single tile never padded

@@ -196,3 +196,18 @@ def test_conv_block_vs_torch_sequential(rng):
         }
         ours = module.apply(variables, jnp.asarray(x), train=False)
         np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_conv_block_kernel5_shape_preserving():
+    """Padding generalizes to any odd kernel: dilation·(k−1)/2."""
+    import jax
+    import jax.numpy as jnp
+
+    from bio_image_unet_tpu.ops.blocks import ConvBlock
+
+    for k, d in ((5, 1), (3, 2), (7, 1)):
+        block = ConvBlock(features=4, kernel_size=k, dilation=d)
+        x = jnp.zeros((1, 16, 16, 2))
+        variables = block.init(jax.random.PRNGKey(0), x)
+        y = block.apply(variables, x, train=False)
+        assert y.shape == (1, 16, 16, 4), (k, d, y.shape)

@@ -124,3 +124,9 @@ def test_initialize_distributed_plumbs_kwargs(monkeypatch):
                            num_processes=4, process_id=2)
     assert captured == {"coordinator_address": "10.0.0.1:1234",
                         "num_processes": 4, "process_id": 2}
+
+
+def test_get_mesh_empty_raises():
+    """n_spatial beyond the device count must raise, not build a 0-row mesh."""
+    with pytest.raises(ValueError, match="empty|exceeds"):
+        get_mesh(n_spatial=16)

@@ -97,3 +97,32 @@ def test_float16_pages(tmp_path, rng):
     out = tiff.imread(path)
     assert out.dtype == np.float16
     np.testing.assert_allclose(out, arr.astype(np.float16))
+
+
+def test_tiled_tiff_raises_codec_error_not_keyerror(tmp_path):
+    """Tiled TIFFs (TileOffsets, no StripOffsets) must raise TiffFormatError
+    so imread's PIL/imageio fallback triggers instead of a bare KeyError."""
+    import struct
+
+    from bio_image_unet_tpu.data.tiff import TiffFormatError, TiffReader
+
+    # minimal classic-TIFF: header + one IFD with width/length but NO strips
+    p = tmp_path / "tiled.tif"
+    ifd_entries = [
+        (256, 4, 1, 8),  # ImageWidth = 8
+        (257, 4, 1, 8),  # ImageLength = 8
+        (324, 4, 1, 0),  # TileOffsets (bogus) — marks it tiled
+    ]
+    body = struct.pack("<H", len(ifd_entries))
+    for tag, typ, cnt, val in ifd_entries:
+        body += struct.pack("<HHII", tag, typ, cnt, val)
+    body += struct.pack("<I", 0)
+    p.write_bytes(b"II*\x00" + struct.pack("<I", 8) + body)
+
+    with TiffReader(str(p)) as r:
+        import pytest as _pytest
+
+        with _pytest.raises(TiffFormatError):
+            r.read_page(0)
+        with _pytest.raises(TiffFormatError):
+            r.asarray()

@@ -362,3 +362,104 @@ def test_trainer_per_epoch_test_prediction(tmp_path, rng):
                   test_resize_dim=(32, 32))
     outs = os.listdir(str(tmp_path / "results"))
     assert any("t0.tif" in f and "epoch_0" in f for f in outs), outs
+
+
+class _SynthDS:
+    """In-memory tile dataset for unit tests that don't need disk staging."""
+
+    def __init__(self, n=8, shape=(32, 32, 1), keys=("image", "mask"), seed=0):
+        self.n, self.shape, self.keys, self.seed = n, shape, keys, seed
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        r = np.random.default_rng(self.seed + i)
+        out = {}
+        for k in self.keys:
+            if k == "image":
+                out[k] = r.random(self.shape, np.float32)
+            else:
+                out[k] = (r.random(self.shape) > 0.5).astype(np.float32)
+        return out
+
+
+def test_multi_output_default_heads_checkpoint_predicts(tmp_path, rng):
+    """With output_heads=None the checkpoint must store the RESOLVED default
+    head dict (not None) so PredictMultiOutput can rebuild its targets."""
+    from bio_image_unet_tpu.predict import PredictMultiOutput
+
+    ds = _SynthDS(n=6, keys=("image", "default"))
+    tr = Trainer(ds, num_epochs=1, network="MultiOutputUnet", n_filter=4,
+                 batch_size=2, val_split=0.0, save_dir=str(tmp_path),
+                 tensorboard=False, log_images=False)
+    tr.start()
+    hp = checkpoint.peek(str(tmp_path / "model.ckpt"))["hyperparams"]
+    assert hp["output_heads"] is not None and "default" in hp["output_heads"]
+    pred = PredictMultiOutput(rng.integers(0, 255, (48, 48)).astype(np.uint8),
+                              str(tmp_path / "model.ckpt"),
+                              max_patch_size=(32, 32), show_progress=False)
+    assert "default" in pred.result
+
+
+def test_deep_supervision_levels_from_model(tmp_path):
+    """The 3-level nested UNet must train with the trainer's DEFAULT
+    levels kwarg (4): the depth is reconciled from the model."""
+    heads = {"mask": {"channels": 1, "activation": "sigmoid",
+                      "loss": "BCEDiceLoss", "weight": 1.0}}
+    ds = _SynthDS(n=4, keys=("image", "mask"))
+    tr = Trainer(ds, num_epochs=1, network="MultiOutputNestedUNet_3Levels",
+                 n_filter=4, batch_size=2, output_heads=heads,
+                 deep_supervision=True, val_split=0.0,
+                 save_dir=str(tmp_path), tensorboard=False, log_images=False)
+    assert tr.levels == 3
+    loss = tr._iterate_train(0)
+    assert np.isfinite(loss)
+
+
+def test_scheduler_state_survives_resume(tmp_path):
+    """A decayed LR must stay decayed across load_weights resume."""
+    ds = _SynthDS(n=4)
+    tr = Trainer(ds, num_epochs=1, network="Unet", n_filter=4, batch_size=2,
+                 val_split=0.0, save_dir=str(tmp_path), lr=1e-3)
+    # force a decay then checkpoint
+    for loss in (1.0, 1.0, 1.0, 1.0, 1.0, 1.0):
+        scale = tr.scheduler.step(loss)
+    assert scale < 1.0
+    tr._save(str(tmp_path / "model.ckpt"), epoch=5)
+
+    tr2 = Trainer(ds, num_epochs=1, network="Unet", n_filter=4, batch_size=2,
+                  val_split=0.0, save_dir=str(tmp_path), lr=1e-3,
+                  load_weights=True)
+    assert tr2.scheduler.scale == tr.scheduler.scale
+    assert tr2.scheduler.best == tr.scheduler.best
+
+
+def test_emergency_checkpoint_after_donated_steps(tmp_path, monkeypatch):
+    """A crash AFTER train steps ran (donated buffers) must still write a
+    loadable emergency checkpoint with the epoch actually reached."""
+    ds = _SynthDS(n=6)
+    tr = Trainer(ds, num_epochs=3, network="Unet", n_filter=4, batch_size=2,
+                 val_split=0.0, save_dir=str(tmp_path))
+
+    calls = {"n": 0}
+    orig = tr._iterate_val
+
+    def crash_on_second(epoch):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("boom")
+        return orig(epoch)
+
+    monkeypatch.setattr(tr, "_iterate_val", crash_on_second)
+    with pytest.raises(RuntimeError, match="boom"):
+        tr.start()
+    emergency = str(tmp_path / "model_interrupted.ckpt")
+    assert os.path.exists(emergency), "emergency checkpoint missing"
+    state = checkpoint.load(emergency)
+    assert state["epoch"] == 1  # one epoch completed before the crash
+    # the params must be real fetchable buffers (not donation-invalidated)
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(state["variables"]["params"])
+    assert leaves and all(np.isfinite(np.asarray(l)).all() for l in leaves)
