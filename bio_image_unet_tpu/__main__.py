@@ -149,6 +149,9 @@ def main(argv=None):
 
     if args.command == "train":
         dim = tuple(args.dim)
+        if args.family.endswith("3d") and len(dim) != 3:
+            parser.error(f"family {args.family} needs --dim Z X Y (3 values), "
+                         f"got {len(dim)}")
         common = dict(
             num_epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
             n_filter=args.n_filter,
@@ -206,6 +209,13 @@ def main(argv=None):
 
     if args.command == "predict":
         resize = tuple(args.resize_dim)
+        if args.family == "unet3d" and len(resize) != 3:
+            if resize == (512, 512):  # untouched 2D default — family was
+                # likely auto-detected; pick the smoke-scale 3D default
+                resize = (16, 256, 256)
+            else:
+                parser.error(f"family {args.family} needs --resize-dim Z X Y "
+                             f"(3 values), got {len(resize)}")
         kwargs = dict(show_progress=True, batch_size=args.batch_size,
                       half_precision=args.half_precision)
         if args.family == "unet":

@@ -44,7 +44,10 @@ def _max_value(img: np.ndarray) -> float:
 def _clip_like(img: np.ndarray, out: np.ndarray) -> np.ndarray:
     if img.dtype == np.uint8:
         return np.clip(out, 0, 255).astype(np.uint8)
-    return out.astype(img.dtype, copy=False)
+    # albumentations float semantics: float images live in [0, 1] and every
+    # intensity op clips there — without this, noise ops write negative /
+    # >1 pixels the reference-trained models never see
+    return np.clip(out, 0.0, 1.0).astype(img.dtype, copy=False)
 
 
 class Transform:
@@ -314,11 +317,16 @@ class Blur(Transform):
     """≙ albumentations Blur(blur_limit): box blur with random odd kernel
     size in [lo, hi]."""
 
-    def __init__(self, blur_limit=(3, 7), p=0.5):
+    def __init__(self, blur_limit=(3, 7), p=0.5, volumetric: bool = False):
         super().__init__(p)
         self.blur_limit = (
             tuple(blur_limit) if isinstance(blur_limit, (tuple, list)) else (3, blur_limit)
         )
+        # volumetric inputs are channel-less (Z, X, Y): blur in-plane per
+        # z-slice (size (1, k, k)) like the reference's slice-wise 2D Blur
+        # (multi_output_unet3d/data.py:166-178) — a (k, k, 1) filter there
+        # would bleed depth information between slices
+        self.volumetric = volumetric
 
     def sample(self, rng, shape):
         lo, hi = self.blur_limit
@@ -327,8 +335,12 @@ class Blur(Transform):
 
     def apply(self, img, params):
         k = params["ksize"]
+        if self.volumetric:
+            size = (1,) * (img.ndim - 2) + (k, k)
+        else:
+            size = (k, k) + (1,) * (img.ndim - 2)
         out = ndimage.uniform_filter(
-            img.astype(np.float32), size=(k, k) + (1,) * (img.ndim - 2), mode="nearest"
+            img.astype(np.float32), size=size, mode="nearest"
         )
         return _clip_like(img, out)
 

@@ -898,7 +898,7 @@ class DataProcessMultiOutput3D(_TileDataset):
         intensity = Compose([
             RandomBrightnessContrast(self.brightness_contrast[0],
                                      self.brightness_contrast[1], p=0.5),
-            Blur(blur_limit=self.blur_limit, p=0.3),
+            Blur(blur_limit=self.blur_limit, p=0.3, volumetric=True),
             ShotNoise(scale_range=self.shot_noise_lims, p=0.5),
             GaussNoise(std_range=self.gauss_noise_lims, p=0.5),
         ], p=p, targets=targets)

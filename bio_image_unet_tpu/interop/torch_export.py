@@ -70,7 +70,10 @@ def variables_to_torch_state_dict(variables: dict, final_sequential: bool = True
             sd[f"{block}.{leaf}"] = (
                 _convt_kernel_to_torch(arr) if leaf == "weight" else arr
             )
-        elif block in ("final", "decode9"):
+        elif block == "final":
+            # NB: Unet_v0's decode9 must NOT take this branch — it is a full
+            # conv+BN block (reference unet_v0.py:50-63), handled by the
+            # generic conv/bn mapping below (decode9.0.* / decode9.1.*)
             leaf = "weight" if path[-1] == "kernel" else "bias"
             prefix = f"{block}.0" if final_sequential else block
             sd[f"{prefix}.{leaf}"] = _kernel_to_torch(arr) if leaf == "weight" else arr

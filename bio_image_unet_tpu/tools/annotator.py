@@ -56,10 +56,12 @@ class ImageAnnotator:
             self.viewer.add_image(data)
         return data
 
-    def load_labels(self, image_path):
+    def load_labels(self, image_path, image_shape=None):
         """Preliminary labels for an image: from ``labels_folder`` (optionally
-        binarized at ``threshold``) or zeros."""
-        shape = tiff.imread(image_path).shape
+        binarized at ``threshold``) or zeros.  Pass ``image_shape`` from an
+        already-loaded image to avoid re-reading the (potentially huge) tif
+        just for its shape."""
+        shape = image_shape if image_shape is not None else tiff.imread(image_path).shape
         if self.labels_folder is not None:
             candidate = os.path.join(self.labels_folder, os.path.basename(image_path))
             if os.path.exists(candidate):
@@ -89,8 +91,8 @@ class ImageAnnotator:
 
     def show_current(self):
         path = self.list_images[self.current_index]
-        self.load_image(path)
-        labels = self.load_labels(path)
+        data = self.load_image(path)
+        labels = self.load_labels(path, image_shape=data.shape)
         if self.labels_layer is None:
             self.labels_layer = self.viewer.add_labels(labels, name=self.label_name)
             self.labels_layer.brush_size = self.brush_size

@@ -35,15 +35,18 @@ def tif_to_mp4(tif_path, mp4_path, fps: int = 12, threshold: Optional[float] = N
     try:
         with tiff.TiffReader(tif_path) as reader:
             for i, frame in enumerate(reader.iter_pages()):
+                # reference op order (tif_to_mp4.py:37-46): invert as the
+                # 255-complement FIRST, then threshold, then min-max
+                # normalize, then morphological opening
                 frame = np.asarray(frame, dtype=np.float32)
+                if invert:
+                    frame = 255.0 - frame
                 if threshold is not None:
                     frame = np.where(frame >= threshold, 255.0, 0.0)
+                if normalize and frame.max() > frame.min():
+                    frame = (frame - frame.min()) / (frame.max() - frame.min()) * 255
                 if opening:
                     frame = morphology.binary_opening(frame > 0).astype(np.float32) * 255
-                if invert:
-                    frame = frame.max() - frame
-                if normalize and frame.max() > 0:
-                    frame = frame / frame.max() * 255
                 cv2.imwrite(os.path.join(tmp, f"{i:06d}.png"), frame.astype(np.uint8))
         subprocess.run(
             [ffmpeg, "-y", "-framerate", str(fps), "-i",

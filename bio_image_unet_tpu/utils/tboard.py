@@ -57,6 +57,10 @@ def _masked_crc(data: bytes) -> int:
 
 
 def _varint(n: int) -> bytes:
+    # protobuf encodes negative ints as 10-byte two's-complement varints;
+    # Python's arithmetic right shift on a negative n never reaches 0, so
+    # mask to unsigned 64-bit first (also what protobuf does on the wire)
+    n &= (1 << 64) - 1
     out = bytearray()
     while True:
         b = n & 0x7F

@@ -171,3 +171,29 @@ def test_augment_batch_3d(rng):
                 np.sort(m_out[b, z, ..., 0].ravel()),
                 np.sort(m_in[b, z, ..., 0].ravel()),
             )
+
+
+def test_blur_volumetric_slicewise(rng):
+    """3D Blur must stay in-plane per z-slice (reference slice-wise 2D blur,
+    multi_output_unet3d/data.py:166-178) — no depth bleed."""
+    from bio_image_unet_tpu.data.augment import Blur
+
+    vol = np.zeros((8, 16, 16), np.float32)
+    vol[4, 8, 8] = 1.0
+    b = Blur(blur_limit=(3, 3), p=1.0, volumetric=True)
+    out = b.apply(vol, b.sample(np.random.default_rng(0), vol.shape))
+    assert out[3, 8, 8] == 0.0 and out[5, 8, 8] == 0.0  # no z spread
+    assert out[4, 8, 7] > 0.0 and out[4, 7, 8] > 0.0    # isotropic in-plane
+
+
+def test_float_intensity_ops_clip_to_unit(rng):
+    """albumentations float semantics: intensity outputs clip to [0, 1]."""
+    from bio_image_unet_tpu.data.augment import GaussNoise, RandomBrightnessContrast
+
+    img = np.full((32, 32), 0.05, np.float32)
+    g = GaussNoise(std_range=(0.5, 0.5), p=1.0)
+    out = g.apply(img, g.sample(np.random.default_rng(0), img.shape))
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    bc = RandomBrightnessContrast(0.9, 0.9, p=1.0)
+    out2 = bc.apply(img, bc.sample(np.random.default_rng(1), img.shape))
+    assert out2.min() >= 0.0 and out2.max() <= 1.0

@@ -48,3 +48,14 @@ def test_tensorboard_reads_our_events(tmp_path):
     assert "val/mask" in acc.Tags()["images"]
     img_events = acc.Images("val/mask")
     assert img_events[0].width == 16 and img_events[0].height == 16
+
+
+def test_varint_negative_step(tmp_path):
+    """Negative steps (legal in torch's SummaryWriter) must encode as 64-bit
+    two's-complement varints, not hang."""
+    from bio_image_unet_tpu.utils.tboard import SummaryWriter, _varint
+
+    assert len(_varint(-1)) == 10  # protobuf 10-byte negative varint
+    w = SummaryWriter(log_dir=str(tmp_path))
+    w.add_scalar("loss", 0.5, -1)
+    w.flush()

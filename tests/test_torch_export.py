@@ -114,3 +114,33 @@ def test_export_siam_roundtrip(tmp_path, rng):
         theirs = net(torch.from_numpy(np.moveaxis(x, -1, 1)),
                      torch.from_numpy(np.moveaxis(p, -1, 1)))[0].numpy()
     np.testing.assert_allclose(ours, np.moveaxis(theirs, 1, -1), atol=2e-5)
+
+
+def test_export_unet_v0_roundtrip(tmp_path, rng):
+    """decode9 is a conv+BN block (reference unet_v0.py:50-63), NOT a plain
+    final conv — the exporter must emit decode9.0.*/decode9.1.* keys."""
+    import torch
+
+    from bio_image_unet_tpu.models import Unet_v0
+
+    model = Unet_v0(n_filter=4)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))
+    sd = variables_to_torch_state_dict(variables)
+    assert "decode9.0.weight" in sd and "decode9.1.weight" in sd
+
+    mod = _ref("unet/unet_v0.py", "Unet_v0")
+    net = mod.Unet_v0(n_filter=4)
+    missing, unexpected = net.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=False,
+    )
+    # only torch bookkeeping keys may be missing
+    assert not unexpected
+    assert all(k.endswith("num_batches_tracked") for k in missing), missing
+    net.eval()
+
+    x = rng.random((2, 32, 32, 1)).astype(np.float32)
+    ours = np.asarray(model.apply(variables, jnp.asarray(x), train=False)[0])
+    with torch.no_grad():
+        theirs = net(torch.from_numpy(np.moveaxis(x, -1, 1)))[0].numpy()
+    np.testing.assert_allclose(ours, np.moveaxis(theirs, 1, -1), atol=2e-5)
