@@ -41,13 +41,22 @@ def _build() -> Optional[str]:
     if not os.path.exists(src):
         return None
     try:
+        # compile to a unique temp name and rename atomically: a killed /
+        # timed-out / concurrent build must never leave a fresh-mtime
+        # corrupt .so that every later process "caches" and fails to load
+        tmp = f"{so}.{os.getpid()}.tmp"
         subprocess.run(
-            ["g++", "-O3", "-fPIC", "-std=c++17", "-shared", src, "-o", so,
+            ["g++", "-O3", "-fPIC", "-std=c++17", "-shared", src, "-o", tmp,
              "-lz", "-pthread"],
             check=True, capture_output=True, timeout=120,
         )
+        os.replace(tmp, so)
         return so
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return None
 
 

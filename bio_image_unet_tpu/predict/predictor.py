@@ -627,6 +627,7 @@ class PredictSiam:
 
         from ..ops.stitch import stitch_mean_frames_device
 
+        last_page = None
         with tiff.TiffWriter(result_name) as writer:
             for start in it:
                 stop = min(start + frames_per_chunk, n_frames)
@@ -634,11 +635,17 @@ class PredictSiam:
                 patches = np.empty((k * per,) + self.resize_dim, dtype=np.uint8)
                 prev_patches = np.empty_like(patches)
                 for j, i in enumerate(range(start, stop)):
-                    if i == 0:
-                        prev = reader.read_page(0 if n_frames == 1 else 1)
-                    else:
-                        prev = reader.read_page(i - 1)
+                    # each page is decoded once: the previous iteration's
+                    # current frame is reused as this frame's prev
                     current = reader.read_page(i)
+                    if i == 0:
+                        prev = (current if n_frames == 1
+                                else reader.read_page(1))
+                    elif last_page is None:  # chunk boundary
+                        prev = reader.read_page(i - 1)
+                    else:
+                        prev = last_page
+                    last_page = current
                     # keep the source dtype: integer frames take the exact
                     # bincount percentile fast path inside _normalize_stack.
                     # NB: 'first'/'all' apply per frame-PAIR ('first' = the

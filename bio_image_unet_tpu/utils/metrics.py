@@ -13,9 +13,14 @@ import numpy as np
 
 
 def _binarize(x, threshold: float):
+    """``threshold`` is on the [0, 1] probability scale; inputs on a wider
+    scale (uint8/uint16 code points, or the library's own float16 0–255
+    saved predictions) rescale it by their dtype/value range."""
     x = np.asarray(x)
-    if x.dtype == np.uint8 and x.max() > 1:
-        return x >= threshold * 255
+    if np.issubdtype(x.dtype, np.integer) and x.max() > 1:
+        return x >= threshold * float(np.iinfo(x.dtype).max)
+    if np.issubdtype(x.dtype, np.floating) and x.size and np.nanmax(x) > 1.5:
+        return x >= threshold * 255.0  # float probabilities·255 (save_as_tif)
     return x >= threshold
 
 

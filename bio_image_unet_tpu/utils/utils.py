@@ -104,11 +104,10 @@ def init_weights(key, shape, dtype=np.float32):
     matching torch ``kaiming_normal_(w, nonlinearity='leaky_relu')`` with its
     default negative_slope 0.01 and fan_in mode (reference: utils/utils.py:76-78).
 
+    Alias of :func:`..ops.blocks.he_normal_leaky` — ONE definition of the
+    gain/fan rule so the model blocks and this public utility cannot drift.
     ``shape`` is an HWIO (or DHWIO) kernel shape; fan_in = prod(spatial) * I.
     """
-    import jax
+    from ..ops.blocks import he_normal_leaky
 
-    gain = np.sqrt(2.0 / (1.0 + 0.01**2))
-    fan_in = int(np.prod(shape[:-1]))
-    std = gain / np.sqrt(fan_in)
-    return std * jax.random.normal(key, shape, dtype)
+    return he_normal_leaky(key, shape, dtype)

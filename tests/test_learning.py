@@ -87,3 +87,25 @@ def test_north_star_iou_parity(tmp_path, rng):
                      [None, None])[0].numpy()[0, 0]
     theirs_mask = (theirs * 255).astype(np.uint8)
     assert iou(ours.result, theirs_mask) >= 0.999
+
+
+def test_metrics_binarize_scales():
+    """threshold is on the [0,1] probability scale; 0-255 float predictions
+    (the library's own saved tifs) and uint8/uint16 code points rescale it."""
+    from bio_image_unet_tpu.utils import iou
+
+    t = np.zeros((10, 10), np.uint8)
+    t[:5] = 255
+    # float16 probabilities·255, exactly matching the mask
+    p255 = np.zeros((10, 10), np.float16)
+    p255[:5] = 250.0
+    p255[5:] = 5.0  # 2% — must binarize to background
+    assert iou(p255, t) > 0.999
+    # uint16 full-range probabilities
+    p16 = np.zeros((10, 10), np.uint16)
+    p16[:5] = 60000
+    assert iou(p16, t) > 0.999
+    # plain [0,1] floats unchanged
+    p = np.zeros((10, 10), np.float32)
+    p[:5] = 0.9
+    assert iou(p, t) > 0.999
