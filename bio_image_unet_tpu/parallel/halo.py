@@ -76,6 +76,13 @@ def spatial_shard_apply(
 
     spec = [None] * x.ndim
     spec[spatial_axis] = "spatial"
+    # on a 2-D (data × spatial) mesh, also shard the batch axis over `data`
+    # when it divides: frames then split across data rows while each frame's
+    # H splits across the spatial columns — combined DP + context
+    # parallelism in one shard_map (halo ppermute stays within a data row)
+    n_data = mesh.shape.get("data", 1)
+    if (n_data > 1 and spatial_axis != 0 and x.shape[0] % n_data == 0):
+        spec[0] = "data"
     in_spec = P(*spec)
 
     @partial(

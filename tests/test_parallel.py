@@ -130,3 +130,21 @@ def test_get_mesh_empty_raises():
     """n_spatial beyond the device count must raise, not build a 0-row mesh."""
     with pytest.raises(ValueError, match="empty|exceeds"):
         get_mesh(n_spatial=16)
+
+
+def test_spatial_shard_2d_mesh_batch_sharded(rng):
+    """On a (data × spatial) mesh the batch axis shards over `data` while H
+    shards over `spatial` — combined DP + context parallelism, same result."""
+    mesh = get_mesh(n_data=2, n_spatial=4)
+    x = rng.standard_normal((4, 32, 16, 4)).astype(np.float32)
+    kernels = [rng.standard_normal((3, 3, 4, 4)).astype(np.float32) * 0.1
+               for _ in range(2)]
+    fn = lambda t: _conv_stack(t, kernels)  # noqa: E731
+    halo = 2
+    padded = jnp.pad(jnp.asarray(x), ((0, 0), (halo, halo), (0, 0), (0, 0)))
+    expected = np.asarray(fn(padded))[:, halo:-halo]
+    got = np.asarray(spatial_shard_apply(fn, jnp.asarray(x), mesh, halo=halo))
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)
+    # odd batch (not divisible by data axis) still works, replicated
+    got3 = np.asarray(spatial_shard_apply(fn, jnp.asarray(x[:3]), mesh, halo=halo))
+    np.testing.assert_allclose(got3, expected[:3], rtol=1e-5, atol=1e-5)
