@@ -16,7 +16,10 @@ unet/predict.py:184-202), and all stitch accumulation is vectorized
 scatter-add into (result, weight) planes instead of NaN stacks.
 """
 
-from .sharded import predict_frames_spatial_sharded
+from .sharded import (
+    predict_frames_spatial_sharded,
+    predict_volume_spatial_sharded,
+)
 from .predictor import (
     Predict,
     Predict3D,
@@ -35,6 +38,7 @@ from .tiling import (
 __all__ = [
     "Predict",
     "predict_frames_spatial_sharded",
+    "predict_volume_spatial_sharded",
     "PredictSiam",
     "Predict3D",
     "PredictMultiOutput",

@@ -94,3 +94,64 @@ def predict_frames_spatial_sharded(
     out = (probs.astype(jnp.float32) * 255.0).astype(jnp.uint8)
     result = np.asarray(out)[..., 0]
     return result[0] if squeeze else result
+
+
+def predict_volume_spatial_sharded(
+    vol,
+    model_params,
+    mesh,
+    halo: int = 64,
+    network=None,
+    clip_threshold=(0.0, 99.8),
+    invert: bool = False,
+    half_precision: bool = False,
+):
+    """Predict one (Z, H, W) volume with the 3D U-Net's forward sharded over
+    the mesh's ``spatial`` axis along H — context parallelism for volumes
+    that exceed one chip's HBM.  Whole-volume normalization (the 3D family's
+    only mode, reference unet3d/predict.py:109-117).  Returns uint8
+    probability·255 masks (Z, H, W).
+
+    Requirements: H divisible by (mesh spatial × 8) (the 3-level trunk's
+    pooling stride) and ``halo`` a multiple of 8 and ≥ the receptive-field
+    half-width."""
+    vol = np.asarray(vol)
+    state = checkpoint.load(model_params)
+    hp = dict(state["hyperparams"])
+    name = network or hp.get("model_name") or hp.get("network")
+    if half_precision:
+        hp["dtype"] = jnp.bfloat16
+    model = get_model(name, **hp)
+    variables = state["variables"]
+
+    n_spatial = mesh.shape["spatial"]
+    z, h, w = vol.shape
+    stride = 8  # 3-level volumetric trunks
+    if h % (n_spatial * stride) != 0:
+        raise ValueError(
+            f"volume height {h} must be divisible by mesh_spatial×{stride} "
+            f"({n_spatial * stride})"
+        )
+    if halo % stride != 0:
+        raise ValueError(f"halo {halo} must be a multiple of {stride}")
+
+    norm = _normalize_stack(vol[None], "all", clip_threshold, invert)[0]
+    x = jnp.asarray(norm[None, ..., None].astype(np.float32) / 255.0)
+
+    from .fastpath import build_fast_apply
+
+    fast = build_fast_apply(model, variables,
+                            jnp.bfloat16 if half_precision else None)
+    if fast is not None:
+        apply_fn, packed = fast
+
+        def forward(t):
+            return apply_fn(packed, t)[0]
+    else:
+        def forward(t):
+            return model.apply(variables, t, train=False)[0]
+
+    # (1, Z, H, W, 1): H is axis 2
+    probs = spatial_shard_apply(forward, x, mesh, halo=halo, spatial_axis=2)
+    out = (probs.astype(jnp.float32) * 255.0).astype(jnp.uint8)
+    return np.asarray(out)[0, ..., 0]

@@ -4,6 +4,7 @@ matches the unsharded forward on the halo-padded frame — the framework's
 "context parallelism" for frames too large for one chip's HBM."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -86,3 +87,35 @@ def test_public_sharded_predict_api(tmp_path, rng):
     with np.testing.assert_raises(Exception):
         predict_frames_spatial_sharded(
             rng.integers(0, 255, (1, 100, 64), dtype=np.uint8), ckpt, mesh)
+
+
+def test_public_sharded_predict_3d_api(tmp_path, rng):
+    """predict_volume_spatial_sharded: whole-volume halo-sharded UNet3D
+    forward, interior identical to the single-device forward."""
+    from bio_image_unet_tpu import checkpoint
+    from bio_image_unet_tpu.models import UNet3D
+    from bio_image_unet_tpu.predict import predict_volume_spatial_sharded
+
+    model = UNet3D(n_filter=4)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 32, 32, 1)))
+    ckpt = str(tmp_path / "m3.ckpt")
+    checkpoint.save(ckpt, variables,
+                    {"model_name": "UNet3D", "n_filter": 4,
+                     "use_interpolation": False})
+
+    mesh = get_mesh(n_data=1, n_spatial=2)
+    vol = rng.integers(0, 255, (8, 128, 32), dtype=np.uint8)
+    sharded = predict_volume_spatial_sharded(vol, ckpt, mesh, halo=48)
+    assert sharded.shape == (8, 128, 32) and sharded.dtype == np.uint8
+
+    from bio_image_unet_tpu.predict.predictor import _normalize_stack
+
+    norm = _normalize_stack(vol[None], "all", (0.0, 99.8))[0]
+    x = jnp.asarray(norm[None, ..., None].astype(np.float32) / 255)
+    plain = (np.asarray(model.apply(variables, x, train=False)[0])
+             * 255).astype(np.uint8)[0, ..., 0]
+    np.testing.assert_array_equal(sharded[:, 48:-48], plain[:, 48:-48])
+
+    with pytest.raises(ValueError):
+        predict_volume_spatial_sharded(
+            rng.integers(0, 255, (8, 100, 32), dtype=np.uint8), ckpt, mesh)
