@@ -9,6 +9,10 @@ container format:
 - uint8/16/32, int8/16/32, float16/32/64 sample formats (the reference writes
   float16 results via ``save_as_tif``, utils/utils.py:8-22),
 - multipage stacks,
+- **BigTIFF** (64-bit offsets, magic 43) read AND write — ``imwrite``
+  auto-promotes when the payload approaches the classic 4 GiB limit,
+  matching tifffile's transparent handling of large microscopy movies
+  (validated with a real >4 GiB round trip),
 - raw or zlib/deflate compressed strips,
 - **streaming** page-at-a-time reading (``TiffReader``) and appending
   (``TiffWriter``) with bounded memory, matching the reference's streaming movie
@@ -45,6 +49,7 @@ TAG_SAMPLE_FORMAT = 339
 
 TYPE_SHORT = 3  # uint16
 TYPE_LONG = 4  # uint32
+TYPE_LONG8 = 16  # uint64 (BigTIFF)
 
 COMPRESSION_NONE = 1
 COMPRESSION_DEFLATE_OLD = 32946
@@ -97,7 +102,8 @@ class TiffWriter:
     reference's streaming movie output (siam_unet/predict.py:102,123).
     """
 
-    def __init__(self, path: Union[str, os.PathLike, BinaryIO], compress: Optional[int] = None):
+    def __init__(self, path: Union[str, os.PathLike, BinaryIO],
+                 compress: Optional[int] = None, bigtiff: bool = False):
         if hasattr(path, "write"):
             self._fh: BinaryIO = path  # type: ignore[assignment]
             self._owns = False
@@ -105,8 +111,13 @@ class TiffWriter:
             self._fh = open(path, "wb")
             self._owns = True
         self._compress = compress  # None or zlib level 1..9 / True
-        self._prev_ifd_link: int = 4  # header next-IFD offset position
-        self._fh.write(b"II*\x00" + struct.pack("<I", 0))
+        self._big = bool(bigtiff)
+        if self._big:  # BigTIFF: 64-bit offsets, no 4 GiB limit
+            self._prev_ifd_link = 8
+            self._fh.write(b"II+\x00" + struct.pack("<HHQ", 8, 0, 0))
+        else:
+            self._prev_ifd_link = 4  # header next-IFD offset position
+            self._fh.write(b"II*\x00" + struct.pack("<I", 0))
         self._closed = False
 
     # -- context manager --
@@ -158,35 +169,37 @@ class TiffWriter:
         if data_offset % 2:  # keep word alignment
             fh.write(b"\x00")
             data_offset += 1
-        if data_offset + len(data) > 0xFFFFFFFF:
+        if not self._big and data_offset + len(data) > 0xFFFFFFFF:
             # classic TIFF offsets are 32-bit; fail loudly instead of
             # writing wrapped offsets (struct.pack would raise later with a
             # far less actionable message)
             raise TiffFormatError(
-                "file would exceed the classic-TIFF 4 GiB limit — split the "
-                "stack across files or reduce precision")
+                "file would exceed the classic-TIFF 4 GiB limit — pass "
+                "bigtiff=True (imwrite auto-promotes), split the stack "
+                "across files, or reduce precision")
         fh.write(data)
 
         # Build the IFD. Entries must be ascending by tag.
         entries: List[Tuple[int, int, int, bytes]] = []
+        pack_of = {TYPE_SHORT: "H", TYPE_LONG: "I", TYPE_LONG8: "Q"}
 
         def entry(tag: int, typ: int, values) -> None:
             if isinstance(values, int):
                 values = [values]
             count = len(values)
-            pack_fmt = "<" + ("H" if typ == TYPE_SHORT else "I") * count
-            payload = struct.pack(pack_fmt, *values)
+            payload = struct.pack("<" + pack_of[typ] * count, *values)
             entries.append((tag, typ, count, payload))
 
+        off_type = TYPE_LONG8 if self._big else TYPE_LONG
         entry(TAG_IMAGE_WIDTH, TYPE_LONG, w)
         entry(TAG_IMAGE_LENGTH, TYPE_LONG, h)
         entry(TAG_BITS_PER_SAMPLE, TYPE_SHORT, [bps] * c)
         entry(TAG_COMPRESSION, TYPE_SHORT, comp)
         entry(TAG_PHOTOMETRIC, TYPE_SHORT, 1)  # BlackIsZero
-        entry(TAG_STRIP_OFFSETS, TYPE_LONG, data_offset)
+        entry(TAG_STRIP_OFFSETS, off_type, data_offset)
         entry(TAG_SAMPLES_PER_PIXEL, TYPE_SHORT, c)
         entry(TAG_ROWS_PER_STRIP, TYPE_LONG, h)
-        entry(TAG_STRIP_BYTE_COUNTS, TYPE_LONG, len(data))
+        entry(TAG_STRIP_BYTE_COUNTS, off_type, len(data))
         if c > 1:
             entry(TAG_PLANAR_CONFIG, TYPE_SHORT, 1)  # chunky
         entry(TAG_SAMPLE_FORMAT, TYPE_SHORT, [fmt] * c)
@@ -198,25 +211,31 @@ class TiffWriter:
             ifd_offset += 1
 
         n = len(entries)
+        # per-flavor IFD geometry: (count bytes, entry bytes, inline bytes)
+        cnt_size, entry_size, inline = (8, 20, 8) if self._big else (2, 12, 4)
+        head_fmt = "<HHQ" if self._big else "<HHI"
+        link_fmt = "<Q" if self._big else "<I"
         # Out-of-line values go right after the IFD.
-        value_area = ifd_offset + 2 + 12 * n + 4
-        out = struct.pack("<H", n)
+        value_area = ifd_offset + cnt_size + entry_size * n + inline
+        out = struct.pack("<Q" if self._big else "<H", n)
         deferred = b""
         for tag, typ, count, payload in entries:
-            if len(payload) <= 4:
-                out += struct.pack("<HHI", tag, typ, count) + payload.ljust(4, b"\x00")
+            if len(payload) <= inline:
+                out += struct.pack(head_fmt, tag, typ, count) + payload.ljust(
+                    inline, b"\x00")
             else:
                 if len(deferred) % 2:
                     deferred += b"\x00"
-                out += struct.pack("<HHII", tag, typ, count, value_area + len(deferred))
+                out += struct.pack(head_fmt, tag, typ, count) + struct.pack(
+                    link_fmt, value_area + len(deferred))
                 deferred += payload
-        out += struct.pack("<I", 0)  # next IFD (patched by the following write)
+        out += struct.pack(link_fmt, 0)  # next IFD (patched by the next write)
         fh.write(out + deferred)
 
         # Link from the previous IFD (or header) to this one.
         fh.seek(self._prev_ifd_link)
-        fh.write(struct.pack("<I", ifd_offset))
-        self._prev_ifd_link = ifd_offset + 2 + 12 * n
+        fh.write(struct.pack(link_fmt, ifd_offset))
+        self._prev_ifd_link = ifd_offset + cnt_size + entry_size * n
         fh.flush()
 
     def close(self) -> None:
@@ -251,23 +270,39 @@ class TiffReader:
             raise TiffFormatError("not a TIFF file")
         self._bo = "<" if header[:2] == b"II" else ">"
         magic = struct.unpack(self._bo + "H", header[2:4])[0]
-        if magic != 42:
+        if magic == 42:  # classic TIFF: 32-bit offsets
+            self._big = False
+            first = struct.unpack(self._bo + "I", header[4:8])[0]
+        elif magic == 43:  # BigTIFF: 64-bit offsets (tifffile's >4 GiB files)
+            self._big = True
+            offsize, zero = struct.unpack(self._bo + "HH", header[4:8])
+            if offsize != 8 or zero != 0:
+                raise TiffFormatError(f"bad BigTIFF header ({offsize}, {zero})")
+            (first,) = struct.unpack(self._bo + "Q", self._fh.read(8))
+        else:
             raise TiffFormatError(f"bad TIFF magic {magic}")
         self._ifd_offsets: List[int] = []
-        first = struct.unpack(self._bo + "I", header[4:8])[0]
         self._next_ifd = first
         self._scan_all_ifds()
+
+    # (count size, entry size, next-pointer format) per container flavor
+    @property
+    def _ifd_layout(self):
+        return (8, 20, "Q") if self._big else (2, 12, "I")
 
     def _scan_all_ifds(self) -> None:
         seen = set()
         offset = self._next_ifd
+        cnt_size, entry_size, next_fmt = self._ifd_layout
+        cnt_fmt = "Q" if self._big else "H"
         while offset and offset not in seen:
             seen.add(offset)
             self._ifd_offsets.append(offset)
             self._fh.seek(offset)
-            (n,) = struct.unpack(self._bo + "H", self._fh.read(2))
-            self._fh.seek(offset + 2 + 12 * n)
-            (offset,) = struct.unpack(self._bo + "I", self._fh.read(4))
+            (n,) = struct.unpack(self._bo + cnt_fmt, self._fh.read(cnt_size))
+            self._fh.seek(offset + cnt_size + entry_size * n)
+            (offset,) = struct.unpack(self._bo + next_fmt,
+                                      self._fh.read(struct.calcsize(next_fmt)))
 
     def __enter__(self) -> "TiffReader":
         return self
@@ -285,18 +320,29 @@ class TiffReader:
     def _read_tags(self, ifd_offset: int) -> dict:
         fh = self._fh
         fh.seek(ifd_offset)
-        (n,) = struct.unpack(self._bo + "H", fh.read(2))
-        raw = fh.read(12 * n)
+        cnt_size, entry_size, off_fmt = self._ifd_layout
+        (n,) = struct.unpack(self._bo + ("Q" if self._big else "H"),
+                             fh.read(cnt_size))
+        raw = fh.read(entry_size * n)
         tags = {}
-        type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
-        type_fmt = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
+        type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+                     10: 8, 11: 4, 12: 8, 13: 4, 16: 8, 17: 8, 18: 8}
+        type_fmt = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f",
+                    12: "d", 13: "I", 16: "Q", 17: "q", 18: "Q"}
+        inline = 8 if self._big else 4
+        count_fmt = "Q" if self._big else "I"
         for i in range(n):
-            tag, typ, count = struct.unpack(self._bo + "HHI", raw[i * 12 : i * 12 + 8])
+            base = i * entry_size
+            tag, typ = struct.unpack(self._bo + "HH", raw[base : base + 4])
+            (count,) = struct.unpack(
+                self._bo + count_fmt, raw[base + 4 : base + 4 + (8 if self._big else 4)])
             size = type_size.get(typ, 1) * count
-            if size <= 4:
-                payload = raw[i * 12 + 8 : i * 12 + 8 + size]
+            value_pos = base + 4 + (8 if self._big else 4)
+            if size <= inline:
+                payload = raw[value_pos : value_pos + size]
             else:
-                (value_offset,) = struct.unpack(self._bo + "I", raw[i * 12 + 8 : i * 12 + 12])
+                (value_offset,) = struct.unpack(
+                    self._bo + off_fmt, raw[value_pos : value_pos + inline])
                 fh.seek(value_offset)
                 payload = fh.read(size)
             if typ in type_fmt:
@@ -382,15 +428,24 @@ class TiffReader:
 # ---------------------------------------------------------------------------
 
 
-def imwrite(path, data: np.ndarray, compress: Optional[int] = None) -> None:
+def imwrite(path, data: np.ndarray, compress: Optional[int] = None,
+            bigtiff: Optional[bool] = None) -> None:
     """Write an array as TIFF.  (H,W), (H,W,C) write one page; (N,H,W[,C])
     writes a multipage stack.
 
-    Compressed writes of ≥1 MB route through the native multithreaded
-    encoder (native/biotiff.cpp — deflate per row-band on a thread pool;
-    Python zlib is single-threaded) and fall back here transparently."""
+    ``bigtiff=None`` auto-promotes to BigTIFF (64-bit offsets) when the
+    uncompressed payload approaches the classic 4 GiB limit — matching
+    tifffile's transparent handling of large microscopy movies.
+
+    Compressed classic writes of ≥1 MB route through the native
+    multithreaded encoder (native/biotiff.cpp — deflate per row-band on a
+    thread pool; Python zlib is single-threaded) and fall back here
+    transparently."""
     data = np.asarray(data)
-    if compress and data.nbytes >= (1 << 20):
+    if bigtiff is None:
+        # headroom for IFDs/alignment; compression only shrinks strips
+        bigtiff = data.nbytes > 0xFFFFFFFF - (1 << 20)
+    if compress and not bigtiff and data.nbytes >= (1 << 20):
         try:
             from .. import native
 
@@ -398,7 +453,7 @@ def imwrite(path, data: np.ndarray, compress: Optional[int] = None) -> None:
                 return
         except Exception:
             pass
-    with TiffWriter(path, compress=compress) as tw:
+    with TiffWriter(path, compress=compress, bigtiff=bigtiff) as tw:
         if data.ndim <= 2 or (data.ndim == 3 and data.shape[-1] <= 8):
             tw.write(data)
         else:

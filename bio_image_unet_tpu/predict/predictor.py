@@ -628,7 +628,12 @@ class PredictSiam:
         from ..ops.stitch import stitch_mean_frames_device
 
         last_page = None
-        with tiff.TiffWriter(result_name) as writer:
+        # the full output geometry is known upfront: pick BigTIFF when the
+        # streamed uint8 masks will not fit classic-TIFF's 4 GiB offsets
+        # (the reference's TiffWriter(bigtiff=False) just crashes there)
+        out_bytes = n_frames * int(frame_shape[0]) * int(frame_shape[1])
+        with tiff.TiffWriter(result_name,
+                             bigtiff=out_bytes > 0xFFFFFFFF - (1 << 20)) as writer:
             for start in it:
                 stop = min(start + frames_per_chunk, n_frames)
                 k = stop - start

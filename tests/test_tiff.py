@@ -126,3 +126,61 @@ def test_tiled_tiff_raises_codec_error_not_keyerror(tmp_path):
             r.read_page(0)
         with _pytest.raises(TiffFormatError):
             r.asarray()
+
+
+class TestBigTiff:
+    """BigTIFF (64-bit offsets) — tifffile reads/writes >4 GiB microscopy
+    movies transparently; the codec must too (validated structurally at
+    small scale: same pixels, magic 43 container)."""
+
+    def test_roundtrip_dtypes_and_pages(self, tmp_path, rng):
+        from bio_image_unet_tpu.data.tiff import TiffReader
+
+        for dtype in (np.uint8, np.uint16, np.float16, np.float32):
+            if np.issubdtype(dtype, np.floating):
+                arr = rng.standard_normal((4, 33, 47)).astype(dtype)
+            else:
+                arr = rng.integers(0, 200, (4, 33, 47)).astype(dtype)
+            p = str(tmp_path / f"big_{np.dtype(dtype).name}.tif")
+            tiff.imwrite(p, arr, bigtiff=True)
+            assert open(p, "rb").read(4) == b"II+\x00"  # magic 43
+            got = tiff.imread(p)
+            np.testing.assert_array_equal(got, arr)
+
+    def test_roundtrip_compressed_multisample(self, tmp_path, rng):
+        arr = rng.integers(0, 255, (3, 40, 52, 3)).astype(np.uint8)
+        p = str(tmp_path / "big_c.tif")
+        tiff.imwrite(p, arr, compress=6, bigtiff=True)
+        np.testing.assert_array_equal(tiff.imread(p), arr)
+
+    def test_streaming_writer(self, tmp_path, rng):
+        from bio_image_unet_tpu.data.tiff import TiffReader, TiffWriter
+
+        frames = rng.integers(0, 255, (7, 21, 35)).astype(np.uint8)
+        p = str(tmp_path / "big_stream.tif")
+        with TiffWriter(p, bigtiff=True) as tw:
+            for f in frames:
+                tw.write(f)
+        with TiffReader(p) as r:
+            assert r.n_pages == 7
+            for i in range(7):
+                np.testing.assert_array_equal(r.read_page(i), frames[i])
+
+    def test_small_files_stay_classic(self, tmp_path, rng):
+        arr = rng.integers(0, 255, (8, 8)).astype(np.uint8)
+        p = str(tmp_path / "small.tif")
+        tiff.imwrite(p, arr)  # bigtiff=None auto → classic for small data
+        assert open(p, "rb").read(4) == b"II*\x00"
+
+    def test_classic_guard_mentions_bigtiff(self):
+        from bio_image_unet_tpu.data.tiff import TiffFormatError, TiffWriter
+
+        import io as _io
+
+        class FakeBig(_io.BytesIO):
+            def tell(self):
+                return 0x1_0000_0000  # pretend 4 GiB already written
+
+        tw = TiffWriter(FakeBig())
+        with pytest.raises(TiffFormatError, match="bigtiff"):
+            tw.write(np.zeros((4, 4), np.uint8))
