@@ -44,8 +44,9 @@ constexpr int ERR_INCONSISTENT = -6;
 struct Tag {
     uint16_t id;
     uint16_t type;
-    uint32_t count;
-    uint32_t value_or_offset;
+    uint64_t count;
+    uint64_t value_or_offset;  // raw inline bytes OR out-of-line offset
+    bool big;                  // BigTIFF entry (8-byte inline area)
 };
 
 struct PageInfo {
@@ -77,34 +78,41 @@ uint32_t rd32(const uint8_t* p) {
     return static_cast<uint32_t>(p[0]) | (static_cast<uint32_t>(p[1]) << 8) |
            (static_cast<uint32_t>(p[2]) << 16) | (static_cast<uint32_t>(p[3]) << 24);
 }
+uint64_t rd64(const uint8_t* p) {
+    return static_cast<uint64_t>(rd32(p)) | (static_cast<uint64_t>(rd32(p + 4)) << 32);
+}
 
 int type_size(uint16_t t) {
     switch (t) {
         case 1: case 2: case 6: case 7: return 1;
         case 3: case 8: return 2;
-        case 4: case 9: case 11: return 4;
-        case 5: case 10: case 12: return 8;
+        case 4: case 9: case 11: case 13: return 4;
+        case 5: case 10: case 12: case 16: case 17: case 18: return 8;
         default: return 0;
     }
 }
 
-// Read tag values as uint64 (SHORT or LONG).
+// Read tag values as uint64 (SHORT, LONG or BigTIFF LONG8).
 bool tag_values(const FileBuf& f, const Tag& tag, std::vector<uint64_t>& out) {
     int ts = type_size(tag.type);
-    if (ts == 0 || (tag.type != 3 && tag.type != 4)) return false;
+    if (ts == 0 || (tag.type != 3 && tag.type != 4 && tag.type != 16)) return false;
+    if (tag.count > (1ull << 28)) return false;  // sanity
     size_t total = static_cast<size_t>(ts) * tag.count;
+    size_t inline_cap = tag.big ? 8 : 4;
     const uint8_t* src;
-    uint8_t inline_buf[4];
-    if (total <= 4) {
-        std::memcpy(inline_buf, &tag.value_or_offset, 4);  // little-endian host
+    uint8_t inline_buf[8];
+    if (total <= inline_cap) {
+        std::memcpy(inline_buf, &tag.value_or_offset, 8);  // little-endian host
         src = inline_buf;
     } else {
         if (tag.value_or_offset + total > f.data.size()) return false;
         src = f.data.data() + tag.value_or_offset;
     }
     out.resize(tag.count);
-    for (uint32_t i = 0; i < tag.count; ++i) {
-        out[i] = (tag.type == 3) ? rd16(src + 2 * i) : rd32(src + 4 * i);
+    for (uint64_t i = 0; i < tag.count; ++i) {
+        out[i] = (tag.type == 3) ? rd16(src + 2 * i)
+               : (tag.type == 4) ? rd32(src + 4 * i)
+                                 : rd64(src + 8 * i);
     }
     return true;
 }
@@ -128,18 +136,36 @@ int dtype_code(uint16_t bits, uint16_t fmt) {
 
 int parse_pages(const FileBuf& f, std::vector<PageInfo>& pages) {
     const auto& d = f.data;
-    if (d.size() < 8 || d[0] != 'I' || d[1] != 'I' || rd16(&d[2]) != 42)
+    if (d.size() < 8 || d[0] != 'I' || d[1] != 'I')
         return ERR_FORMAT;  // big-endian TIFF routed to the Python fallback
-    uint32_t off = rd32(&d[4]);
+    bool big;
+    uint64_t off;
+    if (rd16(&d[2]) == 42) {  // classic
+        big = false;
+        off = rd32(&d[4]);
+    } else if (rd16(&d[2]) == 43 && d.size() >= 16 && rd16(&d[4]) == 8 &&
+               rd16(&d[6]) == 0) {  // BigTIFF: 64-bit offsets
+        big = true;
+        off = rd64(&d[8]);
+    } else {
+        return ERR_FORMAT;
+    }
+    const uint64_t cnt_size = big ? 8 : 2;
+    const uint64_t entry_size = big ? 20 : 12;
+    const uint64_t next_size = big ? 8 : 4;
     size_t guard = 0;
     while (off && guard++ < 65536) {
-        if (off + 2 > d.size()) return ERR_FORMAT;
-        uint16_t n = rd16(&d[off]);
-        if (off + 2 + 12ul * n + 4 > d.size()) return ERR_FORMAT;
+        if (off + cnt_size > d.size()) return ERR_FORMAT;
+        uint64_t n = big ? rd64(&d[off]) : rd16(&d[off]);
+        if (n > 65536) return ERR_FORMAT;  // sanity
+        if (off + cnt_size + entry_size * n + next_size > d.size()) return ERR_FORMAT;
         PageInfo page;
-        for (uint16_t i = 0; i < n; ++i) {
-            const uint8_t* e = &d[off + 2 + 12ul * i];
-            Tag tag{rd16(e), rd16(e + 2), rd32(e + 4), rd32(e + 8)};
+        for (uint64_t i = 0; i < n; ++i) {
+            const uint8_t* e = &d[off + cnt_size + entry_size * i];
+            Tag tag{rd16(e), rd16(e + 2),
+                    big ? rd64(e + 4) : rd32(e + 4),
+                    big ? rd64(e + 12) : static_cast<uint64_t>(rd32(e + 8)),
+                    big};
             std::vector<uint64_t> vals;
             switch (tag.id) {
                 case 256: if (!tag_values(f, tag, vals)) return ERR_FORMAT;
@@ -172,7 +198,8 @@ int parse_pages(const FileBuf& f, std::vector<PageInfo>& pages) {
             return ERR_FORMAT;
         if (dtype_code(page.bits, page.sample_format) == 0) return ERR_UNSUPPORTED;
         pages.push_back(std::move(page));
-        off = rd32(&d[off + 2 + 12ul * n]);
+        const uint8_t* next = &d[off + cnt_size + entry_size * n];
+        off = big ? rd64(next) : rd32(next);
     }
     return pages.empty() ? ERR_FORMAT : 0;
 }

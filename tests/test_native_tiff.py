@@ -147,3 +147,16 @@ def test_channels_last_4d_single_write(tmp_path, rng):
     imwrite(p_python, arr, compress=None)
     np.testing.assert_array_equal(_python_read(p_native), arr)
     np.testing.assert_array_equal(_python_read(p_python), arr)
+
+
+def test_native_reads_bigtiff(tmp_path, rng):
+    """The C++ decoder parses BigTIFF (magic 43: 8-byte IFD counts, 20-byte
+    entries, LONG8 offsets) the same as classic."""
+    arr = rng.standard_normal((5, 33, 47)).astype(np.float32)
+    p = str(tmp_path / "big.tif")
+    imwrite(p, arr, compress=6, bigtiff=True)
+    assert open(p, "rb").read(4) == b"II+\x00"
+    got = native.imread(p)
+    assert got is not None
+    np.testing.assert_array_equal(got, arr)
+    np.testing.assert_array_equal(got, _python_read(p))
