@@ -443,8 +443,11 @@ def imwrite(path, data: np.ndarray, compress: Optional[int] = None,
     transparently."""
     data = np.asarray(data)
     if bigtiff is None:
-        # headroom for IFDs/alignment; compression only shrinks strips
-        bigtiff = data.nbytes > 0xFFFFFFFF - (1 << 20)
+        # headroom for per-page IFDs/alignment (~200 bytes each — a
+        # 262k-page movie carries ~50 MB of IFDs) plus slack; compression
+        # only shrinks strips
+        n_pages = data.shape[0] if data.ndim >= 3 else 1
+        bigtiff = data.nbytes + 256 * n_pages > 0xFFFFFFFF - (1 << 20)
     if compress and not bigtiff and data.nbytes >= (1 << 20):
         try:
             from .. import native

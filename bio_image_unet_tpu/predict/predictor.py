@@ -631,7 +631,7 @@ class PredictSiam:
         # the full output geometry is known upfront: pick BigTIFF when the
         # streamed uint8 masks will not fit classic-TIFF's 4 GiB offsets
         # (the reference's TiffWriter(bigtiff=False) just crashes there)
-        out_bytes = n_frames * int(frame_shape[0]) * int(frame_shape[1])
+        out_bytes = n_frames * (int(frame_shape[0]) * int(frame_shape[1]) + 256)
         with tiff.TiffWriter(result_name,
                              bigtiff=out_bytes > 0xFFFFFFFF - (1 << 20)) as writer:
             for start in it:
@@ -646,9 +646,9 @@ class PredictSiam:
                     if i == 0:
                         prev = (current if n_frames == 1
                                 else reader.read_page(1))
-                    elif last_page is None:  # chunk boundary
-                        prev = reader.read_page(i - 1)
                     else:
+                        # chunks iterate contiguously from 0, so the
+                        # previous iteration's current frame is always here
                         prev = last_page
                     last_page = current
                     # keep the source dtype: integer frames take the exact

@@ -9,7 +9,8 @@ see a zero frame (the documented halo contract).
 
 Requirements: H divisible by (mesh spatial size × pooling stride),
 ``halo`` ≥ the model's receptive-field half-width and a multiple of the
-pooling stride (16 for the 4-level family, 8 for BabyUnet/UNet3D levels).
+pooling stride (2^levels: 16 for the 4-level family, 8 for
+BabyUnet/the 3-level volumetric trunks).
 """
 
 from __future__ import annotations
@@ -23,6 +24,58 @@ from .. import checkpoint
 from ..models import get_model
 from ..parallel import spatial_shard_apply
 from .predictor import _normalize_stack
+
+
+def _resolve_forward(model_params, network, half_precision: bool):
+    """Load a checkpoint and build the single-output forward both sharded
+    predictors share: BN-folded raw-lax fast path where supported (same ~10×
+    device win as the tiled engine), flax fallback otherwise.  Returns
+    ``(model, forward)``."""
+    state = checkpoint.load(model_params)
+    hp = dict(state["hyperparams"])
+    name = network or hp.get("model_name") or hp.get("network")
+    if half_precision:
+        hp["dtype"] = jnp.bfloat16
+    model = get_model(name, **hp)
+    variables = state["variables"]
+
+    from .fastpath import build_fast_apply
+
+    fast = build_fast_apply(model, variables,
+                            jnp.bfloat16 if half_precision else None)
+    if fast is not None:
+        apply_fn, packed = fast
+
+        def forward(t):
+            return apply_fn(packed, t)[0]
+    else:
+        def forward(t):
+            return model.apply(variables, t, train=False)[0]
+
+    return model, forward
+
+
+def _pooling_stride(model) -> int:
+    """2^levels, derived from the resolved model (16 for the 4-level 2D
+    trunks, 8 for BabyUnet and the 3-level volumetric trunks)."""
+    from ..models.legacy import BabyUnet
+    from ..models.unet3d import MultiOutputUnet3D, UNet3D
+
+    levels = getattr(model, "levels", None)
+    if levels is None:
+        levels = 3 if isinstance(model, (BabyUnet, UNet3D, MultiOutputUnet3D)) else 4
+    return 2 ** levels
+
+
+def _check_divisible(extent: int, n_spatial: int, stride: int, halo: int,
+                     what: str) -> None:
+    if extent % (n_spatial * stride) != 0:
+        raise ValueError(
+            f"{what} {extent} must be divisible by mesh_spatial×{stride} "
+            f"({n_spatial * stride})"
+        )
+    if halo % stride != 0:
+        raise ValueError(f"halo {halo} must be a multiple of {stride}")
 
 
 def predict_frames_spatial_sharded(
@@ -44,51 +97,14 @@ def predict_frames_spatial_sharded(
     if squeeze:
         imgs = imgs[None]
 
-    state = checkpoint.load(model_params)
-    hp = dict(state["hyperparams"])
-    name = network or hp.get("model_name") or hp.get("network")
-    if half_precision:
-        hp["dtype"] = jnp.bfloat16
-    model = get_model(name, **hp)
-    variables = state["variables"]
-
+    model, forward = _resolve_forward(model_params, network, half_precision)
     n_spatial = mesh.shape["spatial"]
-    h, w = imgs.shape[1], imgs.shape[2]
-    # pooling stride = 2^levels, derived from the resolved model (16 for the
-    # 4-level trunks, 8 for the 3-level BabyUnet/UNet3D families)
-    from ..models.legacy import BabyUnet
-    from ..models.unet3d import MultiOutputUnet3D, UNet3D
-
-    levels = getattr(model, "levels", None)
-    if levels is None:
-        levels = 3 if isinstance(model, (BabyUnet, UNet3D, MultiOutputUnet3D)) else 4
-    stride = 2 ** levels
-    if h % (n_spatial * stride) != 0:
-        raise ValueError(
-            f"frame height {h} must be divisible by mesh_spatial×{stride} "
-            f"({n_spatial * stride})"
-        )
-    if halo % stride != 0:
-        raise ValueError(f"halo {halo} must be a multiple of {stride}")
+    stride = _pooling_stride(model)
+    _check_divisible(imgs.shape[1], n_spatial, stride, halo, "frame height")
 
     norm = _normalize_stack(imgs, normalization_mode,
                             clip_threshold, invert).astype(np.uint8)
     x = jnp.asarray(norm[..., None].astype(np.float32) / 255.0)
-
-    # BN-folded raw-lax forward where supported (same ~10× device win as the
-    # tiled engine); flax fallback otherwise
-    from .fastpath import build_fast_apply
-
-    fast = build_fast_apply(model, variables,
-                            jnp.bfloat16 if half_precision else None)
-    if fast is not None:
-        apply_fn, packed = fast
-
-        def forward(t):
-            return apply_fn(packed, t)[0]
-    else:
-        def forward(t):
-            return model.apply(variables, t, train=False)[0]
 
     probs = spatial_shard_apply(forward, x, mesh, halo=halo)
     out = (probs.astype(jnp.float32) * 255.0).astype(jnp.uint8)
@@ -116,40 +132,16 @@ def predict_volume_spatial_sharded(
     pooling stride) and ``halo`` a multiple of 8 and ≥ the receptive-field
     half-width."""
     vol = np.asarray(vol)
-    state = checkpoint.load(model_params)
-    hp = dict(state["hyperparams"])
-    name = network or hp.get("model_name") or hp.get("network")
-    if half_precision:
-        hp["dtype"] = jnp.bfloat16
-    model = get_model(name, **hp)
-    variables = state["variables"]
-
+    model, forward = _resolve_forward(model_params, network, half_precision)
     n_spatial = mesh.shape["spatial"]
-    z, h, w = vol.shape
-    stride = 8  # 3-level volumetric trunks
-    if h % (n_spatial * stride) != 0:
-        raise ValueError(
-            f"volume height {h} must be divisible by mesh_spatial×{stride} "
-            f"({n_spatial * stride})"
-        )
-    if halo % stride != 0:
-        raise ValueError(f"halo {halo} must be a multiple of {stride}")
+    stride = _pooling_stride(model)
+    _check_divisible(vol.shape[1], n_spatial, stride, halo, "volume height")
 
-    norm = _normalize_stack(vol[None], "all", clip_threshold, invert)[0]
+    # uint8 quantization matches Predict3D's patch buffer (predictor.py) so
+    # interior voxels are bit-identical between the tiled and sharded paths
+    norm = _normalize_stack(vol[None], "all", clip_threshold,
+                            invert)[0].astype(np.uint8)
     x = jnp.asarray(norm[None, ..., None].astype(np.float32) / 255.0)
-
-    from .fastpath import build_fast_apply
-
-    fast = build_fast_apply(model, variables,
-                            jnp.bfloat16 if half_precision else None)
-    if fast is not None:
-        apply_fn, packed = fast
-
-        def forward(t):
-            return apply_fn(packed, t)[0]
-    else:
-        def forward(t):
-            return model.apply(variables, t, train=False)[0]
 
     # (1, Z, H, W, 1): H is axis 2
     probs = spatial_shard_apply(forward, x, mesh, halo=halo, spatial_axis=2)

@@ -14,14 +14,17 @@ import numpy as np
 
 def _binarize(x, threshold: float):
     """``threshold`` is on the [0, 1] probability scale; inputs on a wider
-    scale (uint8/uint16 code points, or the library's own float16 0–255
-    saved predictions) rescale it by their dtype/value range."""
+    scale rescale it by the VALUE range actually present — [0,1] floats,
+    0–255 masks/predictions (any dtype: uint8 masks, the library's float16
+    ·255 saved tifs, masks loaded as default int), or 0–65535 code points.
+    Dtype width alone is not the scale: an int64 array holding 0/255 is a
+    255-scale mask."""
     x = np.asarray(x)
-    if np.issubdtype(x.dtype, np.integer) and x.max() > 1:
-        return x >= threshold * float(np.iinfo(x.dtype).max)
-    if np.issubdtype(x.dtype, np.floating) and x.size and np.nanmax(x) > 1.5:
-        return x >= threshold * 255.0  # float probabilities·255 (save_as_tif)
-    return x >= threshold
+    if x.size == 0:
+        return x >= threshold
+    mx = float(np.nanmax(x))
+    scale = 1.0 if mx <= 1.0 else (255.0 if mx <= 255.0 else 65535.0)
+    return x >= threshold * scale
 
 
 def iou(pred, target, threshold: float = 0.5, eps: float = 1e-9) -> float:

@@ -105,7 +105,9 @@ bool tag_values(const FileBuf& f, const Tag& tag, std::vector<uint64_t>& out) {
         std::memcpy(inline_buf, &tag.value_or_offset, 8);  // little-endian host
         src = inline_buf;
     } else {
-        if (tag.value_or_offset + total > f.data.size()) return false;
+        if (tag.value_or_offset > f.data.size() ||
+            total > f.data.size() - tag.value_or_offset)
+            return false;  // subtraction form: 64-bit sums must not wrap
         src = f.data.data() + tag.value_or_offset;
     }
     out.resize(tag.count);
@@ -155,10 +157,11 @@ int parse_pages(const FileBuf& f, std::vector<PageInfo>& pages) {
     const uint64_t next_size = big ? 8 : 4;
     size_t guard = 0;
     while (off && guard++ < 65536) {
-        if (off + cnt_size > d.size()) return ERR_FORMAT;
+        if (off > d.size() || cnt_size > d.size() - off) return ERR_FORMAT;
         uint64_t n = big ? rd64(&d[off]) : rd16(&d[off]);
         if (n > 65536) return ERR_FORMAT;  // sanity
-        if (off + cnt_size + entry_size * n + next_size > d.size()) return ERR_FORMAT;
+        if (cnt_size + entry_size * n + next_size > d.size() - off)
+            return ERR_FORMAT;  // (off <= size checked above; n <= 65536)
         PageInfo page;
         for (uint64_t i = 0; i < n; ++i) {
             const uint8_t* e = &d[off + cnt_size + entry_size * i];
@@ -213,7 +216,8 @@ int decode_page(const FileBuf& f, const PageInfo& page, uint8_t* out,
     for (size_t s = 0; s < page.strip_offsets.size(); ++s) {
         uint64_t off = page.strip_offsets[s];
         uint64_t cnt = page.strip_counts[s];
-        if (off + cnt > f.data.size()) return ERR_FORMAT;
+        if (off > f.data.size() || cnt > f.data.size() - off)
+            return ERR_FORMAT;  // subtraction form: no uint64 wrap
         const uint8_t* src = f.data.data() + off;
         if (page.compression == 1) {
             if (written + cnt > expect) return ERR_FORMAT;

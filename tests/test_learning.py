@@ -105,6 +105,10 @@ def test_metrics_binarize_scales():
     p16 = np.zeros((10, 10), np.uint16)
     p16[:5] = 60000
     assert iou(p16, t) > 0.999
+    # 0/255 masks in WIDE int dtypes (np.array(mask, dtype=int)) must use
+    # the 255 value scale, not the dtype's max
+    assert iou(t.astype(np.int64), t) > 0.999
+    assert iou(t.astype(np.int16), t) > 0.999
     # plain [0,1] floats unchanged
     p = np.zeros((10, 10), np.float32)
     p[:5] = 0.9

@@ -110,7 +110,7 @@ def test_public_sharded_predict_3d_api(tmp_path, rng):
 
     from bio_image_unet_tpu.predict.predictor import _normalize_stack
 
-    norm = _normalize_stack(vol[None], "all", (0.0, 99.8))[0]
+    norm = _normalize_stack(vol[None], "all", (0.0, 99.8))[0].astype(np.uint8)
     x = jnp.asarray(norm[None, ..., None].astype(np.float32) / 255)
     plain = (np.asarray(model.apply(variables, x, train=False)[0])
              * 255).astype(np.uint8)[0, ..., 0]
