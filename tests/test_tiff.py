@@ -184,3 +184,41 @@ class TestBigTiff:
         tw = TiffWriter(FakeBig())
         with pytest.raises(TiffFormatError, match="bigtiff"):
             tw.write(np.zeros((4, 4), np.uint8))
+
+
+def test_codec_property_roundtrip(tmp_path, rng):
+    """Randomized round trips across the full config space: dtype × shape ×
+    channels × compression × container, cross-checked between the Python
+    reader and (when built) the native decoder."""
+    from bio_image_unet_tpu import native
+    from bio_image_unet_tpu.data.tiff import TiffReader
+
+    dtypes = [np.uint8, np.uint16, np.uint32, np.int8, np.int16, np.int32,
+              np.float16, np.float32, np.float64]
+    for trial in range(30):
+        dtype = dtypes[int(rng.integers(len(dtypes)))]
+        h = int(rng.integers(1, 70))
+        w = int(rng.integers(1, 70))
+        n = int(rng.integers(1, 5))
+        c = int(rng.integers(1, 4))
+        shape = (h, w) if n == 1 and c == 1 else (
+            (h, w, c) if n == 1 else ((n, h, w) if c == 1 else (n, h, w, c)))
+        if np.issubdtype(dtype, np.floating):
+            arr = rng.standard_normal(shape).astype(dtype)
+        else:
+            info = np.iinfo(dtype)
+            arr = rng.integers(max(info.min, -1000), min(info.max, 1000),
+                               shape).astype(dtype)
+        compress = [None, 1, 6, True][int(rng.integers(4))]
+        big = bool(rng.integers(2))
+        p = str(tmp_path / f"t{trial}.tif")
+        tiff.imwrite(p, arr, compress=compress, bigtiff=big)
+        with TiffReader(p) as r:
+            got = r.asarray()
+        np.testing.assert_array_equal(got, arr, err_msg=str(
+            (trial, dtype, shape, compress, big)))
+        if native.available():
+            got_n = native.imread(p)
+            if got_n is not None:  # native covers the framework subset
+                np.testing.assert_array_equal(got_n, got, err_msg=str(
+                    (trial, dtype, shape, compress, big)))
