@@ -448,11 +448,11 @@ def imwrite(path, data: np.ndarray, compress: Optional[int] = None,
         # only shrinks strips
         n_pages = data.shape[0] if data.ndim >= 3 else 1
         bigtiff = data.nbytes + 256 * n_pages > 0xFFFFFFFF - (1 << 20)
-    if compress and not bigtiff and data.nbytes >= (1 << 20):
+    if compress and data.nbytes >= (1 << 20):
         try:
             from .. import native
 
-            if native.imwrite(path, data, compress=compress):
+            if native.imwrite(path, data, compress=compress, bigtiff=bigtiff):
                 return
         except Exception:
             pass

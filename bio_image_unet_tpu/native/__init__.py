@@ -97,7 +97,7 @@ def get_lib():
             lib.biotiff_write.argtypes = [
                 ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int,
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ]
             lib.biotiff_write.restype = ctypes.c_int
         except AttributeError:  # stale .so without the encoder
@@ -174,7 +174,8 @@ _DTYPE_CODES = {np.dtype(v): k for k, v in _DTYPES.items()}
 
 
 def imwrite(path, data: np.ndarray, compress: Optional[int] = None,
-            rows_per_strip: int = 64, n_threads: int = 0) -> bool:
+            rows_per_strip: int = 64, n_threads: int = 0,
+            bigtiff: bool = False) -> bool:
     """Native multithreaded TIFF write of a (N,H,W[,C]) / (H,W[,C]) array.
 
     Pages are split into ``rows_per_strip`` bands and deflate-compressed in
@@ -213,5 +214,6 @@ def imwrite(path, data: np.ndarray, compress: Optional[int] = None,
     rc = lib.biotiff_write(str(path).encode(),
                            data.ctypes.data_as(ctypes.c_void_p), code,
                            n, h, w, c, level, rows_per_strip,
-                           n_threads or min(max(os.cpu_count() or 4, 8), 16))
+                           n_threads or min(max(os.cpu_count() or 4, 8), 16),
+                           1 if bigtiff else 0)
     return rc == 0

@@ -14,7 +14,7 @@
 //   biotiff_read_batch(paths, n, out, item_bytes, n_threads)
 //                                                   -> 0 ok / first error
 //   biotiff_write(path, data, dtype_code, n, h, w, c, level, rows_per_strip,
-//                 n_threads)                        -> 0 ok / negative error
+//                 n_threads, bigtiff)               -> 0 ok / negative error
 //       multithreaded encoder: pages are split into row bands (strips),
 //       deflate-compressed in parallel on a thread pool, then laid out
 //       sequentially with per-page IFDs — the output is a standard
@@ -327,7 +327,8 @@ int biotiff_read_batch(const char** paths, int n, uint8_t* out,
 
 int biotiff_write(const char* path, const void* data, int dtype_code,
                   int64_t n_frames, int64_t h, int64_t w, int64_t c,
-                  int compress_level, int rows_per_strip, int n_threads) {
+                  int compress_level, int rows_per_strip, int n_threads,
+                  int bigtiff) {
     struct Fmt { int bytes; uint16_t bits; uint16_t fmt; };
     Fmt fmt{};
     switch (dtype_code) {
@@ -398,15 +399,31 @@ int biotiff_write(const char* path, const void* data, int dtype_code,
     auto put32 = [](std::vector<uint8_t>& v, uint32_t x) {
         for (int i = 0; i < 4; ++i) v.push_back(static_cast<uint8_t>(x >> (8 * i)));
     };
+    auto put64 = [](std::vector<uint8_t>& v, uint64_t x) {
+        for (int i = 0; i < 8; ++i) v.push_back(static_cast<uint8_t>(x >> (8 * i)));
+    };
 
-    const uint8_t header[8] = {'I', 'I', 42, 0, 0, 0, 0, 0};
-    if (!wr(header, 8)) { std::fclose(fh); return ERR_OPEN; }
-    uint64_t pos = 8;
-    uint64_t prev_link = 4;  // where to patch the next-IFD pointer
+    const bool big = bigtiff != 0;  // BigTIFF: 64-bit offsets, no 4 GiB cap
+    uint64_t pos, prev_link;
+    if (big) {
+        const uint8_t header[16] = {'I', 'I', 43, 0, 8, 0, 0, 0,
+                                    0, 0, 0, 0, 0, 0, 0, 0};
+        if (!wr(header, 16)) { std::fclose(fh); return ERR_OPEN; }
+        pos = 16;
+        prev_link = 8;
+    } else {
+        const uint8_t header[8] = {'I', 'I', 42, 0, 0, 0, 0, 0};
+        if (!wr(header, 8)) { std::fclose(fh); return ERR_OPEN; }
+        pos = 8;
+        prev_link = 4;  // where to patch the next-IFD pointer
+    }
+    const uint64_t cnt_size = big ? 8 : 2;     // IFD entry-count field
+    const uint64_t entry_size = big ? 20 : 12;
+    const size_t inline_cap = big ? 8 : 4;
 
     for (int64_t frame = 0; frame < n_frames; ++frame) {
         // strip data
-        std::vector<uint32_t> offs, cnts;
+        std::vector<uint64_t> offs, cnts;
         for (int64_t strip = 0; strip < strips_per_frame; ++strip) {
             if (pos % 2) { uint8_t z = 0; wr(&z, 1); ++pos; }
             const uint8_t* p;
@@ -421,63 +438,67 @@ int biotiff_write(const char* path, const void* data, int dtype_code,
             }
             // classic TIFF carries 32-bit offsets; past 4 GiB they would
             // silently wrap into a corrupt file — refuse instead (the
-            // caller surfaces the error rather than falling back, since
-            // every classic-TIFF writer shares the limit)
-            if (pos + nbytes > UINT32_MAX) {
+            // caller auto-promotes to BigTIFF or surfaces the error)
+            if (!big && pos + nbytes > UINT32_MAX) {
                 std::fclose(fh);
                 std::remove(path);
                 return ERR_CAPACITY;
             }
-            offs.push_back(static_cast<uint32_t>(pos));
-            cnts.push_back(static_cast<uint32_t>(nbytes));
+            offs.push_back(pos);
+            cnts.push_back(nbytes);
             if (!wr(p, nbytes)) { std::fclose(fh); return ERR_OPEN; }
             pos += nbytes;
         }
 
-        // IFD (entries ascending by tag; >4-byte payloads deferred after it)
-        struct Entry { uint16_t tag, type; std::vector<uint8_t> payload; uint32_t count; };
+        // IFD (entries ascending by tag; too-big payloads deferred after it)
+        struct Entry { uint16_t tag, type; std::vector<uint8_t> payload; uint64_t count; };
         std::vector<Entry> entries;
         auto add = [&](uint16_t tag, uint16_t type,
-                       const std::vector<uint32_t>& values) {
-            Entry e{tag, type, {}, static_cast<uint32_t>(values.size())};
-            for (uint32_t v : values) {
+                       const std::vector<uint64_t>& values) {
+            Entry e{tag, type, {}, values.size()};
+            for (uint64_t v : values) {
                 if (type == 3) put16(e.payload, static_cast<uint16_t>(v));
-                else put32(e.payload, v);
+                else if (type == 4) put32(e.payload, static_cast<uint32_t>(v));
+                else put64(e.payload, v);  // LONG8
             }
             entries.push_back(std::move(e));
         };
-        const uint16_t SHORT_ = 3, LONG_ = 4;
-        add(256, LONG_, {static_cast<uint32_t>(w)});
-        add(257, LONG_, {static_cast<uint32_t>(h)});
-        add(258, SHORT_, std::vector<uint32_t>(c, fmt.bits));
-        add(259, SHORT_, {compress_level > 0 ? 8u : 1u});
+        const uint16_t SHORT_ = 3, LONG_ = 4, LONG8_ = 16;
+        const uint16_t OFF_ = big ? LONG8_ : LONG_;
+        add(256, LONG_, {static_cast<uint64_t>(w)});
+        add(257, LONG_, {static_cast<uint64_t>(h)});
+        add(258, SHORT_, std::vector<uint64_t>(c, fmt.bits));
+        add(259, SHORT_, {compress_level > 0 ? 8ull : 1ull});
         add(262, SHORT_, {1});  // BlackIsZero
-        add(273, LONG_, offs);
-        add(277, SHORT_, {static_cast<uint32_t>(c)});
-        add(278, LONG_, {static_cast<uint32_t>(rows_per_strip)});
-        add(279, LONG_, cnts);
+        add(273, OFF_, offs);
+        add(277, SHORT_, {static_cast<uint64_t>(c)});
+        add(278, LONG_, {static_cast<uint64_t>(rows_per_strip)});
+        add(279, OFF_, cnts);
         if (c > 1) add(284, SHORT_, {1});  // chunky
-        add(339, SHORT_, std::vector<uint32_t>(c, fmt.fmt));
+        add(339, SHORT_, std::vector<uint64_t>(c, fmt.fmt));
 
         if (pos % 2) { uint8_t z = 0; wr(&z, 1); ++pos; }
         const uint64_t ifd_offset = pos;
         const size_t n_entries = entries.size();
-        const uint64_t value_area = ifd_offset + 2 + 12 * n_entries + 4;
+        const uint64_t value_area =
+            ifd_offset + cnt_size + entry_size * n_entries + (big ? 8 : 4);
         std::vector<uint8_t> ifd, deferred;
-        put16(ifd, static_cast<uint16_t>(n_entries));
+        if (big) put64(ifd, n_entries); else put16(ifd, static_cast<uint16_t>(n_entries));
         for (auto& e : entries) {
-            put16(ifd, e.tag); put16(ifd, e.type); put32(ifd, e.count);
-            if (e.payload.size() <= 4) {
-                auto p = e.payload; p.resize(4, 0);
+            put16(ifd, e.tag); put16(ifd, e.type);
+            if (big) put64(ifd, e.count); else put32(ifd, static_cast<uint32_t>(e.count));
+            if (e.payload.size() <= inline_cap) {
+                auto p = e.payload; p.resize(inline_cap, 0);
                 ifd.insert(ifd.end(), p.begin(), p.end());
             } else {
                 if (deferred.size() % 2) deferred.push_back(0);
-                put32(ifd, static_cast<uint32_t>(value_area + deferred.size()));
+                if (big) put64(ifd, value_area + deferred.size());
+                else put32(ifd, static_cast<uint32_t>(value_area + deferred.size()));
                 deferred.insert(deferred.end(), e.payload.begin(), e.payload.end());
             }
         }
-        put32(ifd, 0);  // next IFD — patched by the following page
-        if (ifd_offset + ifd.size() + deferred.size() > UINT32_MAX) {
+        if (big) put64(ifd, 0); else put32(ifd, 0);  // next IFD — patched later
+        if (!big && ifd_offset + ifd.size() + deferred.size() > UINT32_MAX) {
             std::fclose(fh);
             std::remove(path);
             return ERR_CAPACITY;  // IFD past the classic-TIFF 32-bit limit
@@ -490,14 +511,11 @@ int biotiff_write(const char* path, const void* data, int dtype_code,
 
         // link previous IFD (or header) to this one
         std::fseek(fh, static_cast<long>(prev_link), SEEK_SET);
-        uint32_t link = static_cast<uint32_t>(ifd_offset);
-        uint8_t link_le[4] = {static_cast<uint8_t>(link),
-                              static_cast<uint8_t>(link >> 8),
-                              static_cast<uint8_t>(link >> 16),
-                              static_cast<uint8_t>(link >> 24)};
-        wr(link_le, 4);
+        std::vector<uint8_t> link_le;
+        if (big) put64(link_le, ifd_offset); else put32(link_le, static_cast<uint32_t>(ifd_offset));
+        wr(link_le.data(), link_le.size());
         std::fseek(fh, 0, SEEK_END);
-        prev_link = ifd_offset + 2 + 12 * n_entries;
+        prev_link = ifd_offset + cnt_size + entry_size * n_entries;
     }
     std::fclose(fh);
     return 0;

@@ -160,3 +160,22 @@ def test_native_reads_bigtiff(tmp_path, rng):
     assert got is not None
     np.testing.assert_array_equal(got, arr)
     np.testing.assert_array_equal(got, _python_read(p))
+
+
+def test_native_writes_bigtiff(tmp_path, rng):
+    """The C++ encoder emits BigTIFF (magic 43) on request; big compressed
+    imwrite calls route through it instead of the single-threaded Python
+    writer."""
+    arr = rng.standard_normal((4, 96, 112)).astype(np.float32)
+    p = str(tmp_path / "big_w.tif")
+    assert native.imwrite(p, arr, compress=6, bigtiff=True)
+    assert open(p, "rb").read(4) == b"II+\x00"
+    np.testing.assert_array_equal(_python_read(p), arr)
+    np.testing.assert_array_equal(native.imread(p), arr)
+
+    # imwrite routing: >=1MB compressed + bigtiff stays on the native path
+    big = rng.integers(0, 255, (2, 800, 800)).astype(np.uint8)
+    p2 = str(tmp_path / "big_route.tif")
+    imwrite(p2, big, compress=6, bigtiff=True)
+    assert open(p2, "rb").read(4) == b"II+\x00"
+    np.testing.assert_array_equal(_python_read(p2), big)
