@@ -448,7 +448,11 @@ def imwrite(path, data: np.ndarray, compress: Optional[int] = None,
         # only shrinks strips
         n_pages = data.shape[0] if data.ndim >= 3 else 1
         bigtiff = data.nbytes + 256 * n_pages > 0xFFFFFFFF - (1 << 20)
-    if compress and data.nbytes >= (1 << 20):
+    # the native encoder compresses ALL strips before writing (~data.nbytes
+    # of peak RAM): great for the common MB..GB saves, wrong for huge
+    # auto-promoted movies — those keep the bounded-memory streaming Python
+    # writer (one zlib page in flight)
+    if compress and (1 << 20) <= data.nbytes <= (2 << 30):
         try:
             from .. import native
 

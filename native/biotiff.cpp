@@ -513,11 +513,16 @@ int biotiff_write(const char* path, const void* data, int dtype_code,
         std::fseek(fh, static_cast<long>(prev_link), SEEK_SET);
         std::vector<uint8_t> link_le;
         if (big) put64(link_le, ifd_offset); else put32(link_le, static_cast<uint32_t>(ifd_offset));
-        wr(link_le.data(), link_le.size());
+        if (!wr(link_le.data(), link_le.size())) { std::fclose(fh); return ERR_OPEN; }
         std::fseek(fh, 0, SEEK_END);
         prev_link = ifd_offset + cnt_size + entry_size * n_entries;
     }
-    std::fclose(fh);
+    // stdio buffers flush at close: an ENOSPC/EIO surfacing there must not
+    // report success (the caller would keep a silently corrupt file)
+    if (std::fclose(fh) != 0) {
+        std::remove(path);
+        return ERR_OPEN;
+    }
     return 0;
 }
 

@@ -173,9 +173,15 @@ def test_native_writes_bigtiff(tmp_path, rng):
     np.testing.assert_array_equal(_python_read(p), arr)
     np.testing.assert_array_equal(native.imread(p), arr)
 
-    # imwrite routing: >=1MB compressed + bigtiff stays on the native path
+    # imwrite routing: >=1MB compressed + bigtiff stays on the native path.
+    # The native encoder splits pages into 64-row strips while the Python
+    # writer emits ONE strip per page — assert the multi-strip layout so a
+    # silent fallback to Python cannot pass this test.
     big = rng.integers(0, 255, (2, 800, 800)).astype(np.uint8)
     p2 = str(tmp_path / "big_route.tif")
     imwrite(p2, big, compress=6, bigtiff=True)
     assert open(p2, "rb").read(4) == b"II+\x00"
+    with TiffReader(p2) as r:
+        tags = r._read_tags(r._ifd_offsets[0])
+    assert len(tags[273]) > 1, "expected the native encoder's 64-row strips"
     np.testing.assert_array_equal(_python_read(p2), big)

@@ -222,3 +222,10 @@ def test_codec_property_roundtrip(tmp_path, rng):
             if got_n is not None:  # native covers the framework subset
                 np.testing.assert_array_equal(got_n, got, err_msg=str(
                     (trial, dtype, shape, compress, big)))
+            # also drive the native ENCODER on every config (the size-based
+            # imwrite routing never reaches it for these small arrays)
+            p_n = str(tmp_path / f"t{trial}_native.tif")
+            if native.imwrite(p_n, arr, compress=compress or 6, bigtiff=big):
+                with TiffReader(p_n) as r:
+                    np.testing.assert_array_equal(r.asarray(), arr, err_msg=str(
+                        ("native-enc", trial, dtype, shape, compress, big)))
