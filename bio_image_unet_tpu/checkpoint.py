@@ -93,7 +93,17 @@ def peek(path) -> Dict[str, Any]:
         if magic != _MAGIC:
             from .interop.pt_reader import read_pt_meta
 
-            ckpt = read_pt_meta(path)
+            try:
+                ckpt = read_pt_meta(path)
+            except ValueError:
+                raise
+            except Exception as err:  # e.g. UnpicklingError on exotic globals
+                # keep peek's documented error contract: callers fall back
+                # to the full checkpoint.load (whose torch.load fallback
+                # handles payloads the restricted reader refuses)
+                raise ValueError(
+                    f"cannot peek {path} with the restricted reader: {err}"
+                ) from err
             return {
                 "hyperparams": {
                     k: v for k, v in ckpt.items()

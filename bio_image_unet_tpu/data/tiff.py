@@ -230,6 +230,13 @@ class TiffWriter:
                     link_fmt, value_area + len(deferred))
                 deferred += payload
         out += struct.pack(link_fmt, 0)  # next IFD (patched by the next write)
+        if not self._big and value_area + len(deferred) > 0xFFFFFFFF:
+            # the IFD region itself can cross the 32-bit boundary even when
+            # the pixel data fit — same actionable error as the data guard
+            raise TiffFormatError(
+                "file would exceed the classic-TIFF 4 GiB limit — pass "
+                "bigtiff=True (imwrite auto-promotes), split the stack "
+                "across files, or reduce precision")
         fh.write(out + deferred)
 
         # Link from the previous IFD (or header) to this one.

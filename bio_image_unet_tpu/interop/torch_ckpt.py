@@ -55,7 +55,10 @@ _VGG_SUB = re.compile(r"^(conv\d+_\d+)\.(conv|bn)(\d)\.(.+)$")
 _HEAD_SUB = re.compile(r"^output_layers\.([^.]+)\.(weight|bias)$")
 _SEQ_SUB = re.compile(r"^(.+)\.(\d)\.(.+)$")
 _UP_SUB = re.compile(r"^(up\d+)\.(weight|bias)$")
-_PLAIN_CONV_SUB = re.compile(r"^(final|decode9)\.(weight|bias)$")
+# only `final` maps as a plain conv; decode9 is NOT here — the reference's
+# Unet_v0 builds it as a conv+BN Sequential (unet_v0.py:50-63), so its keys
+# arrive as decode9.0.*/.1.* and route through the generic Sequential mapping
+_PLAIN_CONV_SUB = re.compile(r"^(final)\.(weight|bias)$")
 
 
 def torch_key_to_flax(key: str, value: np.ndarray) -> Optional[Tuple[Tuple[str, ...], np.ndarray]]:

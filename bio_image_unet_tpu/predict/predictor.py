@@ -155,9 +155,15 @@ class _Engine:
         else:
             self._apply_fn = lambda variables, *args: self.model.apply(
                 variables, *args, train=False)
+        # volatile training-progress fields must NOT enter the program cache
+        # key: scheduler_state changes nearly every epoch, and a per-epoch
+        # cache miss means minutes of recompilation per test prediction on a
+        # tunneled TPU — exactly what _RUNNER_CACHE exists to prevent
+        _volatile = ("scheduler_state",)
         self._cache_key = (
             type(self.model).__name__,
-            json.dumps({k: repr(v) for k, v in hp.items()}, sort_keys=True),
+            json.dumps({k: repr(v) for k, v in hp.items()
+                        if k not in _volatile}, sort_keys=True),
             str(self.dtype),
             fast is not None,
         )

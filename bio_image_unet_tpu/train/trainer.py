@@ -625,10 +625,18 @@ class Trainer:
                                  NamedSharding(self.mesh, P(None, "data")))
         carry = (self.params, self.batch_stats, self.opt_state)
         self.rng, epoch_rng = jax.random.split(self.rng)
-        carry, losses = self._jit_epoch(carry, self._device_data,
-                                        idx_dev, epoch_rng)
-        self.params, self.batch_stats, self.opt_state = carry
-        return float(jnp.mean(losses))
+        # donate_argnums invalidates the epoch-start buffers once the
+        # dispatch enqueues; rebind in a finally so an interrupt between the
+        # (async) call returning and the assignment still leaves self.params
+        # pointing at live buffers for the emergency checkpoint.  (Tracing/
+        # compile happens BEFORE donation, so interrupts there are safe too.)
+        out = None
+        try:
+            out = self._jit_epoch(carry, self._device_data, idx_dev, epoch_rng)
+        finally:
+            if out is not None:
+                self.params, self.batch_stats, self.opt_state = out[0]
+        return float(jnp.mean(out[1]))
 
     def _iterate_train(self, epoch):
         if self._device_data is not None:
