@@ -59,6 +59,58 @@ def _interp_pct(cum, p: int, q: float):
     return lo + (pos - lo_k) * (_order_stat(cum, hi_k) - lo)
 
 
+def _order_stats_bitsearch(flat, ks, n_bits: int):
+    """Per-frame order statistics of an unsigned-integer (N, P) array by
+    bitwise binary search over the VALUE space: ``n_bits`` passes, each a
+    broadcast-compare fused into a reduction.
+
+    The uint8 path counts all 256 values in one pass; at 16 bits a 65,536-bin
+    one-hot would be 256× that work, while this search is 16 compare+sum
+    sweeps (~2·n_bits VPU ops/pixel — noise next to the U-Net forward) and
+    exact for integers.  ``ks`` is a static list of 0-based positions; returns
+    (N, len(ks)) float32."""
+    x = flat.astype(jnp.int32)
+    ks_arr = jnp.asarray(ks, jnp.int32)[None, :]  # (1, S)
+    n = flat.shape[0]
+    val = jnp.zeros((n, len(ks)), jnp.int32)
+    for bit in range(n_bits - 1, -1, -1):
+        # answer < val + 2^bit  ⇔  count(x ≤ val + 2^bit − 1) ≥ k+1
+        cand = val + ((1 << bit) - 1)
+        cnt = jnp.sum(x[:, :, None] <= cand[:, None, :], axis=1,
+                      dtype=jnp.int32)
+        val = jnp.where(cnt < ks_arr + 1, val + (1 << bit), val)
+    return val.astype(jnp.float32)
+
+
+def int_clip_bounds(frames, q_lo: float, q_hi: float, n_bits: int = 16):
+    """Per-frame ``(lo, hi, fmin, fmax)`` for unsigned-integer frames of any
+    bit width (the uint16-capable sibling of :func:`u8_clip_bounds`): lo/hi
+    are the numpy-'linear' clip percentiles found by bitwise binary search,
+    fmin/fmax the frame min/max clamped into [lo, hi] (= extremes after
+    clipping)."""
+    n = frames.shape[0]
+    flat = frames.reshape(n, -1)
+    p = flat.shape[1]
+    ks, poss = [], []
+    for q in (q_lo, q_hi):
+        pos = (p - 1) * (float(q) / 100.0)
+        poss.append(pos)
+        ks.extend((int(np.floor(pos)), int(np.ceil(pos))))
+    stats = _order_stats_bitsearch(flat, ks, n_bits)
+
+    def interp(i):
+        lo_k, hi_k = ks[2 * i], ks[2 * i + 1]
+        lo_v, hi_v = stats[:, 2 * i], stats[:, 2 * i + 1]
+        if hi_k == lo_k:
+            return lo_v
+        return lo_v + (poss[i] - lo_k) * (hi_v - lo_v)
+
+    lo, hi = interp(0), interp(1)
+    vmin = jnp.min(flat, axis=1).astype(jnp.float32)
+    vmax = jnp.max(flat, axis=1).astype(jnp.float32)
+    return lo, hi, jnp.maximum(vmin, lo), jnp.minimum(vmax, hi)
+
+
 def u8_clip_bounds(frames_u8, q_lo: float, q_hi: float):
     """Everything the percentile-normalize stage needs from ONE histogram
     pass: per-frame ``(lo, hi, fmin, fmax)`` where lo/hi are the clip

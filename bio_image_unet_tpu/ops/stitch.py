@@ -160,6 +160,44 @@ def _stitch_weighted_xla(patches, weights, starts, out_spatial):
     return out, wsum
 
 
+def _stitch_factored_xla(patches, axis_factors, grid_idx, starts, out_spatial):
+    """Weighted scatter-add where patch p's weight plane is the outer MIN of
+    per-axis factor rows: ``w[p] = min_a axis_factors[a][grid_idx[p, a]]``.
+
+    Both reference weight schemes factor this way — the 2D safe-margin mask
+    (binary, multi_output_unet/predict.py:259-270) and the 3D linear blend
+    ramp (multi_output_unet3d/predict.py:249-273 takes np.minimum per axis) —
+    so the (N, *tile) weight stack (hundreds of MB for 3D grids of 256³
+    tiles) is never materialized or transferred: each scan step rebuilds its
+    patch's weights from O(n_a·t_a) factor tables."""
+    r = len(out_spatial)
+    tile = patches.shape[1:-1]
+    c = patches.shape[-1]
+
+    def body(carry, inp):
+        out, wsum = carry
+        patch, st, gi = inp
+        w = None
+        for a in range(r):
+            fa = axis_factors[a][gi[a]]  # (t_a,)
+            shape = [1] * (r + 1)
+            shape[a] = tile[a]
+            fa = fa.reshape(shape)
+            w = fa if w is None else jnp.minimum(w, fa)
+        idx = tuple(st[i] for i in range(r)) + (0,)
+        sizes = tile + (c,)
+        block = lax.dynamic_slice(out, idx, sizes)
+        out = lax.dynamic_update_slice(out, block + patch * w, idx)
+        wblock = lax.dynamic_slice(wsum, idx, sizes)
+        wsum = lax.dynamic_update_slice(wsum, wblock + w, idx)
+        return (out, wsum), None
+
+    init = (jnp.zeros(tuple(out_spatial) + (c,), jnp.float32),
+            jnp.zeros(tuple(out_spatial) + (c,), jnp.float32))
+    (out, wsum), _ = lax.scan(body, init, (patches, starts, grid_idx))
+    return out, wsum
+
+
 @partial(jax.jit, static_argnames=("n_frames", "out_spatial", "fill_mean"))
 def _stitch_weighted_frames(patches, weights, starts, n_frames: int,
                             out_spatial, fill_mean: bool):

@@ -83,6 +83,128 @@ def _normalize_stack(imgs: np.ndarray, mode: str, clip_threshold, invert: bool =
     raise ValueError(f"normalization_mode {mode} not valid!")
 
 
+def _tile_plan(h: int, w: int, th: int, tw: int, xs, ys):
+    """Static tiling plan for the fused programs: ``exact`` grids (linspace
+    starts degenerate to stride-th/tw tiling — the common case when the frame
+    is a multiple of the tile) tile AND stitch as pure reshape/transposes; the
+    general case uses two axis gathers (rows then columns) — never per-patch
+    unrolling, so program size stays O(1) in grid size."""
+    nx, ny = len(xs), len(ys)
+    exact = (tuple(xs) == tuple(range(0, max(h, th), th))
+             and tuple(ys) == tuple(range(0, max(w, tw), tw))
+             and max(h, th) == nx * th and max(w, tw) == ny * tw)
+    row_idx = (np.asarray(xs)[:, None] + np.arange(th)[None, :]).ravel()
+    col_idx = (np.asarray(ys)[:, None] + np.arange(tw)[None, :]).ravel()
+    return exact, row_idx, col_idx
+
+
+def _extract_tiles(frames, nx: int, ny: int, th: int, tw: int,
+                   exact: bool, row_idx, col_idx):
+    """(F, H', W') padded frames → (F·nx·ny, th, tw, 1) frame-major tiles."""
+    f = frames.shape[0]
+    if exact:
+        return (frames.reshape(f, nx, th, ny, tw)
+                .transpose(0, 1, 3, 2, 4)
+                .reshape(f * nx * ny, th, tw, 1))
+    rows = jnp.take(frames, jnp.asarray(row_idx), axis=1)
+    tiles = jnp.take(rows, jnp.asarray(col_idx), axis=2)
+    return (tiles.reshape(f, nx, th, ny, tw)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(f * nx * ny, th, tw, 1))
+
+
+def _stitch_chunk_u8(probs, n_frames: int, xs, ys, th: int, tw: int,
+                     h: int, w: int, out_h: int, out_w: int, exact: bool):
+    """(F·per, th, tw, 1) uint8 tile probabilities → (F, h, w, 1) stitched
+    frames: inverse transpose for exact grids (no accumulation), mean-overlap
+    scatter-accumulate otherwise."""
+    from ..ops.stitch import _stitch_xla
+
+    nx, ny = len(xs), len(ys)
+    if exact:
+        return (probs.reshape(n_frames, nx, ny, th, tw)
+                .transpose(0, 1, 3, 2, 4)
+                .reshape(n_frames, nx * th, ny * tw, 1))[:, :h, :w]
+
+    gx, gy = np.meshgrid(np.asarray(xs), np.asarray(ys), indexing="ij")
+    x_starts = jnp.asarray(gx.ravel().astype(np.int32))
+    y_starts = jnp.asarray(gy.ravel().astype(np.int32))
+
+    def stitch_one(frame_patches):
+        out, cnt = _stitch_xla(frame_patches.astype(jnp.float32),
+                               x_starts, y_starts, out_h, out_w)
+        return (out / jnp.maximum(cnt, 1.0)).astype(jnp.uint8)
+
+    framed = probs.reshape((n_frames, nx * ny, th, tw, 1))
+    return jax.vmap(stitch_one)(framed)[:, :h, :w]
+
+
+def _tile_plan_3d(d: int, h: int, w: int, tz: int, tx: int, ty: int,
+                  zs, xs, ys):
+    """3-axis analog of :func:`_tile_plan` (grid order z-major, then x, y —
+    matching the host extraction loops and the stitch start products)."""
+    exact = (tuple(zs) == tuple(range(0, max(d, tz), tz))
+             and tuple(xs) == tuple(range(0, max(h, tx), tx))
+             and tuple(ys) == tuple(range(0, max(w, ty), ty))
+             and max(d, tz) == len(zs) * tz and max(h, tx) == len(xs) * tx
+             and max(w, ty) == len(ys) * ty)
+    idx_z = (np.asarray(zs)[:, None] + np.arange(tz)[None, :]).ravel()
+    idx_x = (np.asarray(xs)[:, None] + np.arange(tx)[None, :]).ravel()
+    idx_y = (np.asarray(ys)[:, None] + np.arange(ty)[None, :]).ravel()
+    return exact, idx_z, idx_x, idx_y
+
+
+def _extract_tiles_3d(vols, nz: int, nx: int, ny: int, tz: int, tx: int,
+                      ty: int, exact: bool, idx_z, idx_x, idx_y):
+    """(V, Z', X', Y') padded volumes → (V·nz·nx·ny, tz, tx, ty, 1) tiles in
+    volume-major z/x/y grid order."""
+    v = vols.shape[0]
+    if exact:
+        t = vols.reshape(v, nz, tz, nx, tx, ny, ty)
+    else:
+        g = jnp.take(vols, jnp.asarray(idx_z), axis=1)
+        g = jnp.take(g, jnp.asarray(idx_x), axis=2)
+        g = jnp.take(g, jnp.asarray(idx_y), axis=3)
+        t = g.reshape(v, nz, tz, nx, tx, ny, ty)
+    return (t.transpose(0, 1, 3, 5, 2, 4, 6)
+            .reshape(v * nz * nx * ny, tz, tx, ty, 1))
+
+
+def _device_frame_bounds(frames, clip_threshold, n_bits: int):
+    """Per-frame ``(lo, hi, fmin, fmax)`` as flat (N,) float32 vectors on
+    device: 256-bin histogram for uint8, bitwise binary search for wider
+    integer dtypes.  Callers broadcast to their spatial rank."""
+    from ..ops.histogram import int_clip_bounds, u8_clip_bounds
+
+    if n_bits == 8:
+        return u8_clip_bounds(frames, clip_threshold[0], clip_threshold[1])
+    return int_clip_bounds(frames, clip_threshold[0], clip_threshold[1],
+                           n_bits=n_bits)
+
+
+def _normalize_clip(frames_f32, lo, hi, fmin, fmax, invert: bool,
+                    scale: float = 255.0):
+    """Percentile clip + min-max → [0, scale] (the jnp mirror of
+    ``_normalize_stack``'s per-frame math; bounds broadcast per frame or are
+    stack-global scalars)."""
+    f = jnp.clip(frames_f32, lo, hi)
+    f = jnp.where(fmax > fmin, (f - fmin) / (fmax - fmin) * scale, 0.0)
+    return scale - f if invert else f
+
+
+def _map_batches(step, xs):
+    """``lax.map`` with a single-step escape: when the whole input fits one
+    batch, call ``step`` directly — a 1-iteration scan wastes a loop AND
+    trips an XLA:CPU LLVM-translation RET_CHECK (observed jax 0.8:
+    ``fusion_compiler.cc:490 llvm_module != nullptr`` when a one-step scanned
+    conv feeds a vmapped scatter-stitch in the same program)."""
+    leading = jax.tree_util.tree_leaves(xs)[0].shape[0]
+    if leading == 1:
+        one = step(jax.tree_util.tree_map(lambda x: x[0], xs))
+        return jax.tree_util.tree_map(lambda x: x[None], one)
+    return jax.lax.map(step, xs)
+
+
 def _maybe_enable_compile_cache():
     """Persistent XLA compile cache on TPU backends by default (opt out:
     BIU_TPU_NO_CACHE=1): a cold U-Net compile costs minutes on
@@ -223,6 +345,15 @@ class _Engine:
         while len(cache) > cls.CACHE_CAP:
             cache.pop(next(iter(cache)))  # dicts preserve insertion order
 
+    @classmethod
+    def _cache_get(cls, cache: dict, key):
+        """LRU hit: re-insert at the back.  Plain FIFO would evict the
+        HOTTEST program when a long-lived process alternates CAP+1 configs
+        (the steadily-reused key stays at the front and is the first out)."""
+        value = cache.pop(key)
+        cache[key] = value
+        return value
+
     def _get_runner(self, with_prev: bool, quantize: bool):
         key = self._cache_key + (with_prev, quantize)
         if key not in _Engine._RUNNER_CACHE:
@@ -230,18 +361,18 @@ class _Engine:
 
             def run_all(variables, batches, prev_batches=None):
                 if with_prev:
-                    return jax.lax.map(
+                    return _map_batches(
                         lambda ab: forward(apply_fn, dtype, ab[0], ab[1],
                                            quantize, variables),
                         (batches, prev_batches),
                     )
-                return jax.lax.map(
+                return _map_batches(
                     lambda b: forward(apply_fn, dtype, b, None, quantize,
                                       variables), batches
                 )
 
             self._cache_put(_Engine._RUNNER_CACHE, key, jax.jit(run_all))
-        return _Engine._RUNNER_CACHE[key]
+        return self._cache_get(_Engine._RUNNER_CACHE, key)
 
     _FUSED_CACHE: dict = {}
 
@@ -261,107 +392,121 @@ class _Engine:
     FUSED_PENDING_CHUNKS = 64
 
     def fused_predict_frames(self, imgs_u8: np.ndarray, xs, ys, resize_dim,
-                             clip_threshold, invert: bool, progress=None):
-        """The speed-of-light 2D predict: uint8 frames are uploaded in
-        fixed-size chunks and one jitted program per chunk does per-frame
-        percentile normalization, static-grid tiling (two XLA row/column
-        gathers — no per-patch unrolling, so program size and compile count
-        are O(1) in movie length), the batched U-Net forward (lax.map), uint8
-        quantization and mean-overlap stitching — only the stitched uint8
-        masks return to the host.  All chunks are dispatched asynchronously
-        (upload of chunk k+1 overlaps compute of chunk k) and fetched once at
-        the end.  Semantics match the host-staged path within one uint8
-        quantization step (normalization in float32 instead of numpy
-        float64)."""
+                             clip_threshold, invert: bool, progress=None,
+                             fixed_bounds: Optional[np.ndarray] = None):
+        """The speed-of-light 2D predict: raw uint8/uint16 frames are
+        uploaded in fixed-size chunks and one jitted program per chunk does
+        per-frame percentile normalization, static-grid tiling (two XLA
+        row/column gathers — no per-patch unrolling, so program size and
+        compile count are O(1) in movie length), the batched U-Net forward
+        (lax.map), uint8 quantization and mean-overlap stitching — only the
+        stitched uint8 masks return to the host.  All chunks are dispatched
+        asynchronously (upload of chunk k+1 overlaps compute of chunk k) and
+        fetched once at the end.  Semantics match the host-staged path within
+        one uint8 quantization step (normalization in float32 instead of
+        numpy float64).
+
+        ``fixed_bounds`` — (lo, hi, gmin, gmax) float32 — switches from
+        per-frame ('single') normalization to stack-global bounds: the
+        'first'/'all' modes of unet/predict.py:135-148, whose percentiles are
+        computed ONCE (host bincount, O(n)) and threaded in as *traced*
+        scalars, so every movie reuses one compiled program per shape.
+
+        With an engine ``mesh``, the chunk's FRAMES shard over the mesh's
+        ``data`` axis via ``shard_map`` — each chip runs the identical
+        single-chip program on its frame shard with ZERO collectives (frames
+        are independent end-to-end: normalize, tile, forward, stitch), the
+        natural SPMD layout for tiled inference (SURVEY.md §2.8)."""
         n_frames, h, w = imgs_u8.shape
         th, tw = resize_dim
         out_h, out_w = max(th, h), max(tw, w)
         xs = tuple(int(v) for v in xs)
         ys = tuple(int(v) for v in ys)
+        mesh = self.mesh
         n_chunk = min(self.FUSED_CHUNK_FRAMES, n_frames)
+        if mesh is not None:
+            ndata = mesh.shape["data"]
+            n_chunk = int(np.ceil(n_chunk / ndata)) * ndata
+            k_loc = n_chunk // ndata  # frames per chip
+        else:
+            k_loc = n_chunk
         # the fused path sizes its own forward batch: one lax.map step per
         # ~16M tile pixels (≈1 GB of level-1 activations in bf16) — measured
         # 2.2× faster than small batches on v5e (MXU fill), still far under
         # HBM.  The user's batch_size remains the floor for tiny workloads.
-        per_chunk = len(xs) * len(ys) * n_chunk
+        per_chunk = len(xs) * len(ys) * k_loc
         bs = max(self.batch_size, min(per_chunk, (1 << 24) // (th * tw)))
+        src_dtype = imgs_u8.dtype
+        fixed = fixed_bounds is not None
+        mesh_key = (() if mesh is None
+                    else ("mesh",) + tuple(str(d) for d in mesh.devices.flat))
         key = self._cache_key + ("fused", n_chunk, h, w, th, tw, xs, ys,
-                                 tuple(clip_threshold), invert, bs)
+                                 tuple(clip_threshold), invert, bs,
+                                 str(src_dtype), fixed) + mesh_key
         if key not in _Engine._FUSED_CACHE:
-            from ..ops.stitch import _stitch_xla
             forward, apply_fn, dt = self._forward_with, self._apply_fn, self.dtype
             nx, ny = len(xs), len(ys)
             per = nx * ny
-            n = n_chunk * per
+            n = k_loc * per
             n_pad = int(np.ceil(n / bs)) * bs
-            # exact grid (linspace starts degenerate to stride-th/tw tiling,
-            # the common case when the frame is a multiple of the tile): both
-            # tiling and stitching are pure reshape/transposes — no gather,
-            # no scatter accumulation
-            exact = (xs == tuple(range(0, max(h, th), th))
-                     and ys == tuple(range(0, max(w, tw), tw))
-                     and max(h, th) == nx * th and max(w, tw) == ny * tw)
-            # tile extraction as two axis gathers: rows then columns
-            row_idx = (np.asarray(xs)[:, None] + np.arange(th)[None, :]).ravel()
-            col_idx = (np.asarray(ys)[:, None] + np.arange(tw)[None, :]).ravel()
+            exact, row_idx, col_idx = _tile_plan(h, w, th, tw, xs, ys)
+            n_bits = 8 if src_dtype == np.uint8 else 16
 
-            def pipeline(variables, movie_u8):
-                from ..ops.histogram import u8_clip_bounds
-
-                # per-frame percentile clip + min-max → [0, 255]; exact
-                # histogram percentiles — jnp.percentile would SORT 1M
-                # pixels per frame, competing with the U-Net for device time
-                lo, hi, fmin, fmax = (
-                    v[:, None, None] for v in u8_clip_bounds(
-                        movie_u8, clip_threshold[0], clip_threshold[1]))
-                f = jnp.clip(movie_u8.astype(jnp.float32), lo, hi)
-                f = jnp.where(fmax > fmin, (f - fmin) / (fmax - fmin) * 255.0, 0.0)
-                if invert:
-                    f = 255.0 - f
+            def pipeline(variables, movie_u8, bounds=None):
+                if bounds is not None:
+                    # 'first'/'all': one stack-global (lo, hi, min, max) —
+                    # traced scalars, so the program is reused across movies
+                    lo, hi, fmin, fmax = (bounds[i] for i in range(4))
+                else:
+                    # per-frame percentile clip + min-max → [0, 255]; exact
+                    # histogram/bit-search percentiles — jnp.percentile would
+                    # SORT 1M pixels per frame, competing with the U-Net for
+                    # device time
+                    lo, hi, fmin, fmax = (
+                        v[:, None, None] for v in _device_frame_bounds(
+                            movie_u8, clip_threshold, n_bits))
+                f = _normalize_clip(movie_u8.astype(jnp.float32),
+                                    lo, hi, fmin, fmax, invert)
                 if th > h:
                     f = jnp.pad(f, ((0, 0), (0, th - h), (0, 0)), mode="reflect")
                 if tw > w:
                     f = jnp.pad(f, ((0, 0), (0, 0), (0, tw - w)), mode="reflect")
                 u8 = f.astype(jnp.uint8)  # reference patch quantization
-                if exact:
-                    patches = (u8.reshape(n_chunk, nx, th, ny, tw)
-                               .transpose(0, 1, 3, 2, 4)
-                               .reshape(n, th, tw, 1))
-                else:
-                    rows = jnp.take(u8, jnp.asarray(row_idx), axis=1)
-                    patches = jnp.take(rows, jnp.asarray(col_idx), axis=2)
-                    patches = (patches.reshape(n_chunk, nx, th, ny, tw)
-                               .transpose(0, 1, 3, 2, 4)
-                               .reshape(n, th, tw, 1))
+                patches = _extract_tiles(u8, nx, ny, th, tw, exact,
+                                         row_idx, col_idx)
                 if n_pad != n:
                     patches = jnp.concatenate(
                         [patches, jnp.broadcast_to(patches[-1:],
                                                    (n_pad - n,) + patches.shape[1:])])
                 batches = patches.reshape((n_pad // bs, bs, th, tw, 1))
-                probs = jax.lax.map(
+                probs = _map_batches(
                     lambda b: forward(apply_fn, dt, b, None, True, variables),
                     batches
                 ).reshape((-1, th, tw, 1))[:n]
+                return _stitch_chunk_u8(probs, k_loc, xs, ys, th, tw,
+                                        h, w, out_h, out_w, exact)
 
-                if exact:  # inverse of the tiling transpose — no accumulation
-                    return (probs.reshape(n_chunk, nx, ny, th, tw)
-                            .transpose(0, 1, 3, 2, 4)
-                            .reshape(n_chunk, nx * th, ny * tw, 1))[:, :h, :w]
+            if mesh is None:
+                compiled = jax.jit(pipeline)
+            else:
+                # frames shard over `data`; every chip runs the same local
+                # program on k_loc frames — no collectives anywhere
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as P
 
-                gx, gy = np.meshgrid(np.asarray(xs), np.asarray(ys), indexing="ij")
-                x_starts = jnp.asarray(gx.ravel().astype(np.int32))
-                y_starts = jnp.asarray(gy.ravel().astype(np.int32))
+                specs = (P(), P("data")) + ((P(),) if fixed else ())
+                compiled = jax.jit(shard_map(pipeline, mesh=mesh,
+                                             in_specs=specs,
+                                             out_specs=P("data")))
+            self._cache_put(_Engine._FUSED_CACHE, key, compiled)
+        fn = self._cache_get(_Engine._FUSED_CACHE, key)
+        bounds_dev = (jnp.asarray(np.asarray(fixed_bounds, np.float32))
+                      if fixed else None)
+        chunk_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
 
-                def stitch_one(frame_patches):
-                    out, cnt = _stitch_xla(frame_patches.astype(jnp.float32),
-                                           x_starts, y_starts, out_h, out_w)
-                    return (out / jnp.maximum(cnt, 1.0)).astype(jnp.uint8)
-
-                framed = probs.reshape((n_chunk, per, th, tw, 1))
-                return jax.vmap(stitch_one)(framed)[:, :h, :w]
-
-            self._cache_put(_Engine._FUSED_CACHE, key, jax.jit(pipeline))
-        fn = _Engine._FUSED_CACHE[key]
+            chunk_sharding = NamedSharding(mesh, P("data", None, None))
 
         # Upload in large super-blocks (one device_put per SUPER_CHUNKS
         # chunks) and slice per-chunk ON DEVICE: on remote/tunneled TPUs each
@@ -390,7 +535,11 @@ class _Engine:
             dev = jnp.asarray(block)  # no-op for already-resident arrays
             for cstart in range(0, k, n_chunk):
                 n_real = min(n_chunk, k - cstart)
-                out = fn(self.variables, dev[cstart : cstart + n_chunk])
+                chunk_dev = dev[cstart : cstart + n_chunk]
+                if chunk_sharding is not None:
+                    chunk_dev = jax.device_put(chunk_dev, chunk_sharding)
+                out = (fn(self.variables, chunk_dev, bounds_dev) if fixed
+                       else fn(self.variables, chunk_dev))
                 try:
                     # start the D2H copy as soon as the chunk's compute
                     # finishes — downloads of early chunks then overlap the
@@ -406,6 +555,340 @@ class _Engine:
         fetched = jax.device_get([dev for dev, _ in pending])
         done.extend(buf[:k] for buf, (_, k) in zip(fetched, pending))
         return np.concatenate(done)
+
+    def fused_predict_pairs(self, blocks: np.ndarray, xs, ys, resize_dim,
+                            clip_threshold, invert: bool, mode: str):
+        """Fused Siam chunk: ``blocks`` is (k+1, h, w) raw uint8/uint16 where
+        pair i = (prev=blocks[i], current=blocks[i+1]).  One jitted program
+        per shape normalizes every pair with the reference's PER-PAIR
+        semantics (siam_unet/predict.py:102-123 builds [prev, current] inside
+        the frame loop and __preprocess takes its percentiles from that
+        2-frame stack: 'single' = per plane, 'first' = the prev plane's
+        bounds for both, 'all' = bounds of the pair), tiles both planes, runs
+        the twin-input forward and mean-stitches — the per-frame host Python
+        normalize/tile loop this replaces, not the chip, bound the round-2
+        Siam path.  Returns (k, h, w) uint8 masks."""
+        k = blocks.shape[0] - 1
+        h, w = blocks.shape[1], blocks.shape[2]
+        th, tw = resize_dim
+        out_h, out_w = max(th, h), max(tw, w)
+        xs = tuple(int(v) for v in xs)
+        ys = tuple(int(v) for v in ys)
+        src_dtype = blocks.dtype
+        n = k * len(xs) * len(ys)
+        # twin encoder ⇒ ~2× the single-plane activations per tile: halve the
+        # 2D path's 16M-tile-pixel map step
+        bs = max(self.batch_size, min(n, (1 << 23) // (th * tw)))
+        key = self._cache_key + ("fused_siam", k, h, w, th, tw, xs, ys,
+                                 tuple(clip_threshold), invert, mode, bs,
+                                 str(src_dtype))
+        if key not in _Engine._FUSED_CACHE:
+            forward, apply_fn, dt = self._forward_with, self._apply_fn, self.dtype
+            nx, ny = len(xs), len(ys)
+            n_pad = int(np.ceil(n / bs)) * bs
+            exact, row_idx, col_idx = _tile_plan(h, w, th, tw, xs, ys)
+            n_bits = 8 if src_dtype == np.uint8 else 16
+
+            def pipeline(variables, blk):
+                prevs, curs = blk[:-1], blk[1:]
+                def bounds3(frames):
+                    return tuple(v[:, None, None] for v in
+                                 _device_frame_bounds(frames, clip_threshold,
+                                                      n_bits))
+
+                if mode == "single":
+                    pb, cb = bounds3(prevs), bounds3(curs)
+                elif mode == "first":
+                    pb = cb = bounds3(prevs)
+                else:  # 'all': bounds of each pair's 2-plane stack
+                    pairs = jnp.concatenate([prevs.reshape(k, -1),
+                                             curs.reshape(k, -1)], axis=1)
+                    pb = cb = bounds3(pairs)
+                pn = _normalize_clip(prevs.astype(jnp.float32), *pb, invert)
+                cn = _normalize_clip(curs.astype(jnp.float32), *cb, invert)
+                # constant (zero) padding for small frames
+                # (siam_unet/predict.py:168-180 — unlike 2D's reflect)
+                pad_cfg = ((0, 0), (0, max(th - h, 0)), (0, max(tw - w, 0)))
+                if th > h or tw > w:
+                    pn = jnp.pad(pn, pad_cfg)
+                    cn = jnp.pad(cn, pad_cfg)
+                prev_tiles = _extract_tiles(pn.astype(jnp.uint8), nx, ny, th,
+                                            tw, exact, row_idx, col_idx)
+                cur_tiles = _extract_tiles(cn.astype(jnp.uint8), nx, ny, th,
+                                           tw, exact, row_idx, col_idx)
+                if n_pad != n:
+                    def pad(t):
+                        return jnp.concatenate(
+                            [t, jnp.broadcast_to(t[-1:], (n_pad - n,) + t.shape[1:])])
+                    prev_tiles, cur_tiles = pad(prev_tiles), pad(cur_tiles)
+                bc = cur_tiles.reshape((n_pad // bs, bs, th, tw, 1))
+                bp = prev_tiles.reshape((n_pad // bs, bs, th, tw, 1))
+                probs = _map_batches(
+                    lambda ab: forward(apply_fn, dt, ab[0], ab[1], True,
+                                       variables), (bc, bp)
+                ).reshape((-1, th, tw, 1))[:n]
+                return _stitch_chunk_u8(probs, k, xs, ys, th, tw,
+                                        h, w, out_h, out_w, exact)
+
+            self._cache_put(_Engine._FUSED_CACHE, key, jax.jit(pipeline))
+        fn = self._cache_get(_Engine._FUSED_CACHE, key)
+        return fn(self.variables, jnp.asarray(blocks))
+
+    # total tile pixels (patches × tile area) a single fused multi-head
+    # program may materialize as float32 — beyond this the host-staged path
+    # (bounded by predict_patches' chunking) takes over.  The reference's
+    # uncovered-pixel fill is the mean over ALL frames' patches
+    # (multi_output_unet/predict.py:279), so the fused program must see the
+    # whole stack at once: 2^27 px ≈ 0.5 GB of patches, far past any
+    # realistic multi-head stack (a 64-frame 1024² movie is 2^26).
+    FUSED_HEADS_MAX_PX = 1 << 27
+
+    def fused_predict_heads(self, imgs_raw: np.ndarray, xs, ys, patch_size,
+                            clip_threshold, mode: str, factors,
+                            fixed_bounds: Optional[np.ndarray] = None):
+        """Fused multi-head predict (≙ multi_output_unet/predict.py:102-285):
+        raw uint8/uint16 frames go up in ONE transfer (2–4× less link traffic
+        than the round-2 float32 patch upload) and one program normalizes
+        ([0, 1] scale — the multi-head family's contract), reflect-pads,
+        tiles, runs the multi-head forward and safe-margin-stitches every
+        head (weights rebuilt per patch from the per-axis ``factors`` tables
+        — the dense weight stack is never materialized or uploaded).
+        Returns {head: (N, out_h, out_w, c) float32 device array}."""
+        n_frames, h, w = imgs_raw.shape
+        ph, pw = patch_size
+        out_h, out_w = max(ph, h), max(pw, w)
+        xs = tuple(int(v) for v in xs)
+        ys = tuple(int(v) for v in ys)
+        src_dtype = imgs_raw.dtype
+        per = len(xs) * len(ys)
+        n = n_frames * per
+        bs = max(1, min(n, (1 << 22) // (ph * pw)))
+        fixed = fixed_bounds is not None
+        # factors are baked into the traced program as constants, so they
+        # MUST key the cache: same shapes with a different safe_margin is a
+        # different program
+        key = self._cache_key + ("fused_heads", n_frames, h, w, ph, pw, xs,
+                                 ys, tuple(clip_threshold), bs,
+                                 str(src_dtype), fixed,
+                                 tuple(np.asarray(f, np.float32).tobytes()
+                                       for f in factors))
+        if key not in _Engine._FUSED_CACHE:
+            from ..ops.stitch import _stitch_factored_xla
+
+            forward, apply_fn, dt = self._forward_with, self._apply_fn, self.dtype
+            nx, ny = len(xs), len(ys)
+            n_pad = int(np.ceil(n / bs)) * bs
+            exact, row_idx, col_idx = _tile_plan(h, w, ph, pw, xs, ys)
+            n_bits = 8 if src_dtype == np.uint8 else 16
+            gx, gy = np.meshgrid(np.asarray(xs), np.asarray(ys), indexing="ij")
+            starts = np.stack([gx.ravel(), gy.ravel()], axis=1).astype(np.int32)
+            gi, gj = np.meshgrid(np.arange(nx), np.arange(ny), indexing="ij")
+            grid_idx = np.stack([gi.ravel(), gj.ravel()], axis=1).astype(np.int32)
+            facs = tuple(jnp.asarray(f) for f in factors)  # O(n·t) tables
+
+            def pipeline(variables, movie, bounds=None):
+                if bounds is not None:
+                    lo, hi, fmin, fmax = (bounds[i] for i in range(4))
+                else:
+                    lo, hi, fmin, fmax = (
+                        v[:, None, None] for v in _device_frame_bounds(
+                            movie, clip_threshold, n_bits))
+                f = _normalize_clip(movie.astype(jnp.float32), lo, hi,
+                                    fmin, fmax, invert=False, scale=1.0)
+                # normalize BEFORE the reflect pad — padded copies would
+                # double-count border pixels in the percentile histograms
+                if ph > h:
+                    f = jnp.pad(f, ((0, 0), (0, ph - h), (0, 0)), mode="reflect")
+                if pw > w:
+                    f = jnp.pad(f, ((0, 0), (0, 0), (0, pw - w)), mode="reflect")
+                patches = _extract_tiles(f, nx, ny, ph, pw, exact,
+                                         row_idx, col_idx)
+                if n_pad != n:
+                    patches = jnp.concatenate(
+                        [patches, jnp.broadcast_to(patches[-1:],
+                                                   (n_pad - n,) + patches.shape[1:])])
+                batches = patches.reshape((n_pad // bs, bs, ph, pw, 1))
+                preds = _map_batches(
+                    lambda b: forward(apply_fn, dt, b, None, False, variables),
+                    batches)
+
+                starts_dev = jnp.asarray(starts)
+                gidx_dev = jnp.asarray(grid_idx)
+                result = {}
+                for head, p in preds.items():
+                    hp = p.reshape((-1,) + p.shape[2:])[:n].astype(jnp.float32)
+                    fill = jnp.mean(hp)  # uncovered-pixel fill ≙ :279
+                    framed = hp.reshape((n_frames, per) + hp.shape[1:])
+
+                    def one(frame_patches):
+                        out, wsum = _stitch_factored_xla(
+                            frame_patches, facs, gidx_dev, starts_dev,
+                            (out_h, out_w))
+                        return jnp.where(wsum > 0,
+                                         out / jnp.maximum(wsum, 1e-12), fill)
+
+                    result[head] = jax.vmap(one)(framed)
+                return result
+
+            self._cache_put(_Engine._FUSED_CACHE, key, jax.jit(pipeline))
+        fn = self._cache_get(_Engine._FUSED_CACHE, key)
+        if fixed:
+            return fn(self.variables, jnp.asarray(imgs_raw),
+                      jnp.asarray(np.asarray(fixed_bounds, np.float32)))
+        return fn(self.variables, jnp.asarray(imgs_raw))
+
+    def fused_predict_volume(self, vol_raw: np.ndarray, zs, xs, ys,
+                             resize_dim, clip_threshold, invert: bool):
+        """Fused 3D predict (≙ unet3d/predict.py:119-195): the raw
+        uint8/uint16 volume goes up in ONE transfer and one program does the
+        whole-volume percentile normalization (per-volume bounds — the
+        reference's 'all' mode over a single volume), reflect pad, 3-axis
+        tiling, the batched 3D forward and mean-overlap stitch.  Returns the
+        (out_d, out_h, out_w, 1) uint8 volume on device."""
+        from ..ops.stitch import _stitch_xla_3d
+
+        d, h, w = vol_raw.shape
+        tz, tx, ty = resize_dim
+        out_d, out_h, out_w = max(tz, d), max(tx, h), max(ty, w)
+        zs = tuple(int(v) for v in zs)
+        xs = tuple(int(v) for v in xs)
+        ys = tuple(int(v) for v in ys)
+        src_dtype = vol_raw.dtype
+        n = len(zs) * len(xs) * len(ys)
+        # 3D U-Net activations are deep: cap each lax.map step at ~8M tile
+        # voxels
+        bs = max(self.batch_size, min(n, (1 << 23) // (tz * tx * ty)))
+        key = self._cache_key + ("fused_3d", d, h, w, tz, tx, ty, zs, xs, ys,
+                                 tuple(clip_threshold), invert, bs,
+                                 str(src_dtype))
+        if key not in _Engine._FUSED_CACHE:
+            forward, apply_fn, dt = self._forward_with, self._apply_fn, self.dtype
+            nz, nx, ny = len(zs), len(xs), len(ys)
+            n_pad = int(np.ceil(n / bs)) * bs
+            exact, idx_z, idx_x, idx_y = _tile_plan_3d(d, h, w, tz, tx, ty,
+                                                       zs, xs, ys)
+            n_bits = 8 if src_dtype == np.uint8 else 16
+            gz, gx, gy = np.meshgrid(np.asarray(zs), np.asarray(xs),
+                                     np.asarray(ys), indexing="ij")
+
+            def pipeline(variables, vol):
+                lo, hi, fmin, fmax = (
+                    v[:, None, None, None]
+                    for v in _device_frame_bounds(vol[None].reshape(1, -1),
+                                                  clip_threshold, n_bits))
+                f = _normalize_clip(vol[None].astype(jnp.float32),
+                                    lo, hi, fmin, fmax, invert)
+                pads = ((0, 0), (0, max(tz - d, 0)), (0, max(tx - h, 0)),
+                        (0, max(ty - w, 0)))
+                if any(p[1] for p in pads):
+                    f = jnp.pad(f, pads, mode="reflect")
+                u8 = f.astype(jnp.uint8)  # reference patch quantization
+                patches = _extract_tiles_3d(u8, nz, nx, ny, tz, tx, ty,
+                                            exact, idx_z, idx_x, idx_y)
+                if n_pad != n:
+                    patches = jnp.concatenate(
+                        [patches, jnp.broadcast_to(patches[-1:],
+                                                   (n_pad - n,) + patches.shape[1:])])
+                batches = patches.reshape((n_pad // bs, bs, tz, tx, ty, 1))
+                probs = _map_batches(
+                    lambda b: forward(apply_fn, dt, b, None, True, variables),
+                    batches
+                ).reshape((-1, tz, tx, ty, 1))[:n]
+                if exact:  # inverse of the tiling transpose
+                    return (probs.reshape(nz, nx, ny, tz, tx, ty)
+                            .transpose(0, 3, 1, 4, 2, 5)
+                            .reshape(nz * tz, nx * tx, ny * ty, 1))
+                out, cnt = _stitch_xla_3d(
+                    probs.astype(jnp.float32),
+                    jnp.asarray(gz.ravel().astype(np.int32)),
+                    jnp.asarray(gx.ravel().astype(np.int32)),
+                    jnp.asarray(gy.ravel().astype(np.int32)),
+                    out_d, out_h, out_w)
+                return (out / jnp.maximum(cnt, 1.0)).astype(jnp.uint8)
+
+            self._cache_put(_Engine._FUSED_CACHE, key, jax.jit(pipeline))
+        fn = self._cache_get(_Engine._FUSED_CACHE, key)
+        return fn(self.variables, jnp.asarray(vol_raw))
+
+    def fused_predict_heads_3d(self, vols_raw: np.ndarray, zs, xs, ys,
+                               tile, clip_threshold, factors):
+        """Fused multi-head 3D predict (≙ multi_output_unet3d/predict.py:
+        90-307): raw integer volumes up in one transfer, per-volume
+        normalization to [0, 1] on device, overlap-stride tiling, multi-head
+        forward and linear-blend stitch (per-axis ``factors`` tables — the
+        dense blend-weight stack, hundreds of MB for big 3D grids, is never
+        built).  Returns {head: (V, D, H, W, c) float32 device array}."""
+        n_vol, d, h, w = vols_raw.shape
+        tz, tx, ty = tile
+        zs = tuple(int(v) for v in zs)
+        xs = tuple(int(v) for v in xs)
+        ys = tuple(int(v) for v in ys)
+        src_dtype = vols_raw.dtype
+        per = len(zs) * len(xs) * len(ys)
+        n = n_vol * per
+        bs = max(1, min(n, (1 << 22) // (tz * tx * ty)))
+        key = self._cache_key + ("fused_heads_3d", n_vol, d, h, w, tz, tx, ty,
+                                 zs, xs, ys, tuple(clip_threshold), bs,
+                                 str(src_dtype),
+                                 tuple(np.asarray(f, np.float32).tobytes()
+                                       for f in factors))
+        if key not in _Engine._FUSED_CACHE:
+            from ..ops.stitch import _stitch_factored_xla
+
+            forward, apply_fn, dt = self._forward_with, self._apply_fn, self.dtype
+            nz, nx, ny = len(zs), len(xs), len(ys)
+            n_pad = int(np.ceil(n / bs)) * bs
+            exact, idx_z, idx_x, idx_y = _tile_plan_3d(d, h, w, tz, tx, ty,
+                                                       zs, xs, ys)
+            n_bits = 8 if src_dtype == np.uint8 else 16
+            grids = np.meshgrid(np.asarray(zs), np.asarray(xs), np.asarray(ys),
+                                indexing="ij")
+            starts = np.stack([g.ravel() for g in grids], axis=1).astype(np.int32)
+            gidx = np.meshgrid(np.arange(nz), np.arange(nx), np.arange(ny),
+                               indexing="ij")
+            grid_idx = np.stack([g.ravel() for g in gidx], axis=1).astype(np.int32)
+            facs = tuple(jnp.asarray(f) for f in factors)
+
+            def pipeline(variables, vols):
+                # per-VOLUME bounds: _normalize_stack over a 1-volume stack
+                # makes 'single'/'first'/'all' coincide (the host path
+                # normalizes volume by volume)
+                lo, hi, fmin, fmax = (
+                    v[:, None, None, None]
+                    for v in _device_frame_bounds(vols.reshape(n_vol, -1),
+                                                  clip_threshold, n_bits))
+                f = _normalize_clip(vols.astype(jnp.float32), lo, hi,
+                                    fmin, fmax, invert=False, scale=1.0)
+                patches = _extract_tiles_3d(f, nz, nx, ny, tz, tx, ty,
+                                            exact, idx_z, idx_x, idx_y)
+                if n_pad != n:
+                    patches = jnp.concatenate(
+                        [patches, jnp.broadcast_to(patches[-1:],
+                                                   (n_pad - n,) + patches.shape[1:])])
+                batches = patches.reshape((n_pad // bs, bs, tz, tx, ty, 1))
+                preds = _map_batches(
+                    lambda b: forward(apply_fn, dt, b, None, False, variables),
+                    batches)
+
+                starts_dev = jnp.asarray(starts)
+                gidx_dev = jnp.asarray(grid_idx)
+                result = {}
+                for head, p in preds.items():
+                    hp = p.reshape((-1,) + p.shape[2:])[:n].astype(jnp.float32)
+                    framed = hp.reshape((n_vol, per) + hp.shape[1:])
+
+                    def one(vol_patches):
+                        out, wsum = _stitch_factored_xla(
+                            vol_patches, facs, gidx_dev, starts_dev, (d, h, w))
+                        return jnp.where(wsum > 0,
+                                         out / jnp.maximum(wsum, 1e-12), 0.0)
+
+                    result[head] = jax.vmap(one)(framed)
+                return result
+
+            self._cache_put(_Engine._FUSED_CACHE, key, jax.jit(pipeline))
+        fn = self._cache_get(_Engine._FUSED_CACHE, key)
+        return fn(self.variables, jnp.asarray(vols_raw))
 
     @staticmethod
     def _pad_to(arr: np.ndarray, n_pad: int) -> np.ndarray:
@@ -491,7 +974,7 @@ class Predict:
                  resize_dim=(512, 512), invert=False, normalization_mode="single",
                  clip_threshold=(0.0, 99.8), add_tile=0, normalize_result=False,
                  show_progress=True, batch_size: int = 8, half_precision=False,
-                 mesh=None, device=None, device_pipeline: bool = False,
+                 mesh=None, device=None, device_pipeline: Optional[bool] = None,
                  progress_notifier: ProgressNotifier = None):
         del device
         if isinstance(imgs, (str, os.PathLike)):
@@ -512,11 +995,44 @@ class Predict:
         if in_ch != 1:
             raise ValueError("tiled 2D Predict supports single-channel input")
 
-        if (device_pipeline and normalization_mode == "single" and out_ch == 1
-                and mesh is None and imgs.dtype == np.uint8):
-            # fully-fused path: normalize+tile+forward+stitch in ONE dispatch
-            # (uint8 inputs only — float movies may carry NaNs and use the
-            # host nanpercentile path)
+        # device_pipeline: None (default) auto-enables the fused
+        # normalize+tile+forward+stitch program whenever it can honor the
+        # request exactly; True warns when it cannot (the user asked for the
+        # fast path — a silent ~25× slower fallback would be a lie); False
+        # forces the host-staged path.
+        fused_blocker = None
+        if out_ch != 1:
+            fused_blocker = "multi-channel output (out_channels != 1)"
+        elif imgs.dtype not in (np.uint8, np.uint16):
+            fused_blocker = (f"input dtype {imgs.dtype} (the fused program "
+                             "normalizes uint8/uint16 on device; float movies "
+                             "may carry NaNs and use the host nanpercentile "
+                             "path)")
+        elif any(self.resize_dim[a] - imgs.shape[a + 1] >= imgs.shape[a + 1]
+                 for a in range(2)):
+            fused_blocker = ("tile more than 2× the frame extent (XLA "
+                             "reflect pad cannot exceed the axis size)")
+        if device_pipeline and fused_blocker is not None:
+            import warnings
+
+            warnings.warn(
+                f"device_pipeline=True cannot be honored: {fused_blocker}; "
+                "falling back to the host-staged path", stacklevel=2)
+        use_fused = (device_pipeline is not False) and fused_blocker is None
+
+        if use_fused:
+            fixed_bounds = None
+            if normalization_mode in ("first", "all"):
+                # stack-global bounds, once, on host (O(n) bincount); the
+                # chunk program receives them as traced scalars
+                ref = imgs[0] if normalization_mode == "first" else imgs
+                lo = _percentile(ref, clip_threshold[0])
+                hi = _percentile(ref, clip_threshold[1])
+                gmin = float(np.clip(imgs.min(), lo, hi))
+                gmax = float(np.clip(imgs.max(), lo, hi))
+                fixed_bounds = np.array([lo, hi, gmin, gmax], np.float32)
+            elif normalization_mode != "single":
+                raise ValueError(f"normalization_mode {normalization_mode} not valid!")
             xs = grid_starts(self.imgs_shape[1], self.resize_dim[0], add_tile)
             ys = grid_starts(self.imgs_shape[2], self.resize_dim[1], add_tile)
             progress = progress_notifier if (show_progress and progress_notifier) else (
@@ -526,7 +1042,7 @@ class Predict:
                 print("Predicting data ...")
             result = engine.fused_predict_frames(
                 imgs, xs, ys, self.resize_dim, clip_threshold, invert,
-                progress=progress,
+                progress=progress, fixed_bounds=fixed_bounds,
             )[..., 0]
             self.result = np.squeeze(result)
             if result_name is not None:
@@ -601,7 +1117,7 @@ class PredictSiam:
                  invert=False, normalization_mode="single", clip_threshold=(0.0, 99.98),
                  add_tile=0, normalize_result=False, show_progress=True,
                  batch_size: int = 8, half_precision=False, mesh=None, device=None,
-                 frames_per_chunk: int = 8,
+                 frames_per_chunk: int = 8, device_pipeline: Optional[bool] = None,
                  progress_notifier: ProgressNotifier = None):
         del device
         self.invert = invert
@@ -624,6 +1140,25 @@ class PredictSiam:
         out_h = max(self.resize_dim[0], frame_shape[0])
         out_w = max(self.resize_dim[1], frame_shape[1])
 
+        # fused path eligibility (same contract as Predict.device_pipeline):
+        # page 0 is decoded once here and reused as the first chunk's frame
+        page0 = np.asarray(reader.read_page(0))
+        fused_blocker = None
+        if page0.dtype not in (np.uint8, np.uint16):
+            fused_blocker = (f"page dtype {page0.dtype} (the fused program "
+                             "normalizes uint8/uint16 on device)")
+        elif mesh is not None:
+            fused_blocker = "mesh-sharded prediction uses the patch-batch path"
+        elif normalization_mode not in ("single", "first", "all"):
+            fused_blocker = f"normalization_mode {normalization_mode}"
+        if device_pipeline and fused_blocker is not None:
+            import warnings
+
+            warnings.warn(
+                f"device_pipeline=True cannot be honored: {fused_blocker}; "
+                "falling back to the host-staged path", stacklevel=2)
+        use_fused = (device_pipeline is not False) and fused_blocker is None
+
         if show_progress:
             print("Predicting data ...")
         it = range(0, n_frames, frames_per_chunk)
@@ -633,7 +1168,22 @@ class PredictSiam:
 
         from ..ops.stitch import stitch_mean_frames_device
 
+        page_cache = {0: page0}
+
+        def read_page(i):
+            if i in page_cache:
+                return page_cache.pop(i)
+            return reader.read_page(i)
+
         last_page = None
+        pending = None  # (device chunk output, real frame count)
+
+        def flush(writer):
+            if pending is None:
+                return
+            for frame in np.asarray(jax.device_get(pending[0]))[: pending[1]]:
+                writer.write(frame[: frame_shape[0], : frame_shape[1], 0])
+
         # the full output geometry is known upfront: pick BigTIFF when the
         # streamed uint8 masks will not fit classic-TIFF's 4 GiB offsets
         # (the reference's TiffWriter(bigtiff=False) just crashes there)
@@ -643,15 +1193,46 @@ class PredictSiam:
             for start in it:
                 stop = min(start + frames_per_chunk, n_frames)
                 k = stop - start
+                if use_fused:
+                    # per-frame host work is ONLY the TIFF page decode: the
+                    # (k+1)-frame raw block goes up in one transfer and one
+                    # program does normalize+tile+forward+stitch on device
+                    frames_raw = [np.asarray(read_page(i))
+                                  for i in range(start, stop)]
+                    if start == 0:
+                        prev0 = (frames_raw[1] if k > 1 else
+                                 np.asarray(read_page(1)) if n_frames > 1 else
+                                 frames_raw[0])
+                    else:
+                        prev0 = last_page
+                    last_page = frames_raw[-1]
+                    block = np.stack([prev0] + frames_raw)
+                    if k < frames_per_chunk:  # tail: keep the program shape
+                        block = np.concatenate(
+                            [block, np.broadcast_to(
+                                block[-1:], (frames_per_chunk - k,) + block.shape[1:])])
+                    out_dev = engine.fused_predict_pairs(
+                        block, xs, ys, self.resize_dim, clip_threshold,
+                        invert, normalization_mode)
+                    try:
+                        # start the D2H copy early: with the one-chunk lag
+                        # below, downloads overlap the next chunk's
+                        # upload+compute (the tunnel link is full-duplex)
+                        out_dev.copy_to_host_async()
+                    except (AttributeError, RuntimeError):
+                        pass
+                    flush(writer)
+                    pending = (out_dev, k)
+                    continue
                 patches = np.empty((k * per,) + self.resize_dim, dtype=np.uint8)
                 prev_patches = np.empty_like(patches)
                 for j, i in enumerate(range(start, stop)):
                     # each page is decoded once: the previous iteration's
                     # current frame is reused as this frame's prev
-                    current = reader.read_page(i)
+                    current = read_page(i)
                     if i == 0:
                         prev = (current if n_frames == 1
-                                else reader.read_page(1))
+                                else read_page(1))
                     else:
                         # chunks iterate contiguously from 0, so the
                         # previous iteration's current frame is always here
@@ -679,6 +1260,7 @@ class PredictSiam:
                     probs, k, (xs, ys), (out_h, out_w), quantize_u8=True))
                 for frame in frames:
                     writer.write(frame[: frame_shape[0], : frame_shape[1], 0])
+            flush(writer)  # drain the lagged fused chunk
         reader.close()
         self.result_name = result_name
 
@@ -711,22 +1293,58 @@ class Predict3D:
                  resize_dim=(64, 128, 128), invert=False, clip_threshold=(0.0, 99.8),
                  add_patch=0, normalize_result=False, show_progress=True,
                  batch_size: int = 4, half_precision=False, mesh=None, device=None,
+                 device_pipeline: Optional[bool] = None,
                  progress_notifier: ProgressNotifier = None):
         del device
         if isinstance(vol, (str, os.PathLike)):
             vol = tiff.imread(vol)
-        vol = np.asarray(vol, dtype=np.float32)
+        vol = np.asarray(vol)  # raw dtype kept: the fused path uploads ints
         self.vol_shape = vol.shape
         self.resize_dim = tuple(resize_dim)
-
-        # whole-volume normalization only (unet3d/predict.py:109-117)
-        vol = _normalize_stack(vol[None], "all", clip_threshold, invert)[0]
 
         engine = _Engine(model_params, network, batch_size, half_precision, mesh=mesh)
 
         zs = grid_starts(self.vol_shape[0], self.resize_dim[0], 0)
         xs = grid_starts(self.vol_shape[1], self.resize_dim[1], add_patch)
         ys = grid_starts(self.vol_shape[2], self.resize_dim[2], add_patch)
+        n_vox = (len(zs) * len(xs) * len(ys)
+                 * int(np.prod(self.resize_dim)))
+
+        fused_blocker = None
+        if vol.dtype not in (np.uint8, np.uint16):
+            fused_blocker = (f"input dtype {vol.dtype} (the fused program "
+                             "normalizes uint8/uint16 on device)")
+        elif mesh is not None:
+            fused_blocker = "mesh-sharded prediction uses the patch-batch path"
+        elif n_vox > _Engine.FUSED_HEADS_MAX_PX:
+            fused_blocker = (f"{n_vox} patch voxels exceed the "
+                             "single-program budget")
+        elif any(self.resize_dim[a] - self.vol_shape[a] >= self.vol_shape[a]
+                 for a in range(3)):
+            fused_blocker = ("tile more than 2× the volume extent (XLA "
+                             "reflect pad cannot exceed the axis size)")
+        if device_pipeline and fused_blocker is not None:
+            import warnings
+
+            warnings.warn(
+                f"device_pipeline=True cannot be honored: {fused_blocker}; "
+                "falling back to the host-staged path", stacklevel=2)
+        use_fused = (device_pipeline is not False) and fused_blocker is None
+
+        if show_progress:
+            print("Predicting data ...")
+        if use_fused:
+            result = np.asarray(engine.fused_predict_volume(
+                vol, zs, xs, ys, self.resize_dim, clip_threshold, invert))
+            self.result = result[: self.vol_shape[0], : self.vol_shape[1],
+                                 : self.vol_shape[2], 0]
+            if result_name is not None:
+                save_as_tif(self.result, result_name, normalize=normalize_result)
+            return
+
+        # whole-volume normalization only (unet3d/predict.py:109-117)
+        vol = _normalize_stack(vol.astype(np.float32)[None], "all",
+                               clip_threshold, invert)[0]
         pads = [max(0, self.resize_dim[a] - self.vol_shape[a]) for a in range(3)]
         vol = np.pad(vol, [(0, p) for p in pads], "reflect")
 
@@ -744,8 +1362,6 @@ class Predict3D:
         progress = progress_notifier if (show_progress and progress_notifier) else (
             ProgressNotifier.progress_notifier_tqdm() if show_progress else None
         )
-        if show_progress:
-            print("Predicting data ...")
         probs = engine.predict_patches(patches[..., None], progress=progress,
                                        quantize=True, return_device=True)
 
@@ -776,17 +1392,16 @@ class PredictMultiOutput:
                  normalization_mode="single", clip_threshold=(0.0, 99.98),
                  add_tile=0, compress_tif=False, show_progress=True,
                  half_precision=False, safe_margin: int = 20, mesh=None, device=None,
+                 device_pipeline: Optional[bool] = None,
                  progress_notifier: ProgressNotifier = None):
         del device
         if isinstance(imgs, (str, os.PathLike)):
             imgs = tiff.imread(imgs)
-        imgs = np.asarray(imgs, dtype=np.float32)
+        imgs = np.asarray(imgs)  # raw dtype kept: the fused path uploads ints
         squeeze = imgs.ndim == 2
         if squeeze:
             imgs = imgs[None]
         self.imgs_shape = imgs.shape
-
-        imgs = _normalize_stack(imgs, normalization_mode, clip_threshold, scale=1.0)
 
         engine = _Engine(model_params, network, batch_size, half_precision, mesh=mesh)
         heads = engine.hyperparams["output_heads"]
@@ -796,43 +1411,91 @@ class PredictMultiOutput:
         ph = _round_to_16(min(self.imgs_shape[1], max_patch_size[0]))
         pw = _round_to_16(min(self.imgs_shape[2], max_patch_size[1]))
         self.patch_size = (ph, pw)
-        pad_x = max(ph - self.imgs_shape[1], 0)
-        pad_y = max(pw - self.imgs_shape[2], 0)
-        imgs = np.pad(imgs, ((0, 0), (0, pad_x), (0, pad_y)), "reflect")
-        xs = grid_starts(imgs.shape[1], ph, add_tile)
-        ys = grid_starts(imgs.shape[2], pw, add_tile)
-
-        patches = np.empty((self.imgs_shape[0] * len(xs) * len(ys), ph, pw),
-                           dtype=np.float32)
-        n = 0
-        for img in imgs:
-            for x0 in xs:
-                for y0 in ys:
-                    patches[n] = img[x0 : x0 + ph, y0 : y0 + pw]
-                    n += 1
-
-        progress = progress_notifier if (show_progress and progress_notifier) else (
-            ProgressNotifier.progress_notifier_tqdm() if show_progress else None
-        )
-        if show_progress:
-            print("Predicting data ...")
-        preds = engine.predict_patches(patches[..., None], progress=progress,
-                                       return_device=True)
-
-        # safe-margin stitch ON DEVICE, frames fused into one dispatch per head
-        from ..ops.stitch import stitch_weighted_frames_device
-        from .tiling import _margin_weights
-
         out_h = max(ph, self.imgs_shape[1])
         out_w = max(pw, self.imgs_shape[2])
+        xs = grid_starts(out_h, ph, add_tile)
+        ys = grid_starts(out_w, pw, add_tile)
+        n_px = self.imgs_shape[0] * len(xs) * len(ys) * ph * pw
+
+        from .tiling import _margin_weights
+
+        fused_blocker = None
+        if imgs.dtype not in (np.uint8, np.uint16):
+            fused_blocker = (f"input dtype {imgs.dtype} (the fused program "
+                             "normalizes uint8/uint16 on device)")
+        elif mesh is not None:
+            fused_blocker = "mesh-sharded prediction uses the patch-batch path"
+        elif n_px > _Engine.FUSED_HEADS_MAX_PX:
+            fused_blocker = (f"{n_px} patch pixels exceed the single-program "
+                             "budget (the uncovered-pixel fill is a "
+                             "whole-stack statistic)")
+        elif (ph - self.imgs_shape[1] >= self.imgs_shape[1]
+              or pw - self.imgs_shape[2] >= self.imgs_shape[2]):
+            fused_blocker = ("patch more than 2× the frame extent (XLA "
+                             "reflect pad cannot exceed the axis size)")
+        if device_pipeline and fused_blocker is not None:
+            import warnings
+
+            warnings.warn(
+                f"device_pipeline=True cannot be honored: {fused_blocker}; "
+                "falling back to the host-staged path", stacklevel=2)
+        use_fused = (device_pipeline is not False) and fused_blocker is None
+
+        if show_progress:
+            print("Predicting data ...")
+        if use_fused:
+            fixed_bounds = None
+            if normalization_mode in ("first", "all"):
+                ref = imgs[0] if normalization_mode == "first" else imgs
+                lo = _percentile(ref, clip_threshold[0])
+                hi = _percentile(ref, clip_threshold[1])
+                gmin = float(np.clip(imgs.min(), lo, hi))
+                gmax = float(np.clip(imgs.max(), lo, hi))
+                fixed_bounds = np.array([lo, hi, gmin, gmax], np.float32)
+            elif normalization_mode != "single":
+                raise ValueError(f"normalization_mode {normalization_mode} not valid!")
+            from .tiling import _margin_factors
+
+            factors = _margin_factors((len(xs), len(ys)), (ph, pw), safe_margin)
+            preds = engine.fused_predict_heads(
+                imgs, xs, ys, (ph, pw), clip_threshold, normalization_mode,
+                factors, fixed_bounds=fixed_bounds)
+        else:
+            imgs = _normalize_stack(imgs.astype(np.float32), normalization_mode,
+                                    clip_threshold, scale=1.0)
+            pad_x = max(ph - self.imgs_shape[1], 0)
+            pad_y = max(pw - self.imgs_shape[2], 0)
+            imgs = np.pad(imgs, ((0, 0), (0, pad_x), (0, pad_y)), "reflect")
+
+            patches = np.empty((self.imgs_shape[0] * len(xs) * len(ys), ph, pw),
+                               dtype=np.float32)
+            n = 0
+            for img in imgs:
+                for x0 in xs:
+                    for y0 in ys:
+                        patches[n] = img[x0 : x0 + ph, y0 : y0 + pw]
+                        n += 1
+
+            progress = progress_notifier if (show_progress and progress_notifier) else (
+                ProgressNotifier.progress_notifier_tqdm() if show_progress else None
+            )
+            raw_preds = engine.predict_patches(patches[..., None], progress=progress,
+                                               return_device=True)
+
+            # safe-margin stitch ON DEVICE, frames fused into one dispatch per head
+            from ..ops.stitch import stitch_weighted_frames_device
+
+            weights = _margin_weights((len(xs), len(ys)), (ph, pw), safe_margin)
+            preds = {
+                key: stitch_weighted_frames_device(
+                    raw_preds[key], weights, (xs, ys), self.imgs_shape[0],
+                    (out_h, out_w), fill_mean=True)
+                for key in self.target_keys
+            }
+
         self.result = {}
         for key in self.target_keys:
-            weights = _margin_weights((len(xs), len(ys)), (ph, pw), safe_margin)
-            stacked = stitch_weighted_frames_device(
-                preds[key], weights, (xs, ys), self.imgs_shape[0],
-                (out_h, out_w), fill_mean=True,
-            )
-            r = np.asarray(stacked)[:, : self.imgs_shape[1], : self.imgs_shape[2]]
+            r = np.asarray(preds[key])[:, : self.imgs_shape[1], : self.imgs_shape[2]]
             if r.shape[-1] > 1:
                 r = np.moveaxis(r, -1, 1)  # (N, C, H, W) like the reference
             else:
@@ -855,18 +1518,15 @@ class PredictMultiOutput3D:
                  normalization_mode="single", clip_threshold=(0.0, 99.98),
                  add_tile=0, compress_tif=False, show_progress=True,
                  half_precision=False, blend_margin: int = 16, mesh=None, device=None,
+                 device_pipeline: Optional[bool] = None,
                  progress_notifier: ProgressNotifier = None):
         del device
         if isinstance(imgs, (str, os.PathLike)):
             imgs = tiff.imread(imgs)
-        imgs = np.asarray(imgs, dtype=np.float32)
+        imgs = np.asarray(imgs)  # raw dtype kept: the fused path uploads ints
         if imgs.ndim == 3:
             imgs = imgs[None]  # (n_volumes, Z, X, Y)
         self.imgs_shape = imgs.shape
-
-        for v in range(imgs.shape[0]):
-            imgs[v] = _normalize_stack(imgs[v][None], normalization_mode,
-                                       clip_threshold, scale=1.0)[0]
 
         engine = _Engine(model_params, network, batch_size, half_precision, mesh=mesh)
         heads = engine.hyperparams["output_heads"]
@@ -878,36 +1538,72 @@ class PredictMultiOutput3D:
         zs = overlap_starts(d, tile[0], overlap_factor)
         xs = overlap_starts(h, tile[1], overlap_factor)
         ys = overlap_starts(w, tile[2], overlap_factor)
+        n_vox = n_vol * len(zs) * len(xs) * len(ys) * int(np.prod(tile))
 
-        patches = []
-        for v in range(n_vol):
-            for z0 in zs:
-                for x0 in xs:
-                    for y0 in ys:
-                        patches.append(imgs[v, z0 : z0 + tile[0], x0 : x0 + tile[1],
-                                            y0 : y0 + tile[2]])
-        patches = np.stack(patches)[..., None]
+        fused_blocker = None
+        if imgs.dtype not in (np.uint8, np.uint16):
+            fused_blocker = (f"input dtype {imgs.dtype} (the fused program "
+                             "normalizes uint8/uint16 on device)")
+        elif mesh is not None:
+            fused_blocker = "mesh-sharded prediction uses the patch-batch path"
+        elif n_vox > _Engine.FUSED_HEADS_MAX_PX:
+            fused_blocker = (f"{n_vox} patch voxels exceed the "
+                             "single-program budget")
+        if device_pipeline and fused_blocker is not None:
+            import warnings
 
-        progress = progress_notifier if (show_progress and progress_notifier) else (
-            ProgressNotifier.progress_notifier_tqdm() if show_progress else None
-        )
+            warnings.warn(
+                f"device_pipeline=True cannot be honored: {fused_blocker}; "
+                "falling back to the host-staged path", stacklevel=2)
+        use_fused = (device_pipeline is not False) and fused_blocker is None
+
         if show_progress:
             print("Predicting data ...")
-        preds = engine.predict_patches(patches, progress=progress,
-                                       return_device=True)
+        if use_fused:
+            from .tiling import _blend_factors
 
-        # linear-blend stitch ON DEVICE, volumes fused into one dispatch per head
-        from ..ops.stitch import stitch_weighted_frames_device
-        from .tiling import _blend_weights
+            factors = _blend_factors((len(zs), len(xs), len(ys)), tile,
+                                     blend_margin)
+            preds = engine.fused_predict_heads_3d(
+                imgs, zs, xs, ys, tile, clip_threshold, factors)
+        else:
+            imgs = imgs.astype(np.float32)
+            for v in range(imgs.shape[0]):
+                imgs[v] = _normalize_stack(imgs[v][None], normalization_mode,
+                                           clip_threshold, scale=1.0)[0]
+
+            patches = []
+            for v in range(n_vol):
+                for z0 in zs:
+                    for x0 in xs:
+                        for y0 in ys:
+                            patches.append(imgs[v, z0 : z0 + tile[0], x0 : x0 + tile[1],
+                                                y0 : y0 + tile[2]])
+            patches = np.stack(patches)[..., None]
+
+            progress = progress_notifier if (show_progress and progress_notifier) else (
+                ProgressNotifier.progress_notifier_tqdm() if show_progress else None
+            )
+            raw_preds = engine.predict_patches(patches, progress=progress,
+                                               return_device=True)
+
+            # linear-blend stitch ON DEVICE, volumes fused into one dispatch
+            # per head
+            from ..ops.stitch import stitch_weighted_frames_device
+            from .tiling import _blend_weights
+
+            weights = _blend_weights((len(zs), len(xs), len(ys)), tile,
+                                     blend_margin)
+            preds = {
+                key: stitch_weighted_frames_device(
+                    raw_preds[key], weights, (zs, xs, ys), n_vol, (d, h, w),
+                    fill_mean=False)
+                for key in self.target_keys
+            }
 
         self.result = {}
         for key in self.target_keys:
-            weights = _blend_weights((len(zs), len(xs), len(ys)), tile, blend_margin)
-            stacked = stitch_weighted_frames_device(
-                preds[key], weights, (zs, xs, ys), n_vol, (d, h, w),
-                fill_mean=False,
-            )
-            r = np.asarray(stacked)
+            r = np.asarray(preds[key])
             if r.shape[-1] > 1:
                 r = np.moveaxis(r, -1, 1)
             else:

@@ -88,6 +88,42 @@ def _margin_weights(grid_shape: Sequence[int], tile: Sequence[int],
     return np.stack(weights)
 
 
+def _margin_factors(grid_shape: Sequence[int], tile: Sequence[int],
+                    margin: int) -> List[np.ndarray]:
+    """Per-axis (n_a, t_a) factor tables whose outer MIN reproduces
+    :func:`_margin_weights` (binary masks: min ≡ logical and).  The fused
+    predict programs rebuild each patch's weight plane from these O(n·t)
+    tables instead of materializing/uploading the (N, *tile) stack."""
+    factors = []
+    for n, t in zip(grid_shape, tile):
+        f = np.ones((n, t), np.float32)
+        for i in range(n):
+            if i > 0:
+                f[i, :margin] = 0
+            if i < n - 1:
+                f[i, max(t - margin, 0):] = 0
+        factors.append(f)
+    return factors
+
+
+def _blend_factors(grid_shape: Sequence[int], tile: Sequence[int],
+                   margin: int) -> List[np.ndarray]:
+    """Per-axis factor tables whose outer MIN reproduces
+    :func:`_blend_weights` (which itself min-accumulates per-axis ramps)."""
+    factors = []
+    for n, t in zip(grid_shape, tile):
+        f = np.ones((n, t), np.float32)
+        m = min(margin, t)
+        ramp = np.arange(m, dtype=np.float32) / margin
+        for i in range(n):
+            if i > 0:
+                f[i, :m] = np.minimum(f[i, :m], ramp)
+            if i < n - 1:
+                f[i, t - m:] = np.minimum(f[i, t - m:], ramp[::-1])
+        factors.append(f)
+    return factors
+
+
 def stitch_margin(patches: np.ndarray, starts_per_axis: Sequence[np.ndarray],
                   out_spatial: Tuple[int, ...], safe_margin: int = 20) -> np.ndarray:
     """Safe-margin stitch (multi_output_unet/predict.py:234-285): overlap

@@ -41,3 +41,38 @@ def test_u8_clip_bounds_semantics(rng):
         np.testing.assert_allclose(hi[i], rhi, atol=1e-4)
         np.testing.assert_allclose(fmin[i], clipped.min(), atol=1e-4)
         np.testing.assert_allclose(fmax[i], clipped.max(), atol=1e-4)
+
+
+def test_int_clip_bounds_u16_matches_numpy(rng):
+    """uint16 bit-search percentiles follow numpy's 'linear' rule exactly and
+    the post-clip extremes equal numpy's clipped min/max."""
+    import numpy as np
+    from bio_image_unet_tpu.ops.histogram import int_clip_bounds
+
+    frames = rng.integers(0, 65535, (3, 41, 37), dtype=np.uint16)
+    frames[0, :5] = 0          # heavy ties at the bottom
+    frames[1, :, :4] = 65535   # and at the top
+    lo, hi, fmin, fmax = (np.asarray(v) for v in
+                          int_clip_bounds(frames, 0.3, 99.7, n_bits=16))
+    for i, f in enumerate(frames):
+        want_lo = np.percentile(f.astype(np.float64), 0.3)
+        want_hi = np.percentile(f.astype(np.float64), 99.7)
+        # order stats are exact ints; the linear-rule blend runs in float32,
+        # whose eps at 65k magnitude is ~8e-3
+        assert abs(lo[i] - want_lo) < 0.02, (i, lo[i], want_lo)
+        assert abs(hi[i] - want_hi) < 0.02, (i, hi[i], want_hi)
+        clipped = np.clip(f.astype(np.float64), want_lo, want_hi)
+        assert abs(fmin[i] - clipped.min()) < 0.02
+        assert abs(fmax[i] - clipped.max()) < 0.02
+
+
+def test_int_clip_bounds_u8_agrees_with_u8_path(rng):
+    """The generic bit-search agrees with the dedicated 256-bin uint8 path."""
+    import numpy as np
+    from bio_image_unet_tpu.ops.histogram import int_clip_bounds, u8_clip_bounds
+
+    frames = rng.integers(0, 255, (4, 33, 29), dtype=np.uint8)
+    a = [np.asarray(v) for v in u8_clip_bounds(frames, 0.0, 99.8)]
+    b = [np.asarray(v) for v in int_clip_bounds(frames, 0.0, 99.8, n_bits=8)]
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(x, y, atol=1e-5)

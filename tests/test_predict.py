@@ -114,8 +114,11 @@ def test_predict_parity_with_reference(tmp_path, rng, torch_unet_ckpt):
     ckpt_path, net = torch_unet_ckpt
     movie = rng.integers(0, 255, (2, 96, 96), dtype=np.uint8)
     out_path = str(tmp_path / "result.tif")
+    # pin the host-staged path: this test's <=1 tolerance is the host
+    # float64 normalize contract (the auto-enabled fused default is covered
+    # by test_device_pipeline_* and test_default_device_pipeline_is_fused)
     pred = Predict(movie, out_path, ckpt_path, resize_dim=(64, 64),
-                   show_progress=False, batch_size=4)
+                   show_progress=False, batch_size=4, device_pipeline=False)
 
     # independent reference computation: normalize per frame, uint8 patches,
     # torch forward per patch, nanmean stitch, uint8 quantization
@@ -248,7 +251,7 @@ def test_device_pipeline_matches_host_path(tmp_path, rng, torch_unet_ckpt):
     ckpt_path, _ = torch_unet_ckpt
     movie = rng.integers(0, 255, (2, 96, 96), dtype=np.uint8)
     host = Predict(movie, None, ckpt_path, resize_dim=(64, 64),
-                   show_progress=False, batch_size=4)
+                   show_progress=False, batch_size=4, device_pipeline=False)
     fused = Predict(movie, None, ckpt_path, resize_dim=(64, 64),
                     show_progress=False, batch_size=4, device_pipeline=True)
     diff = np.abs(host.result.astype(int) - fused.result.astype(int))
@@ -281,7 +284,7 @@ def test_fused_pipeline_compile_count_independent_of_movie_length(
     assert len(_Engine._FUSED_CACHE) == n_after_a  # no new program
 
     # the padded tail chunk must not leak pad frames into real results
-    host_b = Predict(movie_b, None, ckpt_path, resize_dim=(64, 64),
+    host_b = Predict(movie_b, None, ckpt_path, resize_dim=(64, 64), device_pipeline=False,
                      show_progress=False, batch_size=4)
     assert pred_b.result.shape == host_b.result.shape
     diff = np.abs(host_b.result.astype(int) - pred_b.result.astype(int))
@@ -311,7 +314,7 @@ def test_device_pipeline_exact_grid(tmp_path, rng, torch_unet_ckpt):
     ckpt_path, _ = torch_unet_ckpt
     movie = rng.integers(0, 255, (3, 128, 128), dtype=np.uint8)
     host = Predict(movie, None, ckpt_path, resize_dim=(64, 64),
-                   show_progress=False, batch_size=4)
+                   show_progress=False, batch_size=4, device_pipeline=False)
     fused = Predict(movie, None, ckpt_path, resize_dim=(64, 64),
                     show_progress=False, batch_size=4, device_pipeline=True)
     diff = np.abs(host.result.astype(int) - fused.result.astype(int))
@@ -357,7 +360,7 @@ def test_device_pipeline_invert_matches_host(tmp_path, rng, torch_unet_ckpt):
     ckpt_path, _ = torch_unet_ckpt
     movie = rng.integers(0, 255, (2, 96, 96), dtype=np.uint8)
     host = Predict(movie, None, ckpt_path, resize_dim=(64, 64), invert=True,
-                   show_progress=False, batch_size=4)
+                   show_progress=False, batch_size=4, device_pipeline=False)
     fused = Predict(movie, None, ckpt_path, resize_dim=(64, 64), invert=True,
                     show_progress=False, batch_size=4, device_pipeline=True)
     diff = np.abs(host.result.astype(int) - fused.result.astype(int))
@@ -394,3 +397,293 @@ def test_fused_pipeline_bounded_pending_window(tmp_path, rng, torch_unet_ckpt,
     monkeypatch.setattr(_Engine, "FUSED_PENDING_CHUNKS", 1)
     narrow = Predict(movie, None, ckpt_path, **kwargs).result
     np.testing.assert_array_equal(wide, narrow)
+
+
+def test_engine_cache_lru_not_fifo():
+    """Alternating CAP+1 configs must not evict the steadily-reused program:
+    _cache_get re-inserts hits at the back (LRU), so the hot key survives
+    while the one-shot keys rotate out."""
+    from bio_image_unet_tpu.predict.predictor import _Engine
+
+    cache = {}
+    for i in range(_Engine.CACHE_CAP):
+        _Engine._cache_put(cache, ("cfg", i), i)
+    hot = ("cfg", 0)
+    for i in range(_Engine.CACHE_CAP, _Engine.CACHE_CAP + 10):
+        assert _Engine._cache_get(cache, hot) == 0  # hit moves it to the back
+        _Engine._cache_put(cache, ("cfg", i), i)    # evicts the true LRU entry
+        assert hot in cache, f"hot program evicted after inserting cfg {i}"
+    assert len(cache) == _Engine.CACHE_CAP
+
+
+def test_default_device_pipeline_is_fused(rng, torch_unet_ckpt):
+    """device_pipeline defaults to None = auto: an eligible uint8 movie takes
+    the fused program and the result is bit-identical to an explicit True."""
+    ckpt_path, _ = torch_unet_ckpt
+    movie = rng.integers(0, 255, (2, 96, 96), dtype=np.uint8)
+    auto = Predict(movie, None, ckpt_path, resize_dim=(64, 64),
+                   show_progress=False, batch_size=4)
+    forced = Predict(movie, None, ckpt_path, resize_dim=(64, 64),
+                     show_progress=False, batch_size=4, device_pipeline=True)
+    np.testing.assert_array_equal(auto.result, forced.result)
+
+
+def test_device_pipeline_uint16_matches_host(rng, torch_unet_ckpt):
+    """uint16 movies run the fused program (bit-search percentiles on device)
+    and match the host-staged path within one uint8 quantization step."""
+    ckpt_path, _ = torch_unet_ckpt
+    movie = rng.integers(0, 60000, (2, 96, 96), dtype=np.uint16)
+    movie[0, :8] = 0  # exercise ties and a wide dynamic range
+    host = Predict(movie, None, ckpt_path, resize_dim=(64, 64),
+                   show_progress=False, batch_size=4, device_pipeline=False)
+    fused = Predict(movie, None, ckpt_path, resize_dim=(64, 64),
+                    show_progress=False, batch_size=4, device_pipeline=True)
+    diff = np.abs(host.result.astype(int) - fused.result.astype(int))
+    assert np.mean(diff > 1) < 0.01, (diff.max(), np.mean(diff > 1))
+
+
+@pytest.mark.parametrize("mode", ["first", "all"])
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16])
+def test_device_pipeline_first_all_modes(rng, torch_unet_ckpt, mode, dtype):
+    """'first'/'all' normalization fuses too: stack-global bounds are computed
+    once on host and threaded into the chunk program as traced scalars."""
+    ckpt_path, _ = torch_unet_ckpt
+    hi = 255 if dtype == np.uint8 else 50000
+    movie = rng.integers(0, hi, (3, 96, 96), dtype=dtype)
+    host = Predict(movie, None, ckpt_path, resize_dim=(64, 64),
+                   normalization_mode=mode, show_progress=False,
+                   batch_size=4, device_pipeline=False)
+    fused = Predict(movie, None, ckpt_path, resize_dim=(64, 64),
+                    normalization_mode=mode, show_progress=False,
+                    batch_size=4, device_pipeline=True)
+    diff = np.abs(host.result.astype(int) - fused.result.astype(int))
+    assert np.mean(diff > 1) < 0.01, (diff.max(), np.mean(diff > 1))
+
+
+def test_device_pipeline_warns_on_ineligible(rng, torch_unet_ckpt):
+    """An explicit device_pipeline=True that cannot be honored (float input)
+    warns with the reason and falls back to the host path; the default auto
+    mode falls back silently."""
+    import warnings
+
+    ckpt_path, _ = torch_unet_ckpt
+    movie = rng.random((2, 96, 96), dtype=np.float32) * 255
+    with pytest.warns(UserWarning, match="device_pipeline=True cannot"):
+        loud = Predict(movie, None, ckpt_path, resize_dim=(64, 64),
+                       show_progress=False, batch_size=4, device_pipeline=True)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        quiet = Predict(movie, None, ckpt_path, resize_dim=(64, 64),
+                        show_progress=False, batch_size=4)
+    np.testing.assert_array_equal(loud.result, quiet.result)
+
+
+@pytest.fixture(scope="module")
+def siam_ckpt(tmp_path_factory):
+    import torch
+
+    torch.manual_seed(0)
+    mod = _ref_module("siam_unet/siam_unet.py")
+    net = mod.Siam_UNet(n_filter=4, mode="max")
+    net.eval()
+    path = str(tmp_path_factory.mktemp("siam_ckpt") / "siam.pt")
+    torch.save({"state_dict": net.state_dict(), "model_name": "Siam_UNet",
+                "n_filter": 4, "mode": "max"}, path)
+    return path
+
+
+@pytest.mark.parametrize("mode", ["single", "first", "all"])
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16])
+def test_predict_siam_fused_matches_host(tmp_path, rng, siam_ckpt, mode, dtype):
+    """The fused Siam chunk program (per-pair normalize + twin tiling +
+    forward + stitch in one dispatch) matches the host-staged path within one
+    uint8 quantization step — for all three per-PAIR normalization modes and
+    both integer dtypes, across a chunk boundary and an odd tail."""
+    hi = 255 if dtype == np.uint8 else 50000
+    movie_path = str(tmp_path / "movie.tif")
+    tiff.imwrite(movie_path, rng.integers(0, hi, (7, 48, 48), dtype=dtype))
+    out_f = str(tmp_path / "fused.tif")
+    out_h = str(tmp_path / "host.tif")
+    kwargs = dict(resize_dim=(32, 32), normalization_mode=mode,
+                  show_progress=False, frames_per_chunk=3)
+    PredictSiam(movie_path, out_f, siam_ckpt, device_pipeline=True, **kwargs)
+    PredictSiam(movie_path, out_h, siam_ckpt, device_pipeline=False, **kwargs)
+    fused = tiff.imread(out_f).astype(int)
+    host = tiff.imread(out_h).astype(int)
+    assert fused.shape == host.shape == (7, 48, 48)
+    diff = np.abs(fused - host)
+    assert np.mean(diff > 1) < 0.01, (mode, dtype, diff.max(), np.mean(diff > 1))
+
+
+def test_predict_siam_default_is_fused_and_float_falls_back(tmp_path, rng, siam_ckpt):
+    """Default device_pipeline=None auto-enables the fused Siam path (equals
+    explicit True bit-for-bit); float input warns on explicit True."""
+    movie_path = str(tmp_path / "movie.tif")
+    tiff.imwrite(movie_path, rng.integers(0, 255, (4, 48, 48), dtype=np.uint8))
+    out_a = str(tmp_path / "auto.tif")
+    out_b = str(tmp_path / "forced.tif")
+    kwargs = dict(resize_dim=(48, 48), show_progress=False)
+    PredictSiam(movie_path, out_a, siam_ckpt, **kwargs)
+    PredictSiam(movie_path, out_b, siam_ckpt, device_pipeline=True, **kwargs)
+    np.testing.assert_array_equal(tiff.imread(out_a), tiff.imread(out_b))
+
+    float_path = str(tmp_path / "floats.tif")
+    tiff.imwrite(float_path, rng.random((3, 48, 48), dtype=np.float32) * 255)
+    with pytest.warns(UserWarning, match="device_pipeline=True cannot"):
+        PredictSiam(float_path, str(tmp_path / "f.tif"), siam_ckpt,
+                    device_pipeline=True, resize_dim=(48, 48),
+                    show_progress=False)
+
+
+@pytest.fixture(scope="module")
+def mo_ckpt(tmp_path_factory):
+    import jax
+    import jax.numpy as jnp
+
+    from bio_image_unet_tpu.models import MultiOutputUnet
+
+    heads = {"mask": {"channels": 1, "activation": "sigmoid"},
+             "orientation": {"channels": 2, "activation": None}}
+    model = MultiOutputUnet(n_filter=4, output_heads=heads)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))
+    path = str(tmp_path_factory.mktemp("mo_ckpt") / "mo.ckpt")
+    checkpoint.save(path, variables, {"model_name": "MultiOutputUnet",
+                                      "n_filter": 4, "in_channels": 1,
+                                      "output_heads": heads})
+    return path
+
+
+@pytest.mark.parametrize("mode", ["single", "first", "all"])
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16])
+def test_predict_multi_output_fused_matches_host(rng, mo_ckpt, mode, dtype):
+    """The fused multi-head program (raw int upload, device normalize to
+    [0, 1], tile, forward, margin stitch) matches the round-2 host-staged
+    float32 path to float tolerance for every head."""
+    hi = 255 if dtype == np.uint8 else 50000
+    imgs = rng.integers(0, hi, (2, 48, 48), dtype=dtype)
+    kwargs = dict(max_patch_size=(32, 32), show_progress=False, batch_size=4,
+                  safe_margin=4, normalization_mode=mode)
+    fused = PredictMultiOutput(imgs, mo_ckpt, device_pipeline=True, **kwargs)
+    host = PredictMultiOutput(imgs, mo_ckpt, device_pipeline=False, **kwargs)
+    for key in fused.result:
+        a, b = fused.result[key], host.result[key]
+        assert a.shape == b.shape, key
+        # device f32 normalize vs host f64 + f16 head quantization
+        np.testing.assert_allclose(a, b, atol=2e-3, rtol=0,
+                                   err_msg=f"{key} {mode} {dtype}")
+
+
+def test_predict_multi_output_default_fused_and_fallback(rng, mo_ckpt):
+    imgs = rng.integers(0, 255, (1, 48, 48), dtype=np.uint8)
+    kwargs = dict(max_patch_size=(32, 32), show_progress=False, batch_size=4,
+                  safe_margin=4)
+    auto = PredictMultiOutput(imgs, mo_ckpt, **kwargs)
+    forced = PredictMultiOutput(imgs, mo_ckpt, device_pipeline=True, **kwargs)
+    for key in auto.result:
+        np.testing.assert_array_equal(auto.result[key], forced.result[key])
+
+    with pytest.warns(UserWarning, match="device_pipeline=True cannot"):
+        PredictMultiOutput(rng.random((1, 48, 48), dtype=np.float32), mo_ckpt,
+                           device_pipeline=True, **kwargs)
+
+
+def test_margin_blend_factors_reproduce_dense_weights(rng):
+    """The per-axis factor tables outer-MIN to exactly the dense weight
+    stacks the host path uses (the fused stitch rebuilds weights from them)."""
+    from bio_image_unet_tpu.predict.tiling import (
+        _blend_factors, _blend_weights, _margin_factors, _margin_weights)
+
+    for grid, tile, margin in [((2, 3), (16, 24), 4), ((1, 2), (8, 8), 3),
+                               ((3, 1), (8, 16), 10)]:
+        dense = _margin_weights(grid, tile, margin)
+        facs = _margin_factors(grid, tile, margin)
+        rebuilt = np.stack([
+            np.minimum(facs[0][i][:, None], facs[1][j][None, :])[..., None]
+            for i in range(grid[0]) for j in range(grid[1])])
+        np.testing.assert_array_equal(dense, rebuilt)
+
+    for grid, tile, margin in [((2, 2, 3), (4, 8, 8), 3), ((1, 2, 2), (4, 6, 6), 8)]:
+        dense = _blend_weights(grid, tile, margin)
+        facs = _blend_factors(grid, tile, margin)
+        rebuilt = np.stack([
+            np.minimum(np.minimum(facs[0][i][:, None, None],
+                                  facs[1][j][None, :, None]),
+                       facs[2][k][None, None, :])[..., None]
+            for i in range(grid[0]) for j in range(grid[1])
+            for k in range(grid[2])])
+        np.testing.assert_allclose(dense, rebuilt, atol=1e-7)
+
+
+@pytest.fixture(scope="module")
+def unet3d_ckpt(tmp_path_factory):
+    import jax
+    import jax.numpy as jnp
+
+    from bio_image_unet_tpu.models import UNet3D
+
+    model = UNet3D(n_filter=4)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 16, 16, 1)))
+    path = str(tmp_path_factory.mktemp("u3d_ckpt") / "u3d.ckpt")
+    checkpoint.save(path, variables, {"model_name": "UNet3D", "n_filter": 4})
+    return path
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16])
+def test_predict_3d_fused_matches_host(tmp_path, rng, unet3d_ckpt, dtype):
+    """The fused 3D program (raw volume upload, device whole-volume
+    normalize, 3-axis tiling, forward, mean stitch) matches the host-staged
+    path within one uint8 quantization step — overlapping grid included."""
+    hi = 255 if dtype == np.uint8 else 50000
+    vol = rng.integers(0, hi, (12, 24, 24), dtype=dtype)
+    kwargs = dict(resize_dim=(8, 16, 16), show_progress=False, batch_size=2)
+    host = Predict3D(vol, None, unet3d_ckpt, device_pipeline=False, **kwargs)
+    fused = Predict3D(vol, None, unet3d_ckpt, device_pipeline=True, **kwargs)
+    assert fused.result.shape == host.result.shape == (12, 24, 24)
+    assert fused.result.dtype == np.uint8
+    diff = np.abs(host.result.astype(int) - fused.result.astype(int))
+    assert np.mean(diff > 1) < 0.01, (dtype, diff.max(), np.mean(diff > 1))
+
+
+def test_predict_3d_fused_exact_grid_and_invert(tmp_path, rng, unet3d_ckpt):
+    """Exact (transpose-only) 3D grid + invert: fused equals host."""
+    vol = rng.integers(0, 255, (16, 32, 32), dtype=np.uint8)
+    kwargs = dict(resize_dim=(8, 16, 16), invert=True, show_progress=False,
+                  batch_size=2)
+    host = Predict3D(vol, None, unet3d_ckpt, device_pipeline=False, **kwargs)
+    fused = Predict3D(vol, None, unet3d_ckpt, device_pipeline=True, **kwargs)
+    diff = np.abs(host.result.astype(int) - fused.result.astype(int))
+    assert np.mean(diff > 1) < 0.01, (diff.max(), np.mean(diff > 1))
+
+
+@pytest.fixture(scope="module")
+def mo3d_ckpt(tmp_path_factory):
+    import jax
+    import jax.numpy as jnp
+
+    from bio_image_unet_tpu.models import MultiOutputUnet3D
+
+    heads = {"mask": {"channels": 1, "activation": "sigmoid"},
+             "flow": {"channels": 2, "activation": None}}
+    model = MultiOutputUnet3D(n_filter=4, output_heads=heads)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 16, 16, 1)))
+    path = str(tmp_path_factory.mktemp("mo3d_ckpt") / "mo3d.ckpt")
+    checkpoint.save(path, variables, {"model_name": "MultiOutputUnet3D",
+                                      "n_filter": 4, "output_heads": heads})
+    return path
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16])
+def test_predict_multi_output_3d_fused_matches_host(rng, mo3d_ckpt, dtype):
+    """Fused multi-head 3D (factored blend stitch) matches the host-staged
+    float path to float tolerance on an overlap-stride grid."""
+    hi = 255 if dtype == np.uint8 else 50000
+    vol = rng.integers(0, hi, (12, 24, 24), dtype=dtype)
+    kwargs = dict(max_patch_size=(8, 16, 16), overlap_factor=0.25,
+                  show_progress=False, batch_size=2, blend_margin=4)
+    fused = PredictMultiOutput3D(vol, mo3d_ckpt, device_pipeline=True, **kwargs)
+    host = PredictMultiOutput3D(vol, mo3d_ckpt, device_pipeline=False, **kwargs)
+    for key in fused.result:
+        a, b = fused.result[key], host.result[key]
+        assert a.shape == b.shape, key
+        np.testing.assert_allclose(a, b, atol=2e-3, rtol=0,
+                                   err_msg=f"{key} {dtype}")
