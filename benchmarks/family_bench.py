@@ -191,7 +191,7 @@ def baseline_unet3d():
 # ours (TPU)
 # --------------------------------------------------------------------------
 
-def _ckpt(tmp, name, model, init_shape, extra):
+def _ckpt(tmp, name, model, init_shapes, extra):
     import jax
     import jax.numpy as jnp
 
@@ -199,7 +199,8 @@ def _ckpt(tmp, name, model, init_shape, extra):
     from bio_image_unet_tpu.utils.utils import no_compilation_cache
 
     with no_compilation_cache(), jax.default_device(jax.devices("cpu")[0]):
-        variables = model.init(jax.random.PRNGKey(0), jnp.zeros(init_shape))
+        variables = model.init(jax.random.PRNGKey(0),
+                               *[jnp.zeros(s) for s in init_shapes])
     path = os.path.join(tmp, f"{name}.ckpt")
     checkpoint.save(path, variables, extra)
     return path
@@ -216,7 +217,8 @@ def ours_siam():
 
     tmp = "/tmp/family_bench"
     os.makedirs(tmp, exist_ok=True)
-    ckpt = _ckpt(tmp, "siam", Siam_UNet(n_filter=NF), (1, 256, 256, 1),
+    ckpt = _ckpt(tmp, "siam", Siam_UNet(n_filter=NF),
+                 [(1, 256, 256, 1), (1, 256, 256, 1)],
                  {"model_name": "Siam_UNet", "n_filter": NF, "mode": "max"})
     rng = np.random.default_rng(0)
     frames, h, w = 32, 1024, 1024
@@ -299,7 +301,7 @@ def ours_multi_output():
     os.makedirs(tmp, exist_ok=True)
     model = get_model("MultiOutputNestedUNet", n_filter=NF, in_channels=1,
                       output_heads=MO_HEADS)
-    ckpt = _ckpt(tmp, "mo", model, (1, 256, 256, 1),
+    ckpt = _ckpt(tmp, "mo", model, [(1, 256, 256, 1)],
                  {"model_name": "MultiOutputNestedUNet", "n_filter": NF,
                   "in_channels": 1, "output_heads": MO_HEADS})
     rng = np.random.default_rng(0)
@@ -372,7 +374,7 @@ def ours_unet3d():
 
     tmp = "/tmp/family_bench"
     os.makedirs(tmp, exist_ok=True)
-    ckpt = _ckpt(tmp, "u3d", UNet3D(n_filter=NF), (1, 16, 64, 64, 1),
+    ckpt = _ckpt(tmp, "u3d", UNet3D(n_filter=NF), [(1, 16, 64, 64, 1)],
                  {"model_name": "UNet3D", "n_filter": NF})
     rng = np.random.default_rng(0)
     d, h, w = 64, 512, 512
