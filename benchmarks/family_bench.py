@@ -312,14 +312,14 @@ def ours_multi_output():
     xs, ys = grid_starts(h, 512, 0), grid_starts(w, 512, 0)
     factors = _margin_factors((len(xs), len(ys)), (512, 512), 20)
     out = eng.fused_predict_heads(imgs, xs, ys, (512, 512), (0.0, 99.98),
-                                  "single", factors)  # warm/compile
+                                  factors)  # warm/compile
     _sync(list(out.values()))
     imgs_dev = jnp.asarray(imgs)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         out = eng.fused_predict_heads(imgs_dev, xs, ys, (512, 512),
-                                      (0.0, 99.98), "single", factors)
+                                      (0.0, 99.98), factors)
         _sync(list(out.values()))
         best = min(best, time.perf_counter() - t0)
     device_mpix = frames * h * w / 1e6 / best

@@ -205,6 +205,21 @@ def _map_batches(step, xs):
     return jax.lax.map(step, xs)
 
 
+def _resolve_device_pipeline(device_pipeline, blocker) -> bool:
+    """The device_pipeline contract shared by every Predict class:
+    ``None`` (default) auto-enables the fused program when nothing blocks
+    it, ``True`` insists — warning with the reason when it cannot be
+    honored (a silent ~25× slower fallback would be a lie) — and ``False``
+    forces the host-staged path."""
+    if device_pipeline and blocker is not None:
+        import warnings
+
+        warnings.warn(
+            f"device_pipeline=True cannot be honored: {blocker}; "
+            "falling back to the host-staged path", stacklevel=3)
+    return (device_pipeline is not False) and blocker is None
+
+
 def _maybe_enable_compile_cache():
     """Persistent XLA compile cache on TPU backends by default (opt out:
     BIU_TPU_NO_CACHE=1): a cold U-Net compile costs minutes on
@@ -597,7 +612,12 @@ class _Engine:
                                                       n_bits))
 
                 if mode == "single":
-                    pb, cb = bounds3(prevs), bounds3(curs)
+                    # one histogram/bit-search pass over the k+1 distinct
+                    # frames; interior frames serve as prev of one pair and
+                    # cur of the next with identical per-frame bounds
+                    b = bounds3(blk)
+                    pb = tuple(v[:-1] for v in b)
+                    cb = tuple(v[1:] for v in b)
                 elif mode == "first":
                     pb = cb = bounds3(prevs)
                 else:  # 'all': bounds of each pair's 2-plane stack
@@ -644,7 +664,7 @@ class _Engine:
     FUSED_HEADS_MAX_PX = 1 << 27
 
     def fused_predict_heads(self, imgs_raw: np.ndarray, xs, ys, patch_size,
-                            clip_threshold, mode: str, factors,
+                            clip_threshold, factors,
                             fixed_bounds: Optional[np.ndarray] = None):
         """Fused multi-head predict (≙ multi_output_unet/predict.py:102-285):
         raw uint8/uint16 frames go up in ONE transfer (2–4× less link traffic
@@ -727,7 +747,9 @@ class _Engine:
                         return jnp.where(wsum > 0,
                                          out / jnp.maximum(wsum, 1e-12), fill)
 
-                    result[head] = jax.vmap(one)(framed)
+                    # f16 transfer: halves D2H bytes (the reference's own
+                    # result patches are float16 — predict.py:189)
+                    result[head] = jax.vmap(one)(framed).astype(jnp.float16)
                 return result
 
             self._cache_put(_Engine._FUSED_CACHE, key, jax.jit(pipeline))
@@ -883,7 +905,8 @@ class _Engine:
                         return jnp.where(wsum > 0,
                                          out / jnp.maximum(wsum, 1e-12), 0.0)
 
-                    result[head] = jax.vmap(one)(framed)
+                    # f16 transfer ≙ the reference's float16 result patches
+                    result[head] = jax.vmap(one)(framed).astype(jnp.float16)
                 return result
 
             self._cache_put(_Engine._FUSED_CACHE, key, jax.jit(pipeline))
@@ -1012,13 +1035,7 @@ class Predict:
                  for a in range(2)):
             fused_blocker = ("tile more than 2× the frame extent (XLA "
                              "reflect pad cannot exceed the axis size)")
-        if device_pipeline and fused_blocker is not None:
-            import warnings
-
-            warnings.warn(
-                f"device_pipeline=True cannot be honored: {fused_blocker}; "
-                "falling back to the host-staged path", stacklevel=2)
-        use_fused = (device_pipeline is not False) and fused_blocker is None
+        use_fused = _resolve_device_pipeline(device_pipeline, fused_blocker)
 
         if use_fused:
             fixed_bounds = None
@@ -1028,9 +1045,10 @@ class Predict:
                 ref = imgs[0] if normalization_mode == "first" else imgs
                 lo = _percentile(ref, clip_threshold[0])
                 hi = _percentile(ref, clip_threshold[1])
-                gmin = float(np.clip(imgs.min(), lo, hi))
-                gmax = float(np.clip(imgs.max(), lo, hi))
-                fixed_bounds = np.array([lo, hi, gmin, gmax], np.float32)
+                # post-clip stack extremes are provably (lo, hi): stack min
+                # <= frame-0/stack min <= lo and stack max >= hi, so the two
+                # O(n_frames·H·W) min/max scans always returned lo/hi
+                fixed_bounds = np.array([lo, hi, lo, hi], np.float32)
             elif normalization_mode != "single":
                 raise ValueError(f"normalization_mode {normalization_mode} not valid!")
             xs = grid_starts(self.imgs_shape[1], self.resize_dim[0], add_tile)
@@ -1151,13 +1169,7 @@ class PredictSiam:
             fused_blocker = "mesh-sharded prediction uses the patch-batch path"
         elif normalization_mode not in ("single", "first", "all"):
             fused_blocker = f"normalization_mode {normalization_mode}"
-        if device_pipeline and fused_blocker is not None:
-            import warnings
-
-            warnings.warn(
-                f"device_pipeline=True cannot be honored: {fused_blocker}; "
-                "falling back to the host-staged path", stacklevel=2)
-        use_fused = (device_pipeline is not False) and fused_blocker is None
+        use_fused = _resolve_device_pipeline(device_pipeline, fused_blocker)
 
         if show_progress:
             print("Predicting data ...")
@@ -1323,19 +1335,17 @@ class Predict3D:
                  for a in range(3)):
             fused_blocker = ("tile more than 2× the volume extent (XLA "
                              "reflect pad cannot exceed the axis size)")
-        if device_pipeline and fused_blocker is not None:
-            import warnings
-
-            warnings.warn(
-                f"device_pipeline=True cannot be honored: {fused_blocker}; "
-                "falling back to the host-staged path", stacklevel=2)
-        use_fused = (device_pipeline is not False) and fused_blocker is None
+        use_fused = _resolve_device_pipeline(device_pipeline, fused_blocker)
 
         if show_progress:
             print("Predicting data ...")
         if use_fused:
-            result = np.asarray(engine.fused_predict_volume(
-                vol, zs, xs, ys, self.resize_dim, clip_threshold, invert))
+            # the fused path is ONE dispatch: tick any caller notifier once
+            # so notifier-driven UIs still start and complete
+            progress = progress_notifier if (show_progress and progress_notifier) else None
+            for _ in (progress.iterator([0], total=1) if progress else [0]):
+                result = np.asarray(engine.fused_predict_volume(
+                    vol, zs, xs, ys, self.resize_dim, clip_threshold, invert))
             self.result = result[: self.vol_shape[0], : self.vol_shape[1],
                                  : self.vol_shape[2], 0]
             if result_name is not None:
@@ -1433,13 +1443,7 @@ class PredictMultiOutput:
               or pw - self.imgs_shape[2] >= self.imgs_shape[2]):
             fused_blocker = ("patch more than 2× the frame extent (XLA "
                              "reflect pad cannot exceed the axis size)")
-        if device_pipeline and fused_blocker is not None:
-            import warnings
-
-            warnings.warn(
-                f"device_pipeline=True cannot be honored: {fused_blocker}; "
-                "falling back to the host-staged path", stacklevel=2)
-        use_fused = (device_pipeline is not False) and fused_blocker is None
+        use_fused = _resolve_device_pipeline(device_pipeline, fused_blocker)
 
         if show_progress:
             print("Predicting data ...")
@@ -1449,17 +1453,22 @@ class PredictMultiOutput:
                 ref = imgs[0] if normalization_mode == "first" else imgs
                 lo = _percentile(ref, clip_threshold[0])
                 hi = _percentile(ref, clip_threshold[1])
-                gmin = float(np.clip(imgs.min(), lo, hi))
-                gmax = float(np.clip(imgs.max(), lo, hi))
-                fixed_bounds = np.array([lo, hi, gmin, gmax], np.float32)
+                # post-clip stack extremes are provably (lo, hi): the stack
+                # min is <= its own (sub)stack's lo percentile and the max
+                # >= hi, so the clip always lands on the bounds themselves —
+                # no O(n) min/max scans needed
+                fixed_bounds = np.array([lo, hi, lo, hi], np.float32)
             elif normalization_mode != "single":
                 raise ValueError(f"normalization_mode {normalization_mode} not valid!")
             from .tiling import _margin_factors
 
             factors = _margin_factors((len(xs), len(ys)), (ph, pw), safe_margin)
-            preds = engine.fused_predict_heads(
-                imgs, xs, ys, (ph, pw), clip_threshold, normalization_mode,
-                factors, fixed_bounds=fixed_bounds)
+            progress = progress_notifier if (show_progress and progress_notifier) else None
+            for _ in (progress.iterator([0], total=1) if progress else [0]):
+                preds = engine.fused_predict_heads(
+                    imgs, xs, ys, (ph, pw), clip_threshold, factors,
+                    fixed_bounds=fixed_bounds)
+                preds = {k: np.asarray(v) for k, v in preds.items()}
         else:
             imgs = _normalize_stack(imgs.astype(np.float32), normalization_mode,
                                     clip_threshold, scale=1.0)
@@ -1532,6 +1541,10 @@ class PredictMultiOutput3D:
         heads = engine.hyperparams["output_heads"]
         self.target_keys = list(heads)
 
+        if normalization_mode not in ("single", "first", "all"):
+            # per-volume stacks make the three modes coincide, but an invalid
+            # name must still raise like the host path's _normalize_stack
+            raise ValueError(f"normalization_mode {normalization_mode} not valid!")
         n_vol, d, h, w = imgs.shape
         tile = tuple(min(s, m) for s, m in zip((d, h, w), max_patch_size))
         self.patch_size = tile
@@ -1549,13 +1562,7 @@ class PredictMultiOutput3D:
         elif n_vox > _Engine.FUSED_HEADS_MAX_PX:
             fused_blocker = (f"{n_vox} patch voxels exceed the "
                              "single-program budget")
-        if device_pipeline and fused_blocker is not None:
-            import warnings
-
-            warnings.warn(
-                f"device_pipeline=True cannot be honored: {fused_blocker}; "
-                "falling back to the host-staged path", stacklevel=2)
-        use_fused = (device_pipeline is not False) and fused_blocker is None
+        use_fused = _resolve_device_pipeline(device_pipeline, fused_blocker)
 
         if show_progress:
             print("Predicting data ...")
@@ -1564,8 +1571,11 @@ class PredictMultiOutput3D:
 
             factors = _blend_factors((len(zs), len(xs), len(ys)), tile,
                                      blend_margin)
-            preds = engine.fused_predict_heads_3d(
-                imgs, zs, xs, ys, tile, clip_threshold, factors)
+            progress = progress_notifier if (show_progress and progress_notifier) else None
+            for _ in (progress.iterator([0], total=1) if progress else [0]):
+                preds = engine.fused_predict_heads_3d(
+                    imgs, zs, xs, ys, tile, clip_threshold, factors)
+                preds = {k: np.asarray(v) for k, v in preds.items()}
         else:
             imgs = imgs.astype(np.float32)
             for v in range(imgs.shape[0]):

@@ -101,7 +101,11 @@ def _margin_factors(grid_shape: Sequence[int], tile: Sequence[int],
             if i > 0:
                 f[i, :margin] = 0
             if i < n - 1:
-                f[i, max(t - margin, 0):] = 0
+                # mirror the dense path's slice(-margin, None) EXACTLY,
+                # including the margin=0 quirk (slice(-0, None) is the WHOLE
+                # axis — the reference zeroes the entire patch,
+                # multi_output_unet/predict.py:266)
+                f[i, (max(t - margin, 0) if margin > 0 else 0):] = 0
         factors.append(f)
     return factors
 

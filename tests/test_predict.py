@@ -594,7 +594,10 @@ def test_margin_blend_factors_reproduce_dense_weights(rng):
         _blend_factors, _blend_weights, _margin_factors, _margin_weights)
 
     for grid, tile, margin in [((2, 3), (16, 24), 4), ((1, 2), (8, 8), 3),
-                               ((3, 1), (8, 16), 10)]:
+                               ((3, 1), (8, 16), 10),
+                               # margin=0: the reference's slice(-0, None)
+                               # quirk zeroes ENTIRE overlapping-side patches
+                               ((2, 2), (8, 8), 0)]:
         dense = _margin_weights(grid, tile, margin)
         facs = _margin_factors(grid, tile, margin)
         rebuilt = np.stack([
@@ -687,3 +690,26 @@ def test_predict_multi_output_3d_fused_matches_host(rng, mo3d_ckpt, dtype):
         assert a.shape == b.shape, key
         np.testing.assert_allclose(a, b, atol=2e-3, rtol=0,
                                    err_msg=f"{key} {dtype}")
+
+
+def test_fused_paths_tick_progress_notifier(rng, mo_ckpt, unet3d_ckpt):
+    """Notifier-driven callers (GUIs) must still see progress on the fused
+    default paths: the single-dispatch multi-head/3D programs tick their
+    notifier once (start→complete) instead of silently dropping it."""
+    from bio_image_unet_tpu.progress import ProgressNotifier
+
+    for build in (
+        lambda n: PredictMultiOutput(
+            rng.integers(0, 255, (1, 48, 48), dtype=np.uint8), mo_ckpt,
+            max_patch_size=(32, 32), show_progress=True, batch_size=4,
+            safe_margin=4, progress_notifier=n),
+        lambda n: Predict3D(
+            rng.integers(0, 255, (12, 24, 24), dtype=np.uint8), None,
+            unet3d_ckpt, resize_dim=(8, 16, 16), show_progress=True,
+            batch_size=2, progress_notifier=n),
+    ):
+        ticks = []
+        notifier = ProgressNotifier()
+        notifier.set_progress_report(ticks.append)
+        build(notifier)
+        assert ticks and ticks[-1] >= 1.0, ticks
