@@ -98,8 +98,10 @@ def _add_predict(sub):
     p.add_argument("--resize-dim", type=int, nargs="+", default=[512, 512])
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--half-precision", action="store_true")
-    p.add_argument("--device-pipeline", action="store_true",
-                   help="fused single-dispatch path (unet family)")
+    p.add_argument("--device-pipeline", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="force the fused single-dispatch path on or off "
+                        "(default: auto — on for uint8/uint16 inputs)")
 
 
 def _resolve_heads(args):
@@ -218,7 +220,9 @@ def main(argv=None):
                              f"(3 values), got {len(resize)}")
         kwargs = dict(show_progress=True, batch_size=args.batch_size,
                       half_precision=args.half_precision)
-        if args.family == "unet":
+        # None = the library's auto default; only explicit --device-pipeline /
+        # --no-device-pipeline override it (every family supports the flag)
+        if args.device_pipeline is not None:
             kwargs["device_pipeline"] = args.device_pipeline
         if args.family.startswith("multi_output"):
             pkg.Predict(args.input, args.checkpoint, result_path=args.output,

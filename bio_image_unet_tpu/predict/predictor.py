@@ -172,12 +172,13 @@ def _extract_tiles_3d(vols, nz: int, nx: int, ny: int, tz: int, tx: int,
 
 def _device_frame_bounds(frames, clip_threshold, n_bits: int):
     """Per-frame ``(lo, hi, fmin, fmax)`` as flat (N,) float32 vectors on
-    device: 256-bin histogram for uint8, bitwise binary search for wider
-    integer dtypes.  Callers broadcast to their spatial rank."""
-    from ..ops.histogram import int_clip_bounds, u8_clip_bounds
+    device, via bitwise binary search over the value space for ANY integer
+    width.  The search beats the 256-bin one-hot histogram even at 8 bits —
+    measured 40.5 vs 54.4 ms per 64 MP on v5e (8 passes × 4 stats + min/max
+    ≈ 34 compares/px vs 256), bit-identical results on integer inputs.
+    Callers broadcast to their spatial rank."""
+    from ..ops.histogram import int_clip_bounds
 
-    if n_bits == 8:
-        return u8_clip_bounds(frames, clip_threshold[0], clip_threshold[1])
     return int_clip_bounds(frames, clip_threshold[0], clip_threshold[1],
                            n_bits=n_bits)
 
