@@ -23,24 +23,25 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-# (name, (D,H,W), c_in, c_out) — UNet3D nf32 encoder/decoder conv shapes at
-# the family-bench tile (32,128,128); each level has two convs, the second
-# listed shape dominating its level's FLOPs
+# (name, batch, (D,H,W), c_in, c_out) — UNet3D nf32 encoder/decoder conv
+# shapes at the family-bench tile (32,128,128), at the SAME effective batch
+# the fused pipeline's lax.map step uses (bs=16 tiles): batch-1 isolated
+# convs measure the empty-pipe rate, not what the program sees
 SHAPES = [
-    ("L1 1->32", (32, 128, 128), 1, 32),
-    ("L1 32->32", (32, 128, 128), 32, 32),
-    ("L2 32->64", (16, 64, 64), 32, 64),
-    ("L2 64->64", (16, 64, 64), 64, 64),
-    ("L3 64->128", (8, 32, 32), 64, 128),
-    ("L3 128->128", (8, 32, 32), 128, 128),
-    ("L4 128->256", (4, 16, 16), 128, 256),
-    ("L4 256->256", (4, 16, 16), 256, 256),
+    ("L1 1->32", 4, (32, 128, 128), 1, 32),
+    ("L1 32->32", 4, (32, 128, 128), 32, 32),
+    ("L2 32->64", 16, (16, 64, 64), 32, 64),
+    ("L2 64->64", 16, (16, 64, 64), 64, 64),
+    ("L3 64->128", 16, (8, 32, 32), 64, 128),
+    ("L3 128->128", 16, (8, 32, 32), 128, 128),
+    ("L4 128->256", 16, (4, 16, 16), 128, 256),
+    ("L4 256->256", 16, (4, 16, 16), 256, 256),
 ]
 REPEAT = 8
 
 
-def rate(spatial, cin, cout):
-    x = jnp.asarray(np.random.default_rng(0).random((1,) + spatial + (cin,),
+def rate(batch, spatial, cin, cout):
+    x = jnp.asarray(np.random.default_rng(0).random((batch,) + spatial + (cin,),
                                                     np.float32), jnp.bfloat16)
     k = jnp.asarray(np.random.default_rng(1).random((3, 3, 3, cin, cout),
                                                     np.float32) * 0.1,
@@ -72,7 +73,7 @@ def rate(spatial, cin, cout):
         out = run(x, k, kb)
         jax.device_get(jnp.ravel(out)[:1])
         best = min(best, time.perf_counter() - t0)
-    vox = int(np.prod(spatial))
+    vox = batch * int(np.prod(spatial))
     flops = REPEAT * 2 * vox * 27 * (cin * cout + cout * cin) * 2  # 2 FLOP/MAC
     return flops / best / 1e12, flops
 
@@ -80,8 +81,8 @@ def rate(spatial, cin, cout):
 def main():
     results = {}
     total_fl, total_t = 0.0, 0.0
-    for name, spatial, cin, cout in SHAPES:
-        tf, fl = rate(spatial, cin, cout)
+    for name, batch, spatial, cin, cout in SHAPES:
+        tf, fl = rate(batch, spatial, cin, cout)
         results[name] = round(tf, 1)
         total_fl += fl
         total_t += fl / (tf * 1e12)
