@@ -206,6 +206,31 @@ def _map_batches(step, xs):
     return jax.lax.map(step, xs)
 
 
+def _shard_batches(t, mesh):
+    """Shard a (steps, bs, *tile, C) batch stack's ``bs`` axis over the
+    mesh's ``data`` axis: the lax.map forward — measured >=99% of fused
+    3D/multi-head program time (benchmarks/NOTES.md round 3) — partitions
+    across chips, and XLA inserts one all-gather of the (small) per-tile
+    probabilities before the replicated stitch."""
+    if mesh is None:
+        return t
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = P(*((None, "data") + (None,) * (t.ndim - 2)))
+    return jax.lax.with_sharding_constraint(t, NamedSharding(mesh, spec))
+
+
+def _mesh_key(mesh):
+    """Compiled programs bake their mesh: key the cache on its devices."""
+    if mesh is None:
+        return ()
+    return ("mesh",) + tuple(str(d) for d in mesh.devices.flat)
+
+
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
 def _resolve_device_pipeline(device_pipeline, blocker) -> bool:
     """The device_pipeline contract shared by every Predict class:
     ``None`` (default) auto-enables the fused program when nothing blocks
@@ -594,10 +619,13 @@ class _Engine:
         n = k * len(xs) * len(ys)
         # twin encoder ⇒ ~2× the single-plane activations per tile: halve the
         # 2D path's 16M-tile-pixel map step
+        mesh = self.mesh
         bs = max(self.batch_size, min(n, (1 << 23) // (th * tw)))
+        if mesh is not None:  # shard the map batch over `data`
+            bs = _round_up(bs, mesh.shape["data"])
         key = self._cache_key + ("fused_siam", k, h, w, th, tw, xs, ys,
                                  tuple(clip_threshold), invert, mode, bs,
-                                 str(src_dtype))
+                                 str(src_dtype)) + _mesh_key(mesh)
         if key not in _Engine._FUSED_CACHE:
             forward, apply_fn, dt = self._forward_with, self._apply_fn, self.dtype
             nx, ny = len(xs), len(ys)
@@ -642,8 +670,10 @@ class _Engine:
                         return jnp.concatenate(
                             [t, jnp.broadcast_to(t[-1:], (n_pad - n,) + t.shape[1:])])
                     prev_tiles, cur_tiles = pad(prev_tiles), pad(cur_tiles)
-                bc = cur_tiles.reshape((n_pad // bs, bs, th, tw, 1))
-                bp = prev_tiles.reshape((n_pad // bs, bs, th, tw, 1))
+                bc = _shard_batches(
+                    cur_tiles.reshape((n_pad // bs, bs, th, tw, 1)), mesh)
+                bp = _shard_batches(
+                    prev_tiles.reshape((n_pad // bs, bs, th, tw, 1)), mesh)
                 probs = _map_batches(
                     lambda ab: forward(apply_fn, dt, ab[0], ab[1], True,
                                        variables), (bc, bp)
@@ -653,6 +683,10 @@ class _Engine:
 
             self._cache_put(_Engine._FUSED_CACHE, key, jax.jit(pipeline))
         fn = self._cache_get(_Engine._FUSED_CACHE, key)
+        if mesh is not None:
+            from ..parallel import replicated
+
+            blocks = jax.device_put(np.asarray(blocks), replicated(mesh))
         return fn(self.variables, jnp.asarray(blocks))
 
     # total tile pixels (patches × tile area) a single fused multi-head
@@ -683,7 +717,10 @@ class _Engine:
         src_dtype = imgs_raw.dtype
         per = len(xs) * len(ys)
         n = n_frames * per
+        mesh = self.mesh
         bs = max(1, min(n, (1 << 22) // (ph * pw)))
+        if mesh is not None:
+            bs = _round_up(bs, mesh.shape["data"])
         fixed = fixed_bounds is not None
         # factors are baked into the traced program as constants, so they
         # MUST key the cache: same shapes with a different safe_margin is a
@@ -692,7 +729,7 @@ class _Engine:
                                  ys, tuple(clip_threshold), bs,
                                  str(src_dtype), fixed,
                                  tuple(np.asarray(f, np.float32).tobytes()
-                                       for f in factors))
+                                       for f in factors)) + _mesh_key(mesh)
         if key not in _Engine._FUSED_CACHE:
             from ..ops.stitch import _stitch_factored_xla
 
@@ -728,7 +765,8 @@ class _Engine:
                     patches = jnp.concatenate(
                         [patches, jnp.broadcast_to(patches[-1:],
                                                    (n_pad - n,) + patches.shape[1:])])
-                batches = patches.reshape((n_pad // bs, bs, ph, pw, 1))
+                batches = _shard_batches(
+                    patches.reshape((n_pad // bs, bs, ph, pw, 1)), mesh)
                 preds = _map_batches(
                     lambda b: forward(apply_fn, dt, b, None, False, variables),
                     batches)
@@ -755,6 +793,10 @@ class _Engine:
 
             self._cache_put(_Engine._FUSED_CACHE, key, jax.jit(pipeline))
         fn = self._cache_get(_Engine._FUSED_CACHE, key)
+        if mesh is not None:
+            from ..parallel import replicated
+
+            imgs_raw = jax.device_put(np.asarray(imgs_raw), replicated(mesh))
         if fixed:
             return fn(self.variables, jnp.asarray(imgs_raw),
                       jnp.asarray(np.asarray(fixed_bounds, np.float32)))
@@ -780,10 +822,13 @@ class _Engine:
         n = len(zs) * len(xs) * len(ys)
         # 3D U-Net activations are deep: cap each lax.map step at ~8M tile
         # voxels
+        mesh = self.mesh
         bs = max(self.batch_size, min(n, (1 << 23) // (tz * tx * ty)))
+        if mesh is not None:
+            bs = _round_up(bs, mesh.shape["data"])
         key = self._cache_key + ("fused_3d", d, h, w, tz, tx, ty, zs, xs, ys,
                                  tuple(clip_threshold), invert, bs,
-                                 str(src_dtype))
+                                 str(src_dtype)) + _mesh_key(mesh)
         if key not in _Engine._FUSED_CACHE:
             forward, apply_fn, dt = self._forward_with, self._apply_fn, self.dtype
             nz, nx, ny = len(zs), len(xs), len(ys)
@@ -812,7 +857,8 @@ class _Engine:
                     patches = jnp.concatenate(
                         [patches, jnp.broadcast_to(patches[-1:],
                                                    (n_pad - n,) + patches.shape[1:])])
-                batches = patches.reshape((n_pad // bs, bs, tz, tx, ty, 1))
+                batches = _shard_batches(
+                    patches.reshape((n_pad // bs, bs, tz, tx, ty, 1)), mesh)
                 probs = _map_batches(
                     lambda b: forward(apply_fn, dt, b, None, True, variables),
                     batches
@@ -831,6 +877,10 @@ class _Engine:
 
             self._cache_put(_Engine._FUSED_CACHE, key, jax.jit(pipeline))
         fn = self._cache_get(_Engine._FUSED_CACHE, key)
+        if mesh is not None:
+            from ..parallel import replicated
+
+            vol_raw = jax.device_put(np.asarray(vol_raw), replicated(mesh))
         return fn(self.variables, jnp.asarray(vol_raw))
 
     def fused_predict_heads_3d(self, vols_raw: np.ndarray, zs, xs, ys,
@@ -849,12 +899,15 @@ class _Engine:
         src_dtype = vols_raw.dtype
         per = len(zs) * len(xs) * len(ys)
         n = n_vol * per
+        mesh = self.mesh
         bs = max(1, min(n, (1 << 22) // (tz * tx * ty)))
+        if mesh is not None:
+            bs = _round_up(bs, mesh.shape["data"])
         key = self._cache_key + ("fused_heads_3d", n_vol, d, h, w, tz, tx, ty,
                                  zs, xs, ys, tuple(clip_threshold), bs,
                                  str(src_dtype),
                                  tuple(np.asarray(f, np.float32).tobytes()
-                                       for f in factors))
+                                       for f in factors)) + _mesh_key(mesh)
         if key not in _Engine._FUSED_CACHE:
             from ..ops.stitch import _stitch_factored_xla
 
@@ -888,7 +941,8 @@ class _Engine:
                     patches = jnp.concatenate(
                         [patches, jnp.broadcast_to(patches[-1:],
                                                    (n_pad - n,) + patches.shape[1:])])
-                batches = patches.reshape((n_pad // bs, bs, tz, tx, ty, 1))
+                batches = _shard_batches(
+                    patches.reshape((n_pad // bs, bs, tz, tx, ty, 1)), mesh)
                 preds = _map_batches(
                     lambda b: forward(apply_fn, dt, b, None, False, variables),
                     batches)
@@ -912,6 +966,10 @@ class _Engine:
 
             self._cache_put(_Engine._FUSED_CACHE, key, jax.jit(pipeline))
         fn = self._cache_get(_Engine._FUSED_CACHE, key)
+        if mesh is not None:
+            from ..parallel import replicated
+
+            vols_raw = jax.device_put(np.asarray(vols_raw), replicated(mesh))
         return fn(self.variables, jnp.asarray(vols_raw))
 
     @staticmethod
@@ -1166,8 +1224,6 @@ class PredictSiam:
         if page0.dtype not in (np.uint8, np.uint16):
             fused_blocker = (f"page dtype {page0.dtype} (the fused program "
                              "normalizes uint8/uint16 on device)")
-        elif mesh is not None:
-            fused_blocker = "mesh-sharded prediction uses the patch-batch path"
         elif normalization_mode not in ("single", "first", "all"):
             fused_blocker = f"normalization_mode {normalization_mode}"
         use_fused = _resolve_device_pipeline(device_pipeline, fused_blocker)
@@ -1327,8 +1383,6 @@ class Predict3D:
         if vol.dtype not in (np.uint8, np.uint16):
             fused_blocker = (f"input dtype {vol.dtype} (the fused program "
                              "normalizes uint8/uint16 on device)")
-        elif mesh is not None:
-            fused_blocker = "mesh-sharded prediction uses the patch-batch path"
         elif n_vox > _Engine.FUSED_HEADS_MAX_PX:
             fused_blocker = (f"{n_vox} patch voxels exceed the "
                              "single-program budget")
@@ -1434,8 +1488,6 @@ class PredictMultiOutput:
         if imgs.dtype not in (np.uint8, np.uint16):
             fused_blocker = (f"input dtype {imgs.dtype} (the fused program "
                              "normalizes uint8/uint16 on device)")
-        elif mesh is not None:
-            fused_blocker = "mesh-sharded prediction uses the patch-batch path"
         elif n_px > _Engine.FUSED_HEADS_MAX_PX:
             fused_blocker = (f"{n_px} patch pixels exceed the single-program "
                              "budget (the uncovered-pixel fill is a "
@@ -1558,8 +1610,6 @@ class PredictMultiOutput3D:
         if imgs.dtype not in (np.uint8, np.uint16):
             fused_blocker = (f"input dtype {imgs.dtype} (the fused program "
                              "normalizes uint8/uint16 on device)")
-        elif mesh is not None:
-            fused_blocker = "mesh-sharded prediction uses the patch-batch path"
         elif n_vox > _Engine.FUSED_HEADS_MAX_PX:
             fused_blocker = (f"{n_vox} patch voxels exceed the "
                              "single-program budget")
