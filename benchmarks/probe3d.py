@@ -74,7 +74,8 @@ def rate(batch, spatial, cin, cout):
         jax.device_get(jnp.ravel(out)[:1])
         best = min(best, time.perf_counter() - t0)
     vox = batch * int(np.prod(spatial))
-    flops = REPEAT * 2 * vox * 27 * (cin * cout + cout * cin) * 2  # 2 FLOP/MAC
+    # both convs of the scan body, 27-tap kernels, 2 FLOP/MAC
+    flops = REPEAT * vox * 27 * (cin * cout + cout * cin) * 2
     return flops / best / 1e12, flops
 
 

@@ -231,6 +231,25 @@ def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
+def _single_tick(progress_notifier, show_progress):
+    """One-step iterable for the single-dispatch fused paths: fires a
+    caller-supplied notifier start→complete so notifier-driven UIs don't
+    appear hung (granularity is one program — there is nothing finer to
+    report)."""
+    progress = progress_notifier if (show_progress and progress_notifier) else None
+    return progress.iterator([0], total=1) if progress else [0]
+
+
+def _replicate_if_mesh(x, mesh):
+    """Replicate a fused-program input over the mesh before dispatch (the
+    compiled program's collectives expect mesh-addressable operands)."""
+    if mesh is None:
+        return jnp.asarray(x)
+    from ..parallel import replicated
+
+    return jax.device_put(np.asarray(x), replicated(mesh))
+
+
 def _resolve_device_pipeline(device_pipeline, blocker) -> bool:
     """The device_pipeline contract shared by every Predict class:
     ``None`` (default) auto-enables the fused program when nothing blocks
@@ -479,11 +498,9 @@ class _Engine:
         bs = max(self.batch_size, min(per_chunk, (1 << 24) // (th * tw)))
         src_dtype = imgs_u8.dtype
         fixed = fixed_bounds is not None
-        mesh_key = (() if mesh is None
-                    else ("mesh",) + tuple(str(d) for d in mesh.devices.flat))
         key = self._cache_key + ("fused", n_chunk, h, w, th, tw, xs, ys,
                                  tuple(clip_threshold), invert, bs,
-                                 str(src_dtype), fixed) + mesh_key
+                                 str(src_dtype), fixed) + _mesh_key(mesh)
         if key not in _Engine._FUSED_CACHE:
             forward, apply_fn, dt = self._forward_with, self._apply_fn, self.dtype
             nx, ny = len(xs), len(ys)
@@ -683,11 +700,7 @@ class _Engine:
 
             self._cache_put(_Engine._FUSED_CACHE, key, jax.jit(pipeline))
         fn = self._cache_get(_Engine._FUSED_CACHE, key)
-        if mesh is not None:
-            from ..parallel import replicated
-
-            blocks = jax.device_put(np.asarray(blocks), replicated(mesh))
-        return fn(self.variables, jnp.asarray(blocks))
+        return fn(self.variables, _replicate_if_mesh(blocks, mesh))
 
     # total tile pixels (patches × tile area) a single fused multi-head
     # program may materialize as float32 — beyond this the host-staged path
@@ -708,7 +721,9 @@ class _Engine:
         tiles, runs the multi-head forward and safe-margin-stitches every
         head (weights rebuilt per patch from the per-axis ``factors`` tables
         — the dense weight stack is never materialized or uploaded).
-        Returns {head: (N, out_h, out_w, c) float32 device array}."""
+        Returns {head: (N, out_h, out_w, c) float16 device array} — the
+        reference's own result-patch dtype, halving the D2H transfer;
+        callers cast to float32."""
         n_frames, h, w = imgs_raw.shape
         ph, pw = patch_size
         out_h, out_w = max(ph, h), max(pw, w)
@@ -793,14 +808,11 @@ class _Engine:
 
             self._cache_put(_Engine._FUSED_CACHE, key, jax.jit(pipeline))
         fn = self._cache_get(_Engine._FUSED_CACHE, key)
-        if mesh is not None:
-            from ..parallel import replicated
-
-            imgs_raw = jax.device_put(np.asarray(imgs_raw), replicated(mesh))
+        imgs_dev = _replicate_if_mesh(imgs_raw, mesh)
         if fixed:
-            return fn(self.variables, jnp.asarray(imgs_raw),
+            return fn(self.variables, imgs_dev,
                       jnp.asarray(np.asarray(fixed_bounds, np.float32)))
-        return fn(self.variables, jnp.asarray(imgs_raw))
+        return fn(self.variables, imgs_dev)
 
     def fused_predict_volume(self, vol_raw: np.ndarray, zs, xs, ys,
                              resize_dim, clip_threshold, invert: bool):
@@ -877,11 +889,7 @@ class _Engine:
 
             self._cache_put(_Engine._FUSED_CACHE, key, jax.jit(pipeline))
         fn = self._cache_get(_Engine._FUSED_CACHE, key)
-        if mesh is not None:
-            from ..parallel import replicated
-
-            vol_raw = jax.device_put(np.asarray(vol_raw), replicated(mesh))
-        return fn(self.variables, jnp.asarray(vol_raw))
+        return fn(self.variables, _replicate_if_mesh(vol_raw, mesh))
 
     def fused_predict_heads_3d(self, vols_raw: np.ndarray, zs, xs, ys,
                                tile, clip_threshold, factors):
@@ -890,7 +898,8 @@ class _Engine:
         normalization to [0, 1] on device, overlap-stride tiling, multi-head
         forward and linear-blend stitch (per-axis ``factors`` tables — the
         dense blend-weight stack, hundreds of MB for big 3D grids, is never
-        built).  Returns {head: (V, D, H, W, c) float32 device array}."""
+        built).  Returns {head: (V, D, H, W, c) float16 device array} (the
+        reference's result-patch dtype; callers cast to float32)."""
         n_vol, d, h, w = vols_raw.shape
         tz, tx, ty = tile
         zs = tuple(int(v) for v in zs)
@@ -966,11 +975,7 @@ class _Engine:
 
             self._cache_put(_Engine._FUSED_CACHE, key, jax.jit(pipeline))
         fn = self._cache_get(_Engine._FUSED_CACHE, key)
-        if mesh is not None:
-            from ..parallel import replicated
-
-            vols_raw = jax.device_put(np.asarray(vols_raw), replicated(mesh))
-        return fn(self.variables, jnp.asarray(vols_raw))
+        return fn(self.variables, _replicate_if_mesh(vols_raw, mesh))
 
     @staticmethod
     def _pad_to(arr: np.ndarray, n_pad: int) -> np.ndarray:
@@ -1397,8 +1402,7 @@ class Predict3D:
         if use_fused:
             # the fused path is ONE dispatch: tick any caller notifier once
             # so notifier-driven UIs still start and complete
-            progress = progress_notifier if (show_progress and progress_notifier) else None
-            for _ in (progress.iterator([0], total=1) if progress else [0]):
+            for _ in _single_tick(progress_notifier, show_progress):
                 result = np.asarray(engine.fused_predict_volume(
                     vol, zs, xs, ys, self.resize_dim, clip_threshold, invert))
             self.result = result[: self.vol_shape[0], : self.vol_shape[1],
@@ -1516,8 +1520,7 @@ class PredictMultiOutput:
             from .tiling import _margin_factors
 
             factors = _margin_factors((len(xs), len(ys)), (ph, pw), safe_margin)
-            progress = progress_notifier if (show_progress and progress_notifier) else None
-            for _ in (progress.iterator([0], total=1) if progress else [0]):
+            for _ in _single_tick(progress_notifier, show_progress):
                 preds = engine.fused_predict_heads(
                     imgs, xs, ys, (ph, pw), clip_threshold, factors,
                     fixed_bounds=fixed_bounds)
@@ -1622,8 +1625,7 @@ class PredictMultiOutput3D:
 
             factors = _blend_factors((len(zs), len(xs), len(ys)), tile,
                                      blend_margin)
-            progress = progress_notifier if (show_progress and progress_notifier) else None
-            for _ in (progress.iterator([0], total=1) if progress else [0]):
+            for _ in _single_tick(progress_notifier, show_progress):
                 preds = engine.fused_predict_heads_3d(
                     imgs, zs, xs, ys, tile, clip_threshold, factors)
                 preds = {k: np.asarray(v) for k, v in preds.items()}
