@@ -12,24 +12,28 @@ Run alone on the TPU.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 # (name, batch, (D,H,W), c_in, c_out) — UNet3D nf32 encoder/decoder conv
-# shapes at the family-bench tile (32,128,128), at the SAME effective batch
-# the fused pipeline's lax.map step uses (bs=16 tiles): batch-1 isolated
-# convs measure the empty-pipe rate, not what the program sees
+# shapes at the family-bench tile (32,128,128), ALL at the same effective
+# batch the fused pipeline's lax.map step uses (bs=16 tiles): batch-1
+# isolated convs measure the empty-pipe rate, not what the program sees,
+# and a uniform batch makes each probe's FLOP count proportional to its
+# level's share of the model forward, so the FLOP-weighted expectation
+# below reflects the model, not the probe mix
 SHAPES = [
-    ("L1 1->32", 4, (32, 128, 128), 1, 32),
-    ("L1 32->32", 4, (32, 128, 128), 32, 32),
+    ("L1 1->32", 16, (32, 128, 128), 1, 32),
+    ("L1 32->32", 16, (32, 128, 128), 32, 32),
     ("L2 32->64", 16, (16, 64, 64), 32, 64),
     ("L2 64->64", 16, (16, 64, 64), 64, 64),
     ("L3 64->128", 16, (8, 32, 32), 64, 128),
@@ -80,11 +84,9 @@ def rate(batch, spatial, cin, cout):
 
 
 def main():
-    results = {}
     total_fl, total_t = 0.0, 0.0
     for name, batch, spatial, cin, cout in SHAPES:
         tf, fl = rate(batch, spatial, cin, cout)
-        results[name] = round(tf, 1)
         total_fl += fl
         total_t += fl / (tf * 1e12)
         print(json.dumps({"shape": name, "tflops": round(tf, 1)}))

@@ -221,10 +221,14 @@ def _shard_batches(t, mesh):
 
 
 def _mesh_key(mesh):
-    """Compiled programs bake their mesh: key the cache on its devices."""
+    """Compiled programs bake their mesh: key the cache on its devices AND
+    axis topology (the same 8 devices as 8x1 'data' vs 4x2 'data'x'spatial'
+    compile to different shardings — devices alone would collide)."""
     if mesh is None:
         return ()
-    return ("mesh",) + tuple(str(d) for d in mesh.devices.flat)
+    return ("mesh",) + tuple(
+        (name, int(size)) for name, size in mesh.shape.items()
+    ) + tuple(str(d) for d in mesh.devices.flat)
 
 
 def _round_up(v: int, m: int) -> int:
@@ -486,7 +490,7 @@ class _Engine:
         n_chunk = min(self.FUSED_CHUNK_FRAMES, n_frames)
         if mesh is not None:
             ndata = mesh.shape["data"]
-            n_chunk = int(np.ceil(n_chunk / ndata)) * ndata
+            n_chunk = _round_up(n_chunk, ndata)
             k_loc = n_chunk // ndata  # frames per chip
         else:
             k_loc = n_chunk
@@ -506,7 +510,7 @@ class _Engine:
             nx, ny = len(xs), len(ys)
             per = nx * ny
             n = k_loc * per
-            n_pad = int(np.ceil(n / bs)) * bs
+            n_pad = _round_up(n, bs)
             exact, row_idx, col_idx = _tile_plan(h, w, th, tw, xs, ys)
             n_bits = 8 if src_dtype == np.uint8 else 16
 
@@ -583,7 +587,7 @@ class _Engine:
             sstop = min(sstart + super_frames, n_frames)
             block = imgs_u8[sstart:sstop]
             k = block.shape[0]
-            k_pad = int(np.ceil(k / n_chunk)) * n_chunk
+            k_pad = _round_up(k, n_chunk)
             if k_pad != k and not isinstance(block, jax.Array):
                 block = np.concatenate(
                     [block, np.broadcast_to(block[-1:], (k_pad - k, h, w))])
@@ -646,7 +650,7 @@ class _Engine:
         if key not in _Engine._FUSED_CACHE:
             forward, apply_fn, dt = self._forward_with, self._apply_fn, self.dtype
             nx, ny = len(xs), len(ys)
-            n_pad = int(np.ceil(n / bs)) * bs
+            n_pad = _round_up(n, bs)
             exact, row_idx, col_idx = _tile_plan(h, w, th, tw, xs, ys)
             n_bits = 8 if src_dtype == np.uint8 else 16
 
@@ -750,7 +754,7 @@ class _Engine:
 
             forward, apply_fn, dt = self._forward_with, self._apply_fn, self.dtype
             nx, ny = len(xs), len(ys)
-            n_pad = int(np.ceil(n / bs)) * bs
+            n_pad = _round_up(n, bs)
             exact, row_idx, col_idx = _tile_plan(h, w, ph, pw, xs, ys)
             n_bits = 8 if src_dtype == np.uint8 else 16
             gx, gy = np.meshgrid(np.asarray(xs), np.asarray(ys), indexing="ij")
@@ -844,7 +848,7 @@ class _Engine:
         if key not in _Engine._FUSED_CACHE:
             forward, apply_fn, dt = self._forward_with, self._apply_fn, self.dtype
             nz, nx, ny = len(zs), len(xs), len(ys)
-            n_pad = int(np.ceil(n / bs)) * bs
+            n_pad = _round_up(n, bs)
             exact, idx_z, idx_x, idx_y = _tile_plan_3d(d, h, w, tz, tx, ty,
                                                        zs, xs, ys)
             n_bits = 8 if src_dtype == np.uint8 else 16
@@ -922,7 +926,7 @@ class _Engine:
 
             forward, apply_fn, dt = self._forward_with, self._apply_fn, self.dtype
             nz, nx, ny = len(zs), len(xs), len(ys)
-            n_pad = int(np.ceil(n / bs)) * bs
+            n_pad = _round_up(n, bs)
             exact, idx_z, idx_x, idx_y = _tile_plan_3d(d, h, w, tz, tx, ty,
                                                        zs, xs, ys)
             n_bits = 8 if src_dtype == np.uint8 else 16
@@ -996,7 +1000,7 @@ class _Engine:
         n = patches.shape[0]
         bs = self.batch_size
         chunk = self.CHUNK_BATCHES * bs
-        n_pad = int(np.ceil(n / chunk)) * chunk if n > chunk else int(np.ceil(n / bs)) * bs
+        n_pad = _round_up(n, chunk) if n > chunk else _round_up(n, bs)
         patches = self._pad_to(patches, n_pad)
         if prev is not None:
             prev = self._pad_to(prev, n_pad)
@@ -1446,10 +1450,6 @@ class Predict3D:
             save_as_tif(self.result, result_name, normalize=normalize_result)
 
 
-def _round_to_16(v: int) -> int:
-    return ((v + 15) // 16) * 16
-
-
 class PredictMultiOutput:
     """Multi-head tiled 2D prediction (reference
     multi_output_unet/predict.py:13-285): /16-rounded adaptive patch size,
@@ -1477,8 +1477,8 @@ class PredictMultiOutput:
         self.target_keys = list(heads)
 
         # /16-rounded patch size (multi_output_unet/predict.py:153-162)
-        ph = _round_to_16(min(self.imgs_shape[1], max_patch_size[0]))
-        pw = _round_to_16(min(self.imgs_shape[2], max_patch_size[1]))
+        ph = _round_up(min(self.imgs_shape[1], max_patch_size[0]), 16)
+        pw = _round_up(min(self.imgs_shape[2], max_patch_size[1]), 16)
         self.patch_size = (ph, pw)
         out_h = max(ph, self.imgs_shape[1])
         out_w = max(pw, self.imgs_shape[2])

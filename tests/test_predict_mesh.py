@@ -115,3 +115,15 @@ def test_mesh_fused_siam_matches_single_device(rng, tmp_path):
     PredictSiam(movie_path, o1, ck, **kw)
     PredictSiam(movie_path, o8, ck, mesh=get_mesh(), **kw)
     np.testing.assert_array_equal(tiff.imread(o8), tiff.imread(o1))
+
+
+def test_mesh_cache_key_distinguishes_axis_topology():
+    """Two meshes over the SAME devices but different axis topology (8x1
+    'data' vs 4x2 'data'x'spatial') must not share a cache key — compiled
+    programs bake their mesh's sharding layout."""
+    from bio_image_unet_tpu.predict.predictor import _mesh_key
+
+    k_data = _mesh_key(get_mesh(n_data=8))
+    k_combo = _mesh_key(get_mesh(n_data=4, n_spatial=2))
+    assert k_data != k_combo
+    assert k_data == _mesh_key(get_mesh(n_data=8))
