@@ -26,6 +26,8 @@ from typing import Any, Dict, Optional
 
 import numpy as np
 
+__all__ = ["save", "load", "peek"]
+
 _MAGIC = b"BIUTPU01"
 
 

@@ -26,6 +26,21 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+__all__ = [
+    "bce_loss", "weighted_bce_loss", "soft_dice_loss", "bce_dice_loss",
+    "logcosh_dice_loss", "tversky_loss", "logcosh_tversky_loss",
+    "mse_loss", "mae_loss", "huber_loss", "smooth_l1_loss",
+    "gradient_loss", "distance_gradient_loss",
+    "weighted_distance_gradient_loss", "weighted_vector_field_loss",
+    "temporal_consistency_loss", "bce_dice_temporal_loss", "BCELoss2d",
+    "SoftDiceLoss", "BCEDiceLoss", "BCEDiceLossProb", "logcoshDiceLoss",
+    "TverskyLoss", "logcoshTverskyLoss", "weightedBCELoss", "MSELoss",
+    "MAELoss", "HuberLoss", "DistanceGradientLoss",
+    "WeightedDistanceGradientLoss", "WeightedVectorFieldLoss",
+    "TemporalConsistencyLoss", "BCEDiceTemporalLoss", "BCELoss",
+    "get_head_loss", "get_loss", "LOSS_REGISTRY", "HEAD_LOSS_REGISTRY",
+]
+
 # ---------------------------------------------------------------------------
 # functional core
 # ---------------------------------------------------------------------------

@@ -13,6 +13,8 @@ import math
 import time
 from typing import Callable, Iterable, Optional
 
+__all__ = ["ProgressNotifier"]
+
 
 class ProgressNotifier:
     """Progress hub: either drives tqdm or fans progress out to callbacks."""

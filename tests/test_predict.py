@@ -713,3 +713,44 @@ def test_fused_paths_tick_progress_notifier(rng, mo_ckpt, unet3d_ckpt):
         notifier.set_progress_report(ticks.append)
         build(notifier)
         assert ticks and ticks[-1] >= 1.0, ticks
+
+
+def test_fused_host_parity_randomized_shapes(rng, torch_unet_ckpt):
+    """Seeded odd-shape sweep: prime-ish frame dims, movies shorter than the
+    batch, add_tile, both integer dtypes — the fused device program and the
+    host-staged path must agree exactly on every combination (same uint8
+    quantization ≙ unet/predict.py:200)."""
+    ckpt_path, _ = torch_unet_ckpt
+    cases = [
+        # (frames, h, w, dtype, mode, batch_size, add_tile)
+        (1, 41, 127, np.uint8, "single", 8, 0),
+        (2, 97, 67, np.uint16, "all", 3, 1),
+        (7, 103, 53, np.uint8, "first", 4, 0),
+        (3, 64, 89, np.uint16, "single", 8, 2),
+    ]
+    for f, h, w, dtype, mode, bs, add_tile in cases:
+        hi = 255 if dtype == np.uint8 else 61234
+        movie = rng.integers(0, hi, (f, h, w), dtype=dtype)
+        kw = dict(resize_dim=(32, 32), normalization_mode=mode,
+                  add_tile=add_tile, show_progress=False, batch_size=bs)
+        host = Predict(movie, None, ckpt_path, device_pipeline=False, **kw)
+        fused = Predict(movie, None, ckpt_path, device_pipeline=True, **kw)
+        np.testing.assert_array_equal(
+            fused.result, host.result,
+            err_msg=f"case f={f} h={h} w={w} {np.dtype(dtype).name} {mode}")
+
+
+def test_multi_output_fused_host_parity_odd_shapes(rng, mo_ckpt):
+    """Margin-stitch odd shapes: images smaller than the /16-rounded patch in
+    one axis, safe_margin larger than the overlap — the fused factored stitch
+    must track the host path to the usual f32-vs-f64 normalize tolerance."""
+    for shape, margin in [((2, 45, 71), 4), ((1, 29, 83), 12)]:
+        imgs = rng.integers(0, 255, shape, dtype=np.uint8)
+        kw = dict(max_patch_size=(32, 32), show_progress=False, batch_size=8,
+                  safe_margin=margin)
+        host = PredictMultiOutput(imgs, mo_ckpt, device_pipeline=False, **kw)
+        fused = PredictMultiOutput(imgs, mo_ckpt, device_pipeline=True, **kw)
+        for key in fused.result:
+            np.testing.assert_allclose(
+                fused.result[key], host.result[key], atol=2e-3, rtol=0,
+                err_msg=f"head={key} shape={shape} margin={margin}")
