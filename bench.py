@@ -119,28 +119,35 @@ def measure_ours():
 
     import jax.numpy as jnp2
 
-    def time_device(movie_host):
+    def time_device(movie_host, eng):
         movie_dev = jax.device_put(movie_host)
         # warm (compiles + caches the chunk program for this dtype)
-        engine.fused_predict_frames(np.asarray(movie_host[:chunk]), xs, ys,
-                                    (PATCH, PATCH), (0.0, 99.8), False)
+        eng.fused_predict_frames(np.asarray(movie_host[:chunk]), xs, ys,
+                                 (PATCH, PATCH), (0.0, 99.8), False)
+        is_q = eng._quant is not None
         key = [k for k in _Engine._FUSED_CACHE
-               if k[0] == "Unet" and str(movie_host.dtype) in k][-1]
+               if k[0] == "Unet" and str(movie_host.dtype) in k
+               and ("int8" in k) == is_q][-1]
         fn = _Engine._FUSED_CACHE[key]
         best_dev = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            outs = [fn(engine.variables, movie_dev[i : i + chunk])
+            outs = [fn(eng.variables, movie_dev[i : i + chunk])
                     for i in range(0, FRAMES, chunk)]
             jax.device_get(jnp2.ravel(outs[-1])[:1])  # sync, no bulk fetch
             best_dev = min(best_dev, time.perf_counter() - t0)
         return FRAMES * H * W / 1e6 / best_dev
 
-    device_u8 = time_device(movie)
+    device_u8 = time_device(movie, engine)
     # uint16 leg: dominant raw-microscopy dtype; per-frame percentiles via
     # the 16-pass bitwise binary search instead of the 256-bin histogram
-    device_u16 = time_device((movie.astype(np.uint16) * 257))
-    return e2e, device_u8, device_u16
+    device_u16 = time_device((movie.astype(np.uint16) * 257), engine)
+    # opt-in w8a8 int8 leg (Predict(..., quantized=True)): MXU int8 path,
+    # masks within ~1 uint8 level of bf16 (tests/test_quant.py)
+    engine_q = _Engine(ckpt, None, batch_size=8, half_precision=True,
+                       quantized=True)
+    device_int8 = time_device(movie, engine_q)
+    return e2e, device_u8, device_u16, device_int8
 
 
 def implied_tflops(mpix_per_s: float) -> float:
@@ -160,7 +167,7 @@ def main():
                        "config": f"Unet n_filter={N_FILTER}, {PATCH}x{PATCH} "
                                  "patches, batch-1 reference loop"}, fh)
 
-    e2e_value, device_value, device_u16 = measure_ours()
+    e2e_value, device_value, device_u16, device_int8 = measure_ours()
     print(json.dumps({
         "metric": "tiled_unet_inference_throughput",
         "value": round(device_value, 3),
@@ -171,6 +178,8 @@ def main():
                     "movie HBM-resident (steady-state compute throughput)",
         "implied_tflops": round(implied_tflops(device_value), 2),
         "uint16_device_mpix_per_s": round(device_u16, 3),
+        "int8_device_mpix_per_s": round(device_int8, 3),
+        "int8_vs_baseline": round(device_int8 / baseline, 3),
         "end_to_end_mpix_per_s": round(e2e_value, 3),
         "end_to_end_vs_baseline": round(e2e_value / baseline, 3),
         "note": "value is the chip's steady-state framework throughput — "

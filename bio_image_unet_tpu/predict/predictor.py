@@ -308,7 +308,8 @@ class _Engine:
     _RUNNER_CACHE: dict = {}
 
     def __init__(self, model_params, network=None, batch_size: int = 8,
-                 half_precision: bool = False, mesh=None):
+                 half_precision: bool = False, mesh=None,
+                 quantized: bool = False):
         import json
 
         _maybe_enable_compile_cache()
@@ -334,6 +335,7 @@ class _Engine:
         # eval-mode fast path for the 2D U-Net family: BatchNorms folded into
         # the convs, raw-lax forward (predict/fastpath.py) — ~10× faster than
         # the layered flax graph on the target chip, same math
+        raw_variables = self.variables
         fast = build_fast_apply(self.model, self.variables,
                                 jnp.bfloat16 if half_precision else None)
         if fast is not None:
@@ -341,6 +343,24 @@ class _Engine:
         else:
             self._apply_fn = lambda variables, *args: self.model.apply(
                 variables, *args, train=False)
+        # opt-in w8a8 int8 inference (predict/quant.py): 1.54× the bf16 fast
+        # path on the target chip (benchmarks/probe_quant.py); activation
+        # scales are calibrated lazily from the first fused chunk
+        self._quant = None
+        self._quant_ready = False
+        if quantized:
+            from .quant import build_calibrator, build_int8_apply, supports_int8
+
+            if fast is not None and supports_int8(self.model):
+                self._quant = (build_calibrator(raw_variables),
+                               *build_int8_apply(raw_variables))
+            else:
+                import warnings
+
+                warnings.warn(
+                    "quantized=True is only supported for the plain 2D U-Net "
+                    "fast path (no attention/siamese/multi-head/dilation); "
+                    "running the bf16 path instead", stacklevel=3)
         # volatile training-progress fields must NOT enter the program cache
         # key: scheduler_state changes nearly every epoch, and a per-epoch
         # cache miss means minutes of recompilation per test prediction on a
@@ -352,7 +372,7 @@ class _Engine:
                         if k not in _volatile}, sort_keys=True),
             str(self.dtype),
             fast is not None,
-        )
+        ) + (("int8",) if self._quant is not None else ())
         # multi-chip data parallelism: each lax.map step's batch axis is
         # sharded over the mesh's `data` axis (SURVEY.md §2.8 — the predict
         # path is embarrassingly parallel over patches); XLA partitions the
@@ -391,6 +411,45 @@ class _Engine:
     def _forward(self, x, prev, quantize: bool, variables):
         return self._forward_with(self._apply_fn, self.dtype, x, prev,
                                   quantize, variables)
+
+    # int8 calibration: tiles sampled from this many leading frames
+    _QUANT_CAL_FRAMES = 2
+    _QUANT_CAL_TILES = 32
+    # headroom on calibrated max|activation|: later frames may swing
+    # slightly past the sample's range; saturating costs accuracy while the
+    # ~0.14 bit of resolution this margin spends does not (measured — the
+    # parity test bounds hold with and without it)
+    _QUANT_CAL_MARGIN = 1.1
+
+    def _calibrate_int8(self, imgs_u8, xs, ys, resize_dim, clip_threshold,
+                        invert):
+        """Calibrate the w8a8 forward on tiles of the actual movie: one
+        instrumented bf16 dispatch records per-site max|activation|
+        (predict/quant.py), then the engine swaps in the int8 apply + packed
+        int8 weights.  Runs once per Predict; the compiled fused program
+        takes the scales as traced arguments, so it is reused across movies."""
+        cal_fn, quant_apply, make_vars = self._quant
+        th, tw = resize_dim
+        sample = np.asarray(imgs_u8[: self._QUANT_CAL_FRAMES])
+        norm = _normalize_stack(sample, "single", clip_threshold,
+                                invert) / 255.0
+        h, w = norm.shape[1:3]
+        if th > h or tw > w:
+            norm = np.pad(norm, ((0, 0), (0, max(0, th - h)),
+                                 (0, max(0, tw - w))), mode="reflect")
+        tiles = [norm[i, x: x + th, y: y + tw]
+                 for i in range(norm.shape[0]) for x in xs for y in ys]
+        x = jnp.asarray(np.stack(tiles[: self._QUANT_CAL_TILES])[..., None],
+                        jnp.float32)
+        maxes = np.asarray(cal_fn(x)) * self._QUANT_CAL_MARGIN
+        variables = make_vars(maxes)
+        if self.mesh is not None:
+            from ..parallel import replicated
+
+            variables = jax.device_put(variables, replicated(self.mesh))
+        self.variables = variables
+        self._apply_fn = quant_apply
+        self._quant_ready = True
 
     # batches per compiled super-chunk: every dispatch sees the same static
     # shape (CHUNK_BATCHES, bs, *tile, C), so a movie of ANY length reuses
@@ -481,6 +540,9 @@ class _Engine:
         single-chip program on its frame shard with ZERO collectives (frames
         are independent end-to-end: normalize, tile, forward, stitch), the
         natural SPMD layout for tiled inference (SURVEY.md §2.8)."""
+        if self._quant is not None and not self._quant_ready:
+            self._calibrate_int8(imgs_u8, xs, ys, resize_dim, clip_threshold,
+                                 invert)
         n_frames, h, w = imgs_u8.shape
         th, tw = resize_dim
         out_h, out_w = max(th, h), max(tw, w)
@@ -557,9 +619,15 @@ class _Engine:
                 from jax.sharding import PartitionSpec as P
 
                 specs = (P(), P("data")) + ((P(),) if fixed else ())
+                # check_vma=False like the halo/trainer shard_maps: the
+                # stitch scan's replicated zero-init trips the varying-axes
+                # fixpoint under the int8 forward (correctness is asserted
+                # empirically — mesh results must equal single-chip exactly,
+                # tests/test_predict_mesh.py / test_quant.py)
                 compiled = jax.jit(shard_map(pipeline, mesh=mesh,
                                              in_specs=specs,
-                                             out_specs=P("data")))
+                                             out_specs=P("data"),
+                                             check_vma=False))
             self._cache_put(_Engine._FUSED_CACHE, key, compiled)
         fn = self._cache_get(_Engine._FUSED_CACHE, key)
         bounds_dev = (jnp.asarray(np.asarray(fixed_bounds, np.float32))
@@ -1066,6 +1134,7 @@ class Predict:
                  clip_threshold=(0.0, 99.8), add_tile=0, normalize_result=False,
                  show_progress=True, batch_size: int = 8, half_precision=False,
                  mesh=None, device=None, device_pipeline: Optional[bool] = None,
+                 quantized: bool = False,
                  progress_notifier: ProgressNotifier = None):
         del device
         if isinstance(imgs, (str, os.PathLike)):
@@ -1080,7 +1149,8 @@ class Predict:
             imgs = imgs[None]
         self.imgs_shape = imgs.shape
 
-        engine = _Engine(model_params, network, batch_size, half_precision, mesh=mesh)
+        engine = _Engine(model_params, network, batch_size, half_precision,
+                         mesh=mesh, quantized=quantized)
         in_ch = engine.hyperparams.get("in_channels", 1)
         out_ch = engine.hyperparams.get("out_channels", 1)
         if in_ch != 1:
@@ -1104,6 +1174,13 @@ class Predict:
             fused_blocker = ("tile more than 2× the frame extent (XLA "
                              "reflect pad cannot exceed the axis size)")
         use_fused = _resolve_device_pipeline(device_pipeline, fused_blocker)
+        if quantized and engine._quant is not None and not use_fused:
+            import warnings
+
+            warnings.warn(
+                "quantized=True runs only inside the fused device pipeline; "
+                f"this request took the host-staged path ({fused_blocker}) "
+                "and runs bf16/f32", stacklevel=2)
 
         if use_fused:
             fixed_bounds = None

@@ -1,0 +1,261 @@
+"""w8a8 int8 inference forward for the plain 2D U-Net (opt-in,
+``Predict(..., quantized=True)``).
+
+Why: the TPU MXU runs int8×int8→int32 contractions faster than bf16 at this
+model family's channel widths — measured on the target chip at the fused
+pipeline's own tile batch, the full Unet-nf32 graph runs **1.54×** faster in
+int8 than bf16 (benchmarks/probe_quant.py: 274 → 423 MP/s; per-conv rates in
+benchmarks/probe_int8.py).  There is no reference counterpart (the torch
+package is f32-only) — this is a TPU-native extra, and it is approximate:
+masks typically differ from the bf16 path by ≲2 uint8 levels (tested), so it
+is opt-in and never the default.
+
+Scheme (standard post-training quantization, no retraining):
+
+- **Weights**: BN-folded conv kernels (fastpath.fold_unet2d) quantized
+  per-output-channel symmetric int8; transposed-conv kernels per-tensor
+  (their layout is (kh, kw, O, I) under ``transpose_kernel=True``); biases
+  stay f32.
+- **Activations**: per-tensor symmetric scales from a one-dispatch
+  calibration forward (bf16, instrumented to return every site's max |a|)
+  over sample tiles of the actual movie.  Scales enter the compiled program
+  as *traced arguments*, so one compile serves every movie of the same
+  shape.
+- **Graph**: first conv (encode1) and the final 1×1 head run in bf16 — they
+  are <1% of the FLOPs and keeping them float avoids quantizing the u8
+  input a second time and the logits at all.  Everything between runs
+  int8: conv → int32 accumulate → f32 dequant·(s_in·s_w)+bias → leaky_relu
+  → requant to the next site's scale.  Max-pools operate on int8 directly
+  (order-preserving).  At each decoder concat the skip tensor is rescaled
+  int8→int8 to the shared concat scale max(s_up, s_skip).
+
+The apply function conforms to the fastpath contract
+``apply_fn(variables, x_norm) -> (sigmoid, logits)`` so the fused predict
+pipeline (predictor.py) uses it unchanged; ``variables`` is the pytree
+``(int8_packed, f32_packed, act_maxes)``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .fastpath import _conv, _conv1x1, fold_unet2d
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+# activation-scale sites, in calibration-vector order
+_SITES = (
+    ["e1", "e2", "e3", "e4", "e5", "e6", "e7", "e8", "m1", "m2"]
+    + [f"up{i}" for i in range(1, 5)]
+    + [f"d{i}" for i in range(1, 9)]
+)
+_SITE_IDX = {name: i for i, name in enumerate(_SITES)}
+# encoder conv outputs that feed decoder concats, in up1..up4 order
+_SKIPS = ("e8", "e6", "e4", "e2")
+
+
+def supports_int8(model) -> bool:
+    """int8 inference covers the plain (non-attention, non-siamese,
+    single-head, undilated) 2D U-Net — the flagship family.  Everything else
+    falls back to the bf16 fast path with a warning."""
+    from ..models.unet2d import UNet2DBase
+
+    return (
+        isinstance(model, UNet2DBase)
+        and model.mode is None
+        and not model.attention
+        and getattr(model, "heads", None) is None
+        and model.dilation in (False, None, True, 1)
+    )
+
+
+def _pack(arrs, dtype):
+    """Concatenate raveled arrays into one buffer + static unpack recipe."""
+    shapes = [a.shape for a in arrs]
+    sizes = [int(np.prod(s)) for s in shapes]
+    offsets = np.concatenate([[0], np.cumsum(sizes)]).astype(int).tolist()
+    buf = jnp.concatenate([jnp.ravel(jnp.asarray(a, dtype)) for a in arrs])
+
+    def unpack(b):
+        return [
+            lax.slice(b, (offsets[i],), (offsets[i + 1],)).reshape(shapes[i])
+            for i in range(len(shapes))
+        ]
+
+    return buf, unpack
+
+
+def _maxpool_i8(x):
+    return lax.reduce_window(x, jnp.int8(-128), lax.max,
+                             (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+
+
+def _maxpool_f(x):
+    return lax.reduce_window(x, -jnp.inf, lax.max,
+                             (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+
+
+def build_calibrator(variables):
+    """One-dispatch instrumented bf16 forward: returns
+    ``cal_fn(x_norm) -> (len(_SITES),) f32`` of per-site max |activation|
+    over the sample batch.  Mirrors fastpath's plain-U-Net graph exactly."""
+    folded = jax.tree_util.tree_map(np.asarray, fold_unet2d(variables))
+
+    def _convt_f(x, p):
+        dt = x.dtype
+        return lax.conv_transpose(
+            x, jnp.asarray(p["kernel"], dt), (2, 2), "VALID",
+            dimension_numbers=_DN, transpose_kernel=True,
+        ) + jnp.asarray(p["bias"], dt)
+
+    @jax.jit
+    def cal_fn(x):
+        x = x.astype(jnp.bfloat16)
+        maxes = {}
+
+        def rec(name, a):
+            maxes[name] = jnp.max(jnp.abs(a)).astype(jnp.float32)
+            return a
+
+        f = {k: jax.tree_util.tree_map(jnp.asarray, v)
+             for k, v in folded.items()}
+        e1 = rec("e1", _conv(x, f["encode1"]))
+        e2 = rec("e2", _conv(e1, f["encode2"]))
+        e3 = rec("e3", _conv(_maxpool_f(e2), f["encode3"]))
+        e4 = rec("e4", _conv(e3, f["encode4"]))
+        e5 = rec("e5", _conv(_maxpool_f(e4), f["encode5"]))
+        e6 = rec("e6", _conv(e5, f["encode6"]))
+        e7 = rec("e7", _conv(_maxpool_f(e6), f["encode7"]))
+        e8 = rec("e8", _conv(e7, f["encode8"]))
+        h = rec("m1", _conv(_maxpool_f(e8), f["middle_conv1"]))
+        h = rec("m2", _conv(h, f["middle_conv2"]))
+        for i, skip in zip(range(1, 5), (e8, e6, e4, e2)):
+            u = rec(f"up{i}", _convt_f(h, f[f"up{i}"]))
+            h = jnp.concatenate([u, skip], axis=-1)
+            h = rec(f"d{2 * i - 1}", _conv(h, f[f"decode{2 * i - 1}"]))
+            h = rec(f"d{2 * i}", _conv(h, f[f"decode{2 * i}"]))
+        return jnp.stack([maxes[s] for s in _SITES])
+
+    return cal_fn
+
+
+def build_int8_apply(variables):
+    """Return ``(apply_fn, make_variables)``.
+
+    ``make_variables(act_maxes)`` bakes the quantized weight buffers once
+    (host-side numpy) and pairs them with the calibration vector;
+    ``apply_fn(vars_tuple, x_norm)`` is the int8 forward with the fastpath
+    output contract ``(sigmoid, logits)``."""
+    folded = jax.tree_util.tree_map(np.asarray, fold_unet2d(variables))
+
+    i8_arrs, f32_arrs = [], []
+    i8_slot, f32_slot = {}, {}
+
+    def put_i8(name, a):
+        i8_slot[name] = len(i8_arrs)
+        i8_arrs.append(a)
+
+    def put_f32(name, a):
+        f32_slot[name] = len(f32_arrs)
+        f32_arrs.append(np.asarray(a, np.float32))
+
+    # encode1 + final stay float (packed into the f32 buffer whole)
+    for lyr in ("encode1", "final"):
+        put_f32(f"{lyr}.kernel", folded[lyr]["kernel"])
+        put_f32(f"{lyr}.bias", folded[lyr]["bias"])
+
+    conv_names = ([f"encode{i}" for i in range(2, 9)]
+                  + ["middle_conv1", "middle_conv2"]
+                  + [f"decode{i}" for i in range(1, 9)])
+    for name in conv_names:
+        k = np.asarray(folded[name]["kernel"], np.float32)
+        sw = np.maximum(np.abs(k).max(axis=(0, 1, 2)), 1e-12) / 127.0
+        put_i8(name, np.clip(np.round(k / sw), -127, 127).astype(np.int8))
+        put_f32(f"{name}.sw", sw)
+        put_f32(f"{name}.bias", folded[name]["bias"])
+    for i in range(1, 5):
+        name = f"up{i}"
+        k = np.asarray(folded[name]["kernel"], np.float32)
+        sw = max(float(np.abs(k).max()), 1e-12) / 127.0  # per-tensor
+        put_i8(name, np.clip(np.round(k / sw), -127, 127).astype(np.int8))
+        put_f32(f"{name}.sw", np.float32(sw))
+        put_f32(f"{name}.bias", folded[name]["bias"])
+
+    i8_buf, unpack_i8 = _pack(i8_arrs, jnp.int8)
+    f32_buf, unpack_f32 = _pack(f32_arrs, jnp.float32)
+
+    def make_variables(act_maxes) -> tuple:
+        scales = np.maximum(np.asarray(act_maxes, np.float32), 1e-8) / 127.0
+        return (i8_buf, f32_buf, jnp.asarray(scales))
+
+    def apply_fn(vars_tuple, x):
+        i8_leaves = unpack_i8(vars_tuple[0])
+        f32_leaves = unpack_f32(vars_tuple[1])
+        s = vars_tuple[2]
+
+        def w8(name):
+            return i8_leaves[i8_slot[name]]
+
+        def f32(name):
+            return f32_leaves[f32_slot[name]]
+
+        def sa(site):
+            return s[_SITE_IDX[site]]
+
+        def requant(a, s_out):
+            return jnp.clip(jnp.round(a / s_out), -127, 127).astype(jnp.int8)
+
+        def qconv(x_q, s_in, name, s_out):
+            y = lax.conv_general_dilated(
+                x_q, w8(name), (1, 1), "SAME", dimension_numbers=_DN,
+                preferred_element_type=jnp.int32)
+            a = y.astype(jnp.float32) * (s_in * f32(f"{name}.sw")) \
+                + f32(f"{name}.bias")
+            return requant(jax.nn.leaky_relu(a, 0.1), s_out)
+
+        def qtconv(x_q, s_in, name, s_out):
+            y = lax.conv_transpose(
+                x_q, w8(name), (2, 2), "VALID", dimension_numbers=_DN,
+                transpose_kernel=True, preferred_element_type=jnp.int32)
+            a = y.astype(jnp.float32) * (s_in * f32(f"{name}.sw")) \
+                + f32(f"{name}.bias")
+            return requant(a, s_out)  # no activation after up-convs
+
+        # encode1 in bf16 (sub-1% of FLOPs; avoids re-quantizing the input)
+        e1 = _conv(x.astype(jnp.bfloat16),
+                   {"kernel": f32("encode1.kernel"),
+                    "bias": f32("encode1.bias")})
+        q = requant(e1.astype(jnp.float32), sa("e1"))
+
+        q2 = qconv(q, sa("e1"), "encode2", sa("e2"))
+        q3 = qconv(_maxpool_i8(q2), sa("e2"), "encode3", sa("e3"))
+        q4 = qconv(q3, sa("e3"), "encode4", sa("e4"))
+        q5 = qconv(_maxpool_i8(q4), sa("e4"), "encode5", sa("e5"))
+        q6 = qconv(q5, sa("e5"), "encode6", sa("e6"))
+        q7 = qconv(_maxpool_i8(q6), sa("e6"), "encode7", sa("e7"))
+        q8 = qconv(q7, sa("e7"), "encode8", sa("e8"))
+        h = qconv(_maxpool_i8(q8), sa("e8"), "middle_conv1", sa("m1"))
+        h, s_h = qconv(h, sa("m1"), "middle_conv2", sa("m2")), sa("m2")
+
+        for i, (skip_q, skip_site) in enumerate(
+                zip((q8, q6, q4, q2), _SKIPS), start=1):
+            s_cat = jnp.maximum(sa(f"up{i}"), sa(skip_site))
+            u = qtconv(h, s_h, f"up{i}", s_cat)
+            skip = requant(skip_q.astype(jnp.float32) * sa(skip_site), s_cat)
+            h = jnp.concatenate([u, skip], axis=-1)
+            h = qconv(h, s_cat, f"decode{2 * i - 1}", sa(f"d{2 * i - 1}"))
+            h = qconv(h, sa(f"d{2 * i - 1}"), f"decode{2 * i}",
+                      sa(f"d{2 * i}"))
+            s_h = sa(f"d{2 * i}")
+
+        hd = (h.astype(jnp.float32) * s_h).astype(jnp.bfloat16)
+        logits = _conv1x1(hd, {"kernel": f32("final.kernel"),
+                               "bias": f32("final.bias")}).astype(jnp.float32)
+        return jax.nn.sigmoid(logits), logits
+
+    return apply_fn, make_variables

@@ -1,0 +1,106 @@
+"""w8a8 int8 inference (predict/quant.py): accuracy vs the bf16 fused path,
+support gating, and fallback warnings.  No reference counterpart — this is a
+TPU-native opt-in (the MXU's int8 path measured 1.54× bf16 on-chip,
+benchmarks/probe_quant.py); the contract tested here is that opting in costs
+at most a couple of uint8 quantization levels."""
+
+import importlib.util
+
+import numpy as np
+import pytest
+
+from bio_image_unet_tpu.predict import Predict
+
+
+@pytest.fixture(scope="module")
+def warmed_unet_pt(tmp_path_factory):
+    """BN-warmed reference-torch Unet checkpoint — realistic folded stats."""
+    import torch
+
+    torch.manual_seed(0)
+    spec = importlib.util.spec_from_file_location(
+        "ref_unet_q", "/root/reference/bio_image_unet/unet/unet.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    net = mod.Unet(n_filter=8)
+    for _ in range(5):
+        net(torch.rand(2, 1, 64, 64))
+    net.eval()
+    path = str(tmp_path_factory.mktemp("quant") / "warm.pt")
+    torch.save({"state_dict": net.state_dict(), "model_name": "Unet",
+                "n_filter": 8}, path)
+    return path
+
+
+def _blob_movie(rng, n=4, h=96, w=96):
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for i in range(n):
+        img = (30 + 160 * np.exp(-((yy - 20 - 15 * i) ** 2
+                                   + (xx - w // 2) ** 2) / 300.0)
+               + 10 * rng.random((h, w)))
+        frames.append(np.clip(img, 0, 255))
+    return np.stack(frames).astype(np.uint8)
+
+
+@pytest.mark.parametrize("dtype,mode", [(np.uint8, "single"),
+                                        (np.uint16, "all")])
+def test_quantized_fused_close_to_bf16(rng, warmed_unet_pt, dtype, mode):
+    movie = _blob_movie(rng)
+    if dtype == np.uint16:
+        movie = movie.astype(np.uint16) * 257
+    kw = dict(resize_dim=(64, 64), normalization_mode=mode,
+              show_progress=False, batch_size=8, device_pipeline=True)
+    ref = Predict(movie, None, warmed_unet_pt, **kw).result
+    q = Predict(movie, None, warmed_unet_pt, quantized=True, **kw).result
+    d = np.abs(ref.astype(int) - q.astype(int))
+    # measured on this model/input: max|d| == 1, mean 0.12; the bounds leave
+    # margin for platform LSB drift while catching any real quantization bug
+    # (a median-threshold IoU is deliberately NOT used — with ±1-level noise
+    # every pixel sitting exactly at the median flips class, so it measures
+    # the output histogram's shape, not quantization quality)
+    assert d.max() <= 4, d.max()
+    assert d.mean() < 0.5, d.mean()
+    assert (d > 1).mean() < 0.01, (d > 1).mean()
+
+
+def test_quantized_unsupported_model_warns_and_falls_back(rng, tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from bio_image_unet_tpu import checkpoint
+    from bio_image_unet_tpu.models import AttentionUnet
+
+    model = AttentionUnet(n_filter=4)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))
+    ck = str(tmp_path / "att.ckpt")
+    checkpoint.save(ck, variables, {"model_name": "AttentionUnet",
+                                    "n_filter": 4})
+    movie = rng.integers(0, 255, (2, 64, 64), dtype=np.uint8)
+    kw = dict(resize_dim=(32, 32), show_progress=False, batch_size=8)
+    with pytest.warns(UserWarning, match="plain 2D U-Net"):
+        q = Predict(movie, None, ck, quantized=True, **kw)
+    plain = Predict(movie, None, ck, **kw)
+    np.testing.assert_array_equal(q.result, plain.result)  # bf16 fallback
+
+
+def test_quantized_host_path_warns(rng, warmed_unet_pt):
+    movie = (np.random.default_rng(0).random((2, 64, 64)) * 255).astype(
+        np.float32)  # float input blocks the fused pipeline
+    with pytest.warns(UserWarning,
+                      match="runs only inside the fused device pipeline"):
+        Predict(movie, None, warmed_unet_pt, quantized=True,
+                resize_dim=(64, 64), show_progress=False)
+
+
+def test_quantized_mesh_matches_single_device(rng, warmed_unet_pt):
+    """int8 under shard_map: pure integer forward must agree across mesh
+    layouts (calibration runs once on the host engine either way)."""
+    from bio_image_unet_tpu.parallel import get_mesh
+
+    movie = _blob_movie(rng, n=3)
+    kw = dict(resize_dim=(64, 64), show_progress=False, batch_size=8,
+              device_pipeline=True, quantized=True)
+    single = Predict(movie, None, warmed_unet_pt, **kw).result
+    sharded = Predict(movie, None, warmed_unet_pt, mesh=get_mesh(), **kw).result
+    np.testing.assert_array_equal(sharded, single)
