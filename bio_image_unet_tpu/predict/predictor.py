@@ -352,15 +352,17 @@ class _Engine:
             from .quant import build_calibrator, build_int8_apply, supports_int8
 
             if fast is not None and supports_int8(self.model):
-                self._quant = (build_calibrator(raw_variables),
-                               *build_int8_apply(raw_variables))
+                mode = self.model.mode
+                self._quant = (build_calibrator(raw_variables, mode),
+                               *build_int8_apply(raw_variables, mode))
             else:
                 import warnings
 
                 warnings.warn(
                     "quantized=True is only supported for the plain 2D U-Net "
-                    "fast path (no attention/siamese/multi-head/dilation); "
-                    "running the bf16 path instead", stacklevel=3)
+                    "and Siam_UNet (max/control/concat joins) fast paths — "
+                    "no attention/multi-head/dilation/'corr'; running the "
+                    "bf16 path instead", stacklevel=3)
         # volatile training-progress fields must NOT enter the program cache
         # key: scheduler_state changes nearly every epoch, and a per-epoch
         # cache miss means minutes of recompilation per test prediction on a
@@ -422,26 +424,33 @@ class _Engine:
     _QUANT_CAL_MARGIN = 1.1
 
     def _calibrate_int8(self, imgs_u8, xs, ys, resize_dim, clip_threshold,
-                        invert):
+                        invert, prev_u8=None):
         """Calibrate the w8a8 forward on tiles of the actual movie: one
         instrumented bf16 dispatch records per-site max|activation|
         (predict/quant.py), then the engine swaps in the int8 apply + packed
         int8 weights.  Runs once per Predict; the compiled fused program
-        takes the scales as traced arguments, so it is reused across movies."""
+        takes the scales as traced arguments, so it is reused across movies.
+        ``prev_u8`` supplies the previous-frame stream for siamese models."""
         cal_fn, quant_apply, make_vars = self._quant
         th, tw = resize_dim
-        sample = np.asarray(imgs_u8[: self._QUANT_CAL_FRAMES])
-        norm = _normalize_stack(sample, "single", clip_threshold,
-                                invert) / 255.0
-        h, w = norm.shape[1:3]
-        if th > h or tw > w:
-            norm = np.pad(norm, ((0, 0), (0, max(0, th - h)),
-                                 (0, max(0, tw - w))), mode="reflect")
-        tiles = [norm[i, x: x + th, y: y + tw]
-                 for i in range(norm.shape[0]) for x in xs for y in ys]
-        x = jnp.asarray(np.stack(tiles[: self._QUANT_CAL_TILES])[..., None],
-                        jnp.float32)
-        maxes = np.asarray(cal_fn(x)) * self._QUANT_CAL_MARGIN
+
+        def sample_tiles(frames):
+            norm = _normalize_stack(
+                np.asarray(frames[: self._QUANT_CAL_FRAMES]), "single",
+                clip_threshold, invert) / 255.0
+            h, w = norm.shape[1:3]
+            if th > h or tw > w:
+                norm = np.pad(norm, ((0, 0), (0, max(0, th - h)),
+                                     (0, max(0, tw - w))), mode="reflect")
+            tiles = [norm[i, x: x + th, y: y + tw]
+                     for i in range(norm.shape[0]) for x in xs for y in ys]
+            return jnp.asarray(
+                np.stack(tiles[: self._QUANT_CAL_TILES])[..., None],
+                jnp.float32)
+
+        x = sample_tiles(imgs_u8)
+        args = (x,) if prev_u8 is None else (x, sample_tiles(prev_u8))
+        maxes = np.asarray(cal_fn(*args)) * self._QUANT_CAL_MARGIN
         variables = make_vars(maxes)
         if self.mesh is not None:
             from ..parallel import replicated
@@ -698,6 +707,9 @@ class _Engine:
         the twin-input forward and mean-stitches — the per-frame host Python
         normalize/tile loop this replaces, not the chip, bound the round-2
         Siam path.  Returns (k, h, w) uint8 masks."""
+        if self._quant is not None and not self._quant_ready:
+            self._calibrate_int8(blocks[1:], xs, ys, resize_dim,
+                                 clip_threshold, invert, prev_u8=blocks[:-1])
         k = blocks.shape[0] - 1
         h, w = blocks.shape[1], blocks.shape[2]
         th, tw = resize_dim
@@ -1281,13 +1293,15 @@ class PredictSiam:
                  add_tile=0, normalize_result=False, show_progress=True,
                  batch_size: int = 8, half_precision=False, mesh=None, device=None,
                  frames_per_chunk: int = 8, device_pipeline: Optional[bool] = None,
+                 quantized: bool = False,
                  progress_notifier: ProgressNotifier = None):
         del device
         self.invert = invert
         self.normalization_mode = normalization_mode
         self.clip_threshold = clip_threshold
 
-        engine = _Engine(model_params, "Siam_UNet", batch_size, half_precision, mesh=mesh)
+        engine = _Engine(model_params, "Siam_UNet", batch_size, half_precision,
+                         mesh=mesh, quantized=quantized)
 
         reader = tiff.TiffReader(tif_file)
         n_frames = reader.n_pages
@@ -1313,6 +1327,13 @@ class PredictSiam:
         elif normalization_mode not in ("single", "first", "all"):
             fused_blocker = f"normalization_mode {normalization_mode}"
         use_fused = _resolve_device_pipeline(device_pipeline, fused_blocker)
+        if quantized and engine._quant is not None and not use_fused:
+            import warnings
+
+            warnings.warn(
+                "quantized=True runs only inside the fused device pipeline; "
+                f"this request took the host-staged path ({fused_blocker}) "
+                "and runs bf16/f32", stacklevel=2)
 
         if show_progress:
             print("Predicting data ...")

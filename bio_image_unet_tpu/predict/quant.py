@@ -48,26 +48,38 @@ from .fastpath import _conv, _conv1x1, fold_unet2d
 
 _DN = ("NHWC", "HWIO", "NHWC")
 
-# activation-scale sites, in calibration-vector order
-_SITES = (
-    ["e1", "e2", "e3", "e4", "e5", "e6", "e7", "e8", "m1", "m2"]
-    + [f"up{i}" for i in range(1, 5)]
-    + [f"d{i}" for i in range(1, 9)]
-)
-_SITE_IDX = {name: i for i, name in enumerate(_SITES)}
+def _sites(mode):
+    """Activation-scale sites in calibration-vector order.  Siamese 'concat'
+    adds a site for the join conv's output; 'max'/'control' joins reuse the
+    (shared-weight) encoder's e8 scale — both streams are calibrated jointly
+    so int8 max is exact."""
+    base = (
+        ["e1", "e2", "e3", "e4", "e5", "e6", "e7", "e8", "m1", "m2"]
+        + [f"up{i}" for i in range(1, 5)]
+        + [f"d{i}" for i in range(1, 9)]
+    )
+    if mode == "concat":
+        base.append("join")
+    return base
+
+
 # encoder conv outputs that feed decoder concats, in up1..up4 order
 _SKIPS = ("e8", "e6", "e4", "e2")
 
+# siamese join modes with an int8 formulation ('corr' correlates two traced
+# activations — a dynamic-kernel conv the int8 path does not cover)
+_INT8_MODES = (None, "max", "control", "concat")
+
 
 def supports_int8(model) -> bool:
-    """int8 inference covers the plain (non-attention, non-siamese,
-    single-head, undilated) 2D U-Net — the flagship family.  Everything else
-    falls back to the bf16 fast path with a warning."""
+    """int8 inference covers the non-attention single-head undilated 2D
+    U-Nets: plain Unet and Siam_UNet with max/control/concat joins.
+    Everything else falls back to the bf16 fast path with a warning."""
     from ..models.unet2d import UNet2DBase
 
     return (
         isinstance(model, UNet2DBase)
-        and model.mode is None
+        and model.mode in _INT8_MODES
         and not model.attention
         and getattr(model, "heads", None) is None
         and model.dilation in (False, None, True, 1)
@@ -100,11 +112,15 @@ def _maxpool_f(x):
                              (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
 
 
-def build_calibrator(variables):
+def build_calibrator(variables, mode=None):
     """One-dispatch instrumented bf16 forward: returns
-    ``cal_fn(x_norm) -> (len(_SITES),) f32`` of per-site max |activation|
-    over the sample batch.  Mirrors fastpath's plain-U-Net graph exactly."""
+    ``cal_fn(x_norm[, prev_norm]) -> (len(_sites(mode)),) f32`` of per-site
+    max |activation| over the sample batch.  Mirrors fastpath's graph
+    exactly; for siamese modes both streams run the shared encoder and each
+    encoder site records the max over BOTH streams (so one scale set serves
+    both — int8 ``max`` join is then exact)."""
     folded = jax.tree_util.tree_map(np.asarray, fold_unet2d(variables))
+    sites = _sites(mode)
 
     def _convt_f(x, p):
         dt = x.dtype
@@ -114,44 +130,67 @@ def build_calibrator(variables):
         ) + jnp.asarray(p["bias"], dt)
 
     @jax.jit
-    def cal_fn(x):
+    def cal_fn(x, prev=None):
         x = x.astype(jnp.bfloat16)
         maxes = {}
 
         def rec(name, a):
-            maxes[name] = jnp.max(jnp.abs(a)).astype(jnp.float32)
+            m = jnp.max(jnp.abs(a)).astype(jnp.float32)
+            maxes[name] = jnp.maximum(maxes[name], m) if name in maxes else m
             return a
 
         f = {k: jax.tree_util.tree_map(jnp.asarray, v)
              for k, v in folded.items()}
-        e1 = rec("e1", _conv(x, f["encode1"]))
-        e2 = rec("e2", _conv(e1, f["encode2"]))
-        e3 = rec("e3", _conv(_maxpool_f(e2), f["encode3"]))
-        e4 = rec("e4", _conv(e3, f["encode4"]))
-        e5 = rec("e5", _conv(_maxpool_f(e4), f["encode5"]))
-        e6 = rec("e6", _conv(e5, f["encode6"]))
-        e7 = rec("e7", _conv(_maxpool_f(e6), f["encode7"]))
-        e8 = rec("e8", _conv(e7, f["encode8"]))
-        h = rec("m1", _conv(_maxpool_f(e8), f["middle_conv1"]))
+
+        def encode(x):
+            e1 = rec("e1", _conv(x, f["encode1"]))
+            e2 = rec("e2", _conv(e1, f["encode2"]))
+            e3 = rec("e3", _conv(_maxpool_f(e2), f["encode3"]))
+            e4 = rec("e4", _conv(e3, f["encode4"]))
+            e5 = rec("e5", _conv(_maxpool_f(e4), f["encode5"]))
+            e6 = rec("e6", _conv(e5, f["encode6"]))
+            e7 = rec("e7", _conv(_maxpool_f(e6), f["encode7"]))
+            e8 = rec("e8", _conv(e7, f["encode8"]))
+            return e2, e4, e6, e8, _maxpool_f(e8)
+
+        e2, e4, e6, e8, m4 = encode(x)
+        if mode is None:
+            join = m4
+        else:
+            prev = prev.astype(jnp.bfloat16)
+            *_, mm4 = encode(prev)
+            if mode == "max":
+                join = jnp.maximum(m4, mm4)
+            elif mode == "control":
+                join = m4
+            else:  # concat
+                join = rec("join", _conv(
+                    jnp.concatenate([m4, mm4], axis=-1), f["conv_concat"]))
+        h = rec("m1", _conv(join, f["middle_conv1"]))
         h = rec("m2", _conv(h, f["middle_conv2"]))
         for i, skip in zip(range(1, 5), (e8, e6, e4, e2)):
             u = rec(f"up{i}", _convt_f(h, f[f"up{i}"]))
             h = jnp.concatenate([u, skip], axis=-1)
             h = rec(f"d{2 * i - 1}", _conv(h, f[f"decode{2 * i - 1}"]))
             h = rec(f"d{2 * i}", _conv(h, f[f"decode{2 * i}"]))
-        return jnp.stack([maxes[s] for s in _SITES])
+        return jnp.stack([maxes[s] for s in sites])
 
     return cal_fn
 
 
-def build_int8_apply(variables):
+def build_int8_apply(variables, mode=None):
     """Return ``(apply_fn, make_variables)``.
 
     ``make_variables(act_maxes)`` bakes the quantized weight buffers once
     (host-side numpy) and pairs them with the calibration vector;
-    ``apply_fn(vars_tuple, x_norm)`` is the int8 forward with the fastpath
-    output contract ``(sigmoid, logits)``."""
+    ``apply_fn(vars_tuple, x_norm[, prev_norm])`` is the int8 forward with
+    the fastpath output contract ``(sigmoid, logits)``.  Siamese modes run
+    the shared int8 encoder on both streams; 'max' joins in int8 exactly
+    (both streams share one calibrated scale set), 'concat' quantizes the
+    join conv like any other layer."""
     folded = jax.tree_util.tree_map(np.asarray, fold_unet2d(variables))
+    sites = _sites(mode)
+    site_idx = {name: i for i, name in enumerate(sites)}
 
     i8_arrs, f32_arrs = [], []
     i8_slot, f32_slot = {}, {}
@@ -170,6 +209,7 @@ def build_int8_apply(variables):
         put_f32(f"{lyr}.bias", folded[lyr]["bias"])
 
     conv_names = ([f"encode{i}" for i in range(2, 9)]
+                  + (["conv_concat"] if mode == "concat" else [])
                   + ["middle_conv1", "middle_conv2"]
                   + [f"decode{i}" for i in range(1, 9)])
     for name in conv_names:
@@ -193,7 +233,7 @@ def build_int8_apply(variables):
         scales = np.maximum(np.asarray(act_maxes, np.float32), 1e-8) / 127.0
         return (i8_buf, f32_buf, jnp.asarray(scales))
 
-    def apply_fn(vars_tuple, x):
+    def apply_fn(vars_tuple, x, prev=None):
         i8_leaves = unpack_i8(vars_tuple[0])
         f32_leaves = unpack_f32(vars_tuple[1])
         s = vars_tuple[2]
@@ -205,7 +245,7 @@ def build_int8_apply(variables):
             return f32_leaves[f32_slot[name]]
 
         def sa(site):
-            return s[_SITE_IDX[site]]
+            return s[site_idx[site]]
 
         def requant(a, s_out):
             return jnp.clip(jnp.round(a / s_out), -127, 127).astype(jnp.int8)
@@ -226,20 +266,36 @@ def build_int8_apply(variables):
                 + f32(f"{name}.bias")
             return requant(a, s_out)  # no activation after up-convs
 
-        # encode1 in bf16 (sub-1% of FLOPs; avoids re-quantizing the input)
-        e1 = _conv(x.astype(jnp.bfloat16),
-                   {"kernel": f32("encode1.kernel"),
-                    "bias": f32("encode1.bias")})
-        q = requant(e1.astype(jnp.float32), sa("e1"))
+        def qencode(xf):
+            # encode1 in bf16 (sub-1% of FLOPs; avoids re-quantizing input)
+            e1 = _conv(xf.astype(jnp.bfloat16),
+                       {"kernel": f32("encode1.kernel"),
+                        "bias": f32("encode1.bias")})
+            q = requant(e1.astype(jnp.float32), sa("e1"))
+            q2 = qconv(q, sa("e1"), "encode2", sa("e2"))
+            q3 = qconv(_maxpool_i8(q2), sa("e2"), "encode3", sa("e3"))
+            q4 = qconv(q3, sa("e3"), "encode4", sa("e4"))
+            q5 = qconv(_maxpool_i8(q4), sa("e4"), "encode5", sa("e5"))
+            q6 = qconv(q5, sa("e5"), "encode6", sa("e6"))
+            q7 = qconv(_maxpool_i8(q6), sa("e6"), "encode7", sa("e7"))
+            q8 = qconv(q7, sa("e7"), "encode8", sa("e8"))
+            return q2, q4, q6, q8, _maxpool_i8(q8)
 
-        q2 = qconv(q, sa("e1"), "encode2", sa("e2"))
-        q3 = qconv(_maxpool_i8(q2), sa("e2"), "encode3", sa("e3"))
-        q4 = qconv(q3, sa("e3"), "encode4", sa("e4"))
-        q5 = qconv(_maxpool_i8(q4), sa("e4"), "encode5", sa("e5"))
-        q6 = qconv(q5, sa("e5"), "encode6", sa("e6"))
-        q7 = qconv(_maxpool_i8(q6), sa("e6"), "encode7", sa("e7"))
-        q8 = qconv(q7, sa("e7"), "encode8", sa("e8"))
-        h = qconv(_maxpool_i8(q8), sa("e8"), "middle_conv1", sa("m1"))
+        q2, q4, q6, q8, m4 = qencode(x)
+        if mode is None:
+            join, s_join = m4, sa("e8")
+        else:
+            *_, mm4 = qencode(prev)
+            if mode == "max":
+                # same calibrated scale on both streams → int8 max is exact
+                join, s_join = jnp.maximum(m4, mm4), sa("e8")
+            elif mode == "control":
+                join, s_join = m4, sa("e8")
+            else:  # concat — both halves share s_e8, concat directly
+                join = qconv(jnp.concatenate([m4, mm4], axis=-1), sa("e8"),
+                             "conv_concat", sa("join"))
+                s_join = sa("join")
+        h = qconv(join, s_join, "middle_conv1", sa("m1"))
         h, s_h = qconv(h, sa("m1"), "middle_conv2", sa("m2")), sa("m2")
 
         for i, (skip_q, skip_site) in enumerate(

@@ -104,3 +104,59 @@ def test_quantized_mesh_matches_single_device(rng, warmed_unet_pt):
     single = Predict(movie, None, warmed_unet_pt, **kw).result
     sharded = Predict(movie, None, warmed_unet_pt, mesh=get_mesh(), **kw).result
     np.testing.assert_array_equal(sharded, single)
+
+
+def _siam_ckpt(tmp_path, mode):
+    import torch
+
+    torch.manual_seed(0)
+    spec = importlib.util.spec_from_file_location(
+        "ref_siam_q", "/root/reference/bio_image_unet/siam_unet/siam_unet.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    net = mod.Siam_UNet(n_filter=8, mode=mode)
+    for _ in range(5):
+        net(torch.rand(2, 1, 64, 64), torch.rand(2, 1, 64, 64))
+    net.eval()
+    path = str(tmp_path / f"siam_{mode}.pt")
+    torch.save({"state_dict": net.state_dict(), "model_name": "Siam_UNet",
+                "n_filter": 8, "mode": mode}, path)
+    return path
+
+
+@pytest.mark.parametrize("mode", ["max", "concat"])
+def test_quantized_siam_close_to_bf16(rng, tmp_path, mode):
+    """Siam int8: shared-scale twin encoder + int8 join must track the bf16
+    fused pair program within a couple of uint8 levels."""
+    from bio_image_unet_tpu.data import tiff
+
+    ck = _siam_ckpt(tmp_path, mode)
+    movie = _blob_movie(rng, n=5)
+    movie_path = str(tmp_path / "m.tif")
+    tiff.imwrite(movie_path, movie)
+    kw = dict(resize_dim=(64, 64), show_progress=False, batch_size=8,
+              frames_per_chunk=3, device_pipeline=True)
+    from bio_image_unet_tpu.predict import PredictSiam
+
+    o_ref = str(tmp_path / f"ref_{mode}.tif")
+    o_q = str(tmp_path / f"q_{mode}.tif")
+    PredictSiam(movie_path, o_ref, ck, **kw)
+    PredictSiam(movie_path, o_q, ck, quantized=True, **kw)
+    ref, q = tiff.imread(o_ref), tiff.imread(o_q)
+    d = np.abs(ref.astype(int) - q.astype(int))
+    assert d.max() <= 4, d.max()
+    assert d.mean() < 0.5, d.mean()
+    assert (d > 1).mean() < 0.01, (d > 1).mean()
+
+
+def test_quantized_siam_corr_falls_back_with_warning(rng, tmp_path):
+    from bio_image_unet_tpu.data import tiff
+    from bio_image_unet_tpu.predict import PredictSiam
+
+    ck = _siam_ckpt(tmp_path, "corr")
+    movie_path = str(tmp_path / "mc.tif")
+    tiff.imwrite(movie_path, _blob_movie(rng, n=3))
+    with pytest.warns(UserWarning, match="'corr'"):
+        PredictSiam(movie_path, str(tmp_path / "oc.tif"), ck, quantized=True,
+                    resize_dim=(64, 64), show_progress=False,
+                    device_pipeline=True)
