@@ -107,18 +107,19 @@ def fold_unet2d(variables) -> dict:
     return folded
 
 
-def pack_tree(tree):
-    """Flatten a pytree of f32 arrays into ONE device buffer + a static
-    unpack recipe.  Dispatching a jitted call costs ~0.4 ms PER argument
-    buffer on tunneled TPU runtimes (measured: 60 leaves ≈ 25 ms/call,
-    captured ≈ 10 ms), so the fast path ships its ~44 folded arrays as a
-    single argument; the static slices/reshapes inside jit are free."""
+def pack_tree(tree, dtype=jnp.float32):
+    """Flatten a pytree of arrays into ONE device buffer (of ``dtype``) + a
+    static unpack recipe.  Dispatching a jitted call costs ~0.4 ms PER
+    argument buffer on tunneled TPU runtimes (measured: 60 leaves ≈ 25
+    ms/call, captured ≈ 10 ms), so the fast path ships its ~44 folded arrays
+    as a single argument; the static slices/reshapes inside jit are free.
+    The int8 path (predict/quant.py) packs its weight buffers the same way."""
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     shapes = [l.shape for l in leaves]
     sizes = [int(np.prod(s)) for s in shapes]
     offsets = np.concatenate([[0], np.cumsum(sizes)]).tolist()
     packed = jnp.concatenate(
-        [jnp.ravel(jnp.asarray(l, jnp.float32)) for l in leaves])
+        [jnp.ravel(jnp.asarray(l, dtype)) for l in leaves])
 
     def unpack(buf):
         parts = [

@@ -444,8 +444,12 @@ class _Engine:
                                      (0, max(0, tw - w))), mode="reflect")
             tiles = [norm[i, x: x + th, y: y + tw]
                      for i in range(norm.shape[0]) for x in xs for y in ys]
+            # stride across the whole field: taking the FIRST N tiles of a
+            # large frame would calibrate only its top rows and clip bright
+            # content elsewhere (review finding)
+            step = max(1, len(tiles) // self._QUANT_CAL_TILES)
             return jnp.asarray(
-                np.stack(tiles[: self._QUANT_CAL_TILES])[..., None],
+                np.stack(tiles[::step][: self._QUANT_CAL_TILES])[..., None],
                 jnp.float32)
 
         x = sample_tiles(imgs_u8)
@@ -628,15 +632,16 @@ class _Engine:
                 from jax.sharding import PartitionSpec as P
 
                 specs = (P(), P("data")) + ((P(),) if fixed else ())
-                # check_vma=False like the halo/trainer shard_maps: the
-                # stitch scan's replicated zero-init trips the varying-axes
-                # fixpoint under the int8 forward (correctness is asserted
-                # empirically — mesh results must equal single-chip exactly,
-                # tests/test_predict_mesh.py / test_quant.py)
+                # int8 only: the stitch scan's replicated zero-init trips
+                # the varying-axes fixpoint under the int8 forward, so that
+                # program disables the static check like the halo/trainer
+                # shard_maps (correctness asserted empirically — mesh must
+                # equal single-chip exactly, test_predict_mesh/test_quant);
+                # the bf16 program keeps the trace-time check
                 compiled = jax.jit(shard_map(pipeline, mesh=mesh,
                                              in_specs=specs,
                                              out_specs=P("data"),
-                                             check_vma=False))
+                                             check_vma=self._quant is None))
             self._cache_put(_Engine._FUSED_CACHE, key, compiled)
         fn = self._cache_get(_Engine._FUSED_CACHE, key)
         bounds_dev = (jnp.asarray(np.asarray(fixed_bounds, np.float32))
@@ -1189,9 +1194,10 @@ class Predict:
         if quantized and engine._quant is not None and not use_fused:
             import warnings
 
+            reason = fused_blocker or "device_pipeline=False was forced"
             warnings.warn(
                 "quantized=True runs only inside the fused device pipeline; "
-                f"this request took the host-staged path ({fused_blocker}) "
+                f"this request took the host-staged path ({reason}) "
                 "and runs bf16/f32", stacklevel=2)
 
         if use_fused:
@@ -1330,9 +1336,10 @@ class PredictSiam:
         if quantized and engine._quant is not None and not use_fused:
             import warnings
 
+            reason = fused_blocker or "device_pipeline=False was forced"
             warnings.warn(
                 "quantized=True runs only inside the fused device pipeline; "
-                f"this request took the host-staged path ({fused_blocker}) "
+                f"this request took the host-staged path ({reason}) "
                 "and runs bf16/f32", stacklevel=2)
 
         if show_progress:

@@ -87,19 +87,10 @@ def supports_int8(model) -> bool:
 
 
 def _pack(arrs, dtype):
-    """Concatenate raveled arrays into one buffer + static unpack recipe."""
-    shapes = [a.shape for a in arrs]
-    sizes = [int(np.prod(s)) for s in shapes]
-    offsets = np.concatenate([[0], np.cumsum(sizes)]).astype(int).tolist()
-    buf = jnp.concatenate([jnp.ravel(jnp.asarray(a, dtype)) for a in arrs])
+    """One packed buffer + unpack recipe (fastpath.pack_tree, typed)."""
+    from .fastpath import pack_tree
 
-    def unpack(b):
-        return [
-            lax.slice(b, (offsets[i],), (offsets[i + 1],)).reshape(shapes[i])
-            for i in range(len(shapes))
-        ]
-
-    return buf, unpack
+    return pack_tree(list(arrs), dtype)
 
 
 def _maxpool_i8(x):

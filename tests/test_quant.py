@@ -160,3 +160,14 @@ def test_quantized_siam_corr_falls_back_with_warning(rng, tmp_path):
         PredictSiam(movie_path, str(tmp_path / "oc.tif"), ck, quantized=True,
                     resize_dim=(64, 64), show_progress=False,
                     device_pipeline=True)
+
+
+def test_quantized_forced_host_path_warning_names_the_reason(
+        rng, warmed_unet_pt):
+    """device_pipeline=False + quantized=True: the warning must say WHY the
+    host path was taken, not interpolate None (review finding)."""
+    movie = _blob_movie(rng, n=2)
+    with pytest.warns(UserWarning, match="device_pipeline=False was forced"):
+        Predict(movie, None, warmed_unet_pt, quantized=True,
+                device_pipeline=False, resize_dim=(64, 64),
+                show_progress=False)
