@@ -353,8 +353,10 @@ class _Engine:
 
             if fast is not None and supports_int8(self.model):
                 mode = self.model.mode
+                heads = getattr(self.model, "heads", None)
                 self._quant = (build_calibrator(raw_variables, mode),
-                               *build_int8_apply(raw_variables, mode))
+                               *build_int8_apply(raw_variables, mode,
+                                                 heads=heads))
             else:
                 import warnings
 
@@ -813,6 +815,9 @@ class _Engine:
         Returns {head: (N, out_h, out_w, c) float16 device array} — the
         reference's own result-patch dtype, halving the D2H transfer;
         callers cast to float32."""
+        if self._quant is not None and not self._quant_ready:
+            self._calibrate_int8(imgs_raw, xs, ys, patch_size,
+                                 clip_threshold, False)
         n_frames, h, w = imgs_raw.shape
         ph, pw = patch_size
         out_h, out_w = max(ph, h), max(pw, w)
@@ -1567,6 +1572,7 @@ class PredictMultiOutput:
                  add_tile=0, compress_tif=False, show_progress=True,
                  half_precision=False, safe_margin: int = 20, mesh=None, device=None,
                  device_pipeline: Optional[bool] = None,
+                 quantized: bool = False,
                  progress_notifier: ProgressNotifier = None):
         del device
         if isinstance(imgs, (str, os.PathLike)):
@@ -1577,7 +1583,8 @@ class PredictMultiOutput:
             imgs = imgs[None]
         self.imgs_shape = imgs.shape
 
-        engine = _Engine(model_params, network, batch_size, half_precision, mesh=mesh)
+        engine = _Engine(model_params, network, batch_size, half_precision,
+                         mesh=mesh, quantized=quantized)
         heads = engine.hyperparams["output_heads"]
         self.target_keys = list(heads)
 
@@ -1606,6 +1613,14 @@ class PredictMultiOutput:
             fused_blocker = ("patch more than 2× the frame extent (XLA "
                              "reflect pad cannot exceed the axis size)")
         use_fused = _resolve_device_pipeline(device_pipeline, fused_blocker)
+        if quantized and engine._quant is not None and not use_fused:
+            import warnings
+
+            reason = fused_blocker or "device_pipeline=False was forced"
+            warnings.warn(
+                "quantized=True runs only inside the fused device pipeline; "
+                f"this request took the host-staged path ({reason}) "
+                "and runs bf16/f32", stacklevel=2)
 
         if show_progress:
             print("Predicting data ...")

@@ -72,16 +72,19 @@ _INT8_MODES = (None, "max", "control", "concat")
 
 
 def supports_int8(model) -> bool:
-    """int8 inference covers the non-attention single-head undilated 2D
-    U-Nets: plain Unet and Siam_UNet with max/control/concat joins.
-    Everything else falls back to the bf16 fast path with a warning."""
+    """int8 inference covers the non-attention undilated 2D U-Nets built on
+    the plain trunk: Unet, Siam_UNet (max/control/concat joins), and
+    MultiOutputUnet (trunk in int8, per-head 1×1 convs + activations in
+    float).  UNet++ (dense skip lattice), attention gates, dilation, and
+    'corr' fall back to the bf16 fast path with a warning."""
+    from ..models.nested_unet import MultiOutputNestedUNet
     from ..models.unet2d import UNet2DBase
 
     return (
         isinstance(model, UNet2DBase)
+        and not isinstance(model, MultiOutputNestedUNet)
         and model.mode in _INT8_MODES
         and not model.attention
-        and getattr(model, "heads", None) is None
         and model.dilation in (False, None, True, 1)
     )
 
@@ -169,16 +172,18 @@ def build_calibrator(variables, mode=None):
     return cal_fn
 
 
-def build_int8_apply(variables, mode=None):
+def build_int8_apply(variables, mode=None, heads=None):
     """Return ``(apply_fn, make_variables)``.
 
     ``make_variables(act_maxes)`` bakes the quantized weight buffers once
     (host-side numpy) and pairs them with the calibration vector;
     ``apply_fn(vars_tuple, x_norm[, prev_norm])`` is the int8 forward with
-    the fastpath output contract ``(sigmoid, logits)``.  Siamese modes run
-    the shared int8 encoder on both streams; 'max' joins in int8 exactly
-    (both streams share one calibrated scale set), 'concat' quantizes the
-    join conv like any other layer."""
+    the fastpath output contract: ``(sigmoid, logits)`` single-head, or
+    ``{head: activated}`` when ``heads`` (a MultiOutputUnet head config) is
+    given — the trunk runs int8, each 1×1 head conv + activation stays
+    float.  Siamese modes run the shared int8 encoder on both streams;
+    'max' joins in int8 exactly (both streams share one calibrated scale
+    set), 'concat' quantizes the join conv like any other layer."""
     folded = jax.tree_util.tree_map(np.asarray, fold_unet2d(variables))
     sites = _sites(mode)
     site_idx = {name: i for i, name in enumerate(sites)}
@@ -194,8 +199,10 @@ def build_int8_apply(variables, mode=None):
         f32_slot[name] = len(f32_arrs)
         f32_arrs.append(np.asarray(a, np.float32))
 
-    # encode1 + final stay float (packed into the f32 buffer whole)
-    for lyr in ("encode1", "final"):
+    # encode1 + the output 1×1 conv(s) stay float (packed whole)
+    head_layers = (["final"] if heads is None
+                   else [f"output_layers_{n}" for n in heads])
+    for lyr in ["encode1"] + head_layers:
         put_f32(f"{lyr}.kernel", folded[lyr]["kernel"])
         put_f32(f"{lyr}.bias", folded[lyr]["bias"])
 
@@ -301,8 +308,20 @@ def build_int8_apply(variables, mode=None):
             s_h = sa(f"d{2 * i}")
 
         hd = (h.astype(jnp.float32) * s_h).astype(jnp.bfloat16)
-        logits = _conv1x1(hd, {"kernel": f32("final.kernel"),
-                               "bias": f32("final.bias")}).astype(jnp.float32)
-        return jax.nn.sigmoid(logits), logits
+        if heads is None:
+            logits = _conv1x1(hd, {"kernel": f32("final.kernel"),
+                                   "bias": f32("final.bias")}
+                              ).astype(jnp.float32)
+            return jax.nn.sigmoid(logits), logits
+        from ..models.unet2d import apply_activation
+
+        return {
+            name: apply_activation(
+                _conv1x1(hd, {"kernel": f32(f"output_layers_{name}.kernel"),
+                              "bias": f32(f"output_layers_{name}.bias")}
+                         ).astype(jnp.float32),
+                cfg.get("activation"))
+            for name, cfg in heads.items()
+        }
 
     return apply_fn, make_variables

@@ -171,3 +171,57 @@ def test_quantized_forced_host_path_warning_names_the_reason(
         Predict(movie, None, warmed_unet_pt, quantized=True,
                 device_pipeline=False, resize_dim=(64, 64),
                 show_progress=False)
+
+
+def test_quantized_multi_output_close_to_bf16(rng, tmp_path):
+    """MultiOutputUnet int8: trunk quantizes, per-head 1x1 convs +
+    activations stay float — continuous heads must track the bf16 fused
+    path within a few percent of their output range."""
+    import jax
+    import jax.numpy as jnp
+
+    from bio_image_unet_tpu import checkpoint
+    from bio_image_unet_tpu.models import MultiOutputUnet
+    from bio_image_unet_tpu.predict import PredictMultiOutput
+
+    heads = {"mask": {"channels": 1, "activation": "sigmoid"},
+             "orientation": {"channels": 2, "activation": None}}
+    m = MultiOutputUnet(n_filter=8, output_heads=heads)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))
+    ck = str(tmp_path / "mo.ckpt")
+    checkpoint.save(ck, v, {"model_name": "MultiOutputUnet", "n_filter": 8,
+                            "in_channels": 1, "output_heads": heads})
+    imgs = rng.integers(0, 255, (2, 48, 48), dtype=np.uint8)
+    kw = dict(max_patch_size=(32, 32), show_progress=False, batch_size=8,
+              safe_margin=4, device_pipeline=True)
+    ref = PredictMultiOutput(imgs, ck, **kw).result
+    q = PredictMultiOutput(imgs, ck, quantized=True, **kw).result
+    assert set(q) == set(ref)
+    for k in ref:
+        d = np.abs(ref[k].astype(np.float32) - q[k].astype(np.float32))
+        out_range = float(ref[k].max() - ref[k].min()) + 1e-9
+        assert d.max() / out_range < 0.06, (k, d.max() / out_range)
+        assert d.mean() / out_range < 0.01, (k, d.mean() / out_range)
+
+
+def test_quantized_nested_unet_falls_back_with_warning(rng, tmp_path):
+    """UNet++ (dense skip lattice) has no int8 formulation — must warn and
+    run the bf16 fast path."""
+    import jax
+    import jax.numpy as jnp
+
+    from bio_image_unet_tpu import checkpoint
+    from bio_image_unet_tpu.models import MultiOutputNestedUNet
+    from bio_image_unet_tpu.predict import PredictMultiOutput
+
+    heads = {"mask": {"channels": 1, "activation": "sigmoid"}}
+    m = MultiOutputNestedUNet(n_filter=4, output_heads=heads)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))
+    ck = str(tmp_path / "nest.ckpt")
+    checkpoint.save(ck, v, {"model_name": "MultiOutputNestedUNet",
+                            "n_filter": 4, "in_channels": 1,
+                            "output_heads": heads})
+    imgs = rng.integers(0, 255, (1, 48, 48), dtype=np.uint8)
+    with pytest.warns(UserWarning, match="bf16 path instead"):
+        PredictMultiOutput(imgs, ck, quantized=True, max_patch_size=(32, 32),
+                           show_progress=False, device_pipeline=True)
