@@ -361,10 +361,11 @@ class _Engine:
                 import warnings
 
                 warnings.warn(
-                    "quantized=True is only supported for the plain 2D U-Net "
-                    "and Siam_UNet (max/control/concat joins) fast paths — "
-                    "no attention/multi-head/dilation/'corr'; running the "
-                    "bf16 path instead", stacklevel=3)
+                    "quantized=True is only supported for the plain-trunk "
+                    "2D fast paths — Unet, Siam_UNet (max/control/concat "
+                    "joins), MultiOutputUnet; not attention/UNet++/"
+                    "dilation/'corr'/3D; running the bf16 path instead",
+                    stacklevel=3)
         # volatile training-progress fields must NOT enter the program cache
         # key: scheduler_state changes nearly every epoch, and a per-epoch
         # cache miss means minutes of recompilation per test prediction on a
@@ -448,8 +449,9 @@ class _Engine:
                      for i in range(norm.shape[0]) for x in xs for y in ys]
             # stride across the whole field: taking the FIRST N tiles of a
             # large frame would calibrate only its top rows and clip bright
-            # content elsewhere (review finding)
-            step = max(1, len(tiles) // self._QUANT_CAL_TILES)
+            # content elsewhere (review finding); ceil step so the sample
+            # always spans to the last tile even when N <= len < 2N
+            step = -(-len(tiles) // self._QUANT_CAL_TILES)
             return jnp.asarray(
                 np.stack(tiles[::step][: self._QUANT_CAL_TILES])[..., None],
                 jnp.float32)

@@ -77,12 +77,12 @@ def supports_int8(model) -> bool:
     MultiOutputUnet (trunk in int8, per-head 1×1 convs + activations in
     float).  UNet++ (dense skip lattice), attention gates, dilation, and
     'corr' fall back to the bf16 fast path with a warning."""
-    from ..models.nested_unet import MultiOutputNestedUNet
     from ..models.unet2d import UNet2DBase
 
+    # UNet++ (MultiOutputNestedUNet) is not a UNet2DBase subclass, so the
+    # isinstance check below already excludes the dense-skip lattice
     return (
         isinstance(model, UNet2DBase)
-        and not isinstance(model, MultiOutputNestedUNet)
         and model.mode in _INT8_MODES
         and not model.attention
         and model.dilation in (False, None, True, 1)

@@ -78,7 +78,7 @@ def test_quantized_unsupported_model_warns_and_falls_back(rng, tmp_path):
                                     "n_filter": 4})
     movie = rng.integers(0, 255, (2, 64, 64), dtype=np.uint8)
     kw = dict(resize_dim=(32, 32), show_progress=False, batch_size=8)
-    with pytest.warns(UserWarning, match="plain 2D U-Net"):
+    with pytest.warns(UserWarning, match="plain-trunk"):
         q = Predict(movie, None, ck, quantized=True, **kw)
     plain = Predict(movie, None, ck, **kw)
     np.testing.assert_array_equal(q.result, plain.result)  # bf16 fallback
