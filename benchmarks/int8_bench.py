@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Same-session bf16-vs-int8 A/B of the fused predict pipelines for every
+family with an int8 formulation (predict/quant.py): 2D, Siam, multi-head.
+
+Writes benchmarks/INT8_r03.json and prints one JSON line per family.  Each
+leg times the SAME fused program path with `quantized=` toggled, device-
+resident inputs, forced sync (`jax.device_get` of one element — this
+runtime's `block_until_ready` does not reliably block).
+
+Run alone on the TPU (never concurrently with pytest on this 1-core host).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+import jax
+import jax.numpy as jnp
+
+from bio_image_unet_tpu import checkpoint
+from bio_image_unet_tpu.predict.predictor import _Engine
+from bio_image_unet_tpu.predict.tiling import _margin_factors, grid_starts
+
+NF = 32
+OUT = os.path.join(ROOT, "benchmarks", "INT8_r03.json")
+
+
+def _sync(t):
+    jax.device_get(jnp.ravel(t)[:1])
+
+
+def _best(fn, n_outer=3):
+    best = float("inf")
+    for _ in range(n_outer):
+        t0 = time.perf_counter()
+        out = fn()
+        _sync(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench_2d():
+    from bio_image_unet_tpu.models import Unet
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        v = Unet(n_filter=NF).init(jax.random.PRNGKey(0),
+                                   jnp.zeros((1, 256, 256, 1)))
+    ck = "/tmp/int8_bench_2d.ckpt"
+    checkpoint.save(ck, v, {"model_name": "Unet", "n_filter": NF,
+                            "in_channels": 1, "out_channels": 1})
+    frames, h, w = 64, 1024, 1024
+    movie = np.random.default_rng(0).integers(0, 255, (frames, h, w),
+                                              dtype=np.uint8)
+    xs, ys = grid_starts(h, 256, 0), grid_starts(w, 256, 0)
+
+    def run(quantized):
+        eng = _Engine(ck, None, batch_size=8, half_precision=True,
+                      quantized=quantized)
+        chunk = eng.FUSED_CHUNK_FRAMES
+        eng.fused_predict_frames(movie[:chunk], xs, ys, (256, 256),
+                                 (0.0, 99.8), False)  # warm + calibrate
+        key = [k for k in _Engine._FUSED_CACHE
+               if k[0] == "Unet" and ("int8" in k) == quantized][-1]
+        fn = _Engine._FUSED_CACHE[key]
+        movie_dev = jax.device_put(movie)
+
+        def one():
+            outs = [fn(eng.variables, movie_dev[i: i + chunk])
+                    for i in range(0, frames, chunk)]
+            return outs[-1]
+
+        one(); _sync(one())  # settle
+        return frames * h * w / 1e6 / _best(one)
+
+    return run(False), run(True)
+
+
+def bench_siam():
+    from bio_image_unet_tpu.models import Siam_UNet
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        v = Siam_UNet(n_filter=NF).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 1)),
+            jnp.zeros((1, 256, 256, 1)))
+    ck = "/tmp/int8_bench_siam.ckpt"
+    checkpoint.save(ck, v, {"model_name": "Siam_UNet", "n_filter": NF,
+                            "mode": "max"})
+    h, w, k = 1024, 1024, 16
+    block = np.random.default_rng(0).integers(0, 255, (k + 1, h, w),
+                                              dtype=np.uint8)
+    xs, ys = grid_starts(h, 256, 0), grid_starts(w, 256, 0)
+
+    def run(quantized):
+        eng = _Engine(ck, "Siam_UNet", batch_size=8, half_precision=True,
+                      quantized=quantized)
+        out = eng.fused_predict_pairs(block, xs, ys, (256, 256),
+                                      (0.0, 99.98), False, "single")
+        _sync(out)
+        block_dev = jnp.asarray(block)
+
+        def one():
+            outs = [eng.fused_predict_pairs(block_dev, xs, ys, (256, 256),
+                                            (0.0, 99.98), False, "single")
+                    for _ in range(2)]
+            return outs[-1]
+
+        return 2 * k * h * w / 1e6 / _best(one)
+
+    return run(False), run(True)
+
+
+def bench_multi_output():
+    from bio_image_unet_tpu.models import MultiOutputUnet
+
+    heads = {"mask": {"channels": 1, "activation": "sigmoid"},
+             "orientation": {"channels": 2, "activation": None}}
+    with jax.default_device(jax.devices("cpu")[0]):
+        v = MultiOutputUnet(n_filter=NF, output_heads=heads).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 1)))
+    ck = "/tmp/int8_bench_mo.ckpt"
+    checkpoint.save(ck, v, {"model_name": "MultiOutputUnet", "n_filter": NF,
+                            "in_channels": 1, "output_heads": heads})
+    frames, h, w, ph = 8, 1024, 1024, 512
+    imgs = np.random.default_rng(0).integers(0, 255, (frames, h, w),
+                                             dtype=np.uint8)
+    xs, ys = grid_starts(h, ph, 0), grid_starts(w, ph, 0)
+    factors = _margin_factors((len(xs), len(ys)), (ph, ph), 20)
+
+    def run(quantized):
+        eng = _Engine(ck, None, batch_size=8, half_precision=True,
+                      quantized=quantized)
+        out = eng.fused_predict_heads(imgs, xs, ys, (ph, ph), (0.0, 99.98),
+                                      factors)
+        _sync(out["mask"])
+
+        def one():
+            return eng.fused_predict_heads(imgs, xs, ys, (ph, ph),
+                                           (0.0, 99.98), factors)["mask"]
+
+        return frames * h * w / 1e6 / _best(one)
+
+    return run(False), run(True)
+
+
+def main():
+    results = {}
+    for name, fn in [("2d_unet", bench_2d), ("siam", bench_siam),
+                     ("multi_output", bench_multi_output)]:
+        bf16, int8 = fn()
+        results[name] = {"bf16_mpix_per_s": round(bf16, 1),
+                         "int8_mpix_per_s": round(int8, 1),
+                         "speedup": round(int8 / bf16, 3)}
+        print(json.dumps({"family": name, **results[name]}), flush=True)
+    with open(OUT, "w") as fh:
+        json.dump({"config": f"nf{NF} bf16-vs-int8 fused pipelines, "
+                             "device-resident, best-of-3", **results}, fh,
+                  indent=1)
+    print("wrote", OUT)
+
+
+if __name__ == "__main__":
+    main()
