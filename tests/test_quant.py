@@ -225,3 +225,21 @@ def test_quantized_nested_unet_falls_back_with_warning(rng, tmp_path):
     with pytest.warns(UserWarning, match="bf16 path instead"):
         PredictMultiOutput(imgs, ck, quantized=True, max_patch_size=(32, 32),
                            show_progress=False, device_pipeline=True)
+
+
+def test_quantized_engine_reports_ready_after_fused_predict(rng,
+                                                            warmed_unet_pt):
+    """The drive-surface contract (verify skill): after a quantized fused
+    Predict, the engine must have calibrated (_quant_ready True) and be
+    holding the int8 variables tuple, not the bf16 packed buffer."""
+    from bio_image_unet_tpu.predict.predictor import _Engine
+
+    eng = _Engine(warmed_unet_pt, None, batch_size=8, quantized=True)
+    assert eng._quant is not None and not eng._quant_ready
+    movie = _blob_movie(rng, n=2)
+    from bio_image_unet_tpu.predict.tiling import grid_starts
+
+    xs = grid_starts(96, 64, 0)
+    eng.fused_predict_frames(movie, xs, xs, (64, 64), (0.0, 99.8), False)
+    assert eng._quant_ready
+    assert isinstance(eng.variables, tuple) and len(eng.variables) == 3
