@@ -37,8 +37,6 @@ pipeline (predictor.py) uses it unchanged; ``variables`` is the pytree
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
