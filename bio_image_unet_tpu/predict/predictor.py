@@ -417,7 +417,9 @@ class _Engine:
         return self._forward_with(self._apply_fn, self.dtype, x, prev,
                                   quantize, variables)
 
-    # int8 calibration: tiles sampled from this many leading frames
+    # int8 calibration: tiles sampled from this many frames, evenly spaced
+    # across the available stack (the movie, or the first chunk for the
+    # streaming siam path)
     _QUANT_CAL_FRAMES = 2
     _QUANT_CAL_TILES = 32
     # headroom on calibrated max|activation|: later frames may swing
@@ -436,10 +438,16 @@ class _Engine:
         ``prev_u8`` supplies the previous-frame stream for siamese models."""
         cal_fn, quant_apply, make_vars = self._quant
         th, tw = resize_dim
+        # evenly-spaced frames, not the leading ones: a movie whose opening
+        # frames are dark/empty would otherwise calibrate tiny scales and
+        # saturate on the content that appears later
+        n_avail = len(imgs_u8)
+        frame_idx = np.unique(np.linspace(
+            0, n_avail - 1, self._QUANT_CAL_FRAMES).round().astype(int))
 
         def sample_tiles(frames):
             norm = _normalize_stack(
-                np.asarray(frames[: self._QUANT_CAL_FRAMES]), "single",
+                np.asarray(frames)[frame_idx], "single",
                 clip_threshold, invert) / 255.0
             h, w = norm.shape[1:3]
             if th > h or tw > w:

@@ -243,3 +243,21 @@ def test_quantized_engine_reports_ready_after_fused_predict(rng,
     eng.fused_predict_frames(movie, xs, xs, (64, 64), (0.0, 99.8), False)
     assert eng._quant_ready
     assert isinstance(eng.variables, tuple) and len(eng.variables) == 3
+
+
+def test_quantized_calibration_spans_the_movie(rng, warmed_unet_pt):
+    """A movie whose opening frames are near-empty must not calibrate tiny
+    scales and saturate on the bright content that appears later: the
+    calibration frames are sampled evenly across the stack."""
+    yy, xx = np.mgrid[0:96, 0:96]
+    dark = np.full((96, 96), 12, np.uint8)
+    bright = np.clip(20 + 220 * np.exp(-((yy - 48) ** 2
+                                         + (xx - 48) ** 2) / 300.0),
+                     0, 255).astype(np.uint8)
+    movie = np.stack([dark, dark, dark, bright])
+    kw = dict(resize_dim=(64, 64), show_progress=False, batch_size=8,
+              device_pipeline=True)
+    ref = Predict(movie, None, warmed_unet_pt, **kw).result
+    q = Predict(movie, None, warmed_unet_pt, quantized=True, **kw).result
+    d = np.abs(ref.astype(int) - q.astype(int))
+    assert d.max() <= 4, d.max()
