@@ -60,26 +60,48 @@ def _interp_pct(cum, p: int, q: float):
 
 
 def _order_stats_bitsearch(flat, ks, n_bits: int):
-    """Per-frame order statistics of an unsigned-integer (N, P) array by
-    bitwise binary search over the VALUE space: ``n_bits`` passes, each a
+    """Per-frame order statistics of an unsigned (N, P) array by bitwise
+    binary search over the VALUE space: ``n_bits`` passes, each a
     broadcast-compare fused into a reduction.
 
     The uint8 path counts all 256 values in one pass; at 16 bits a 65,536-bin
     one-hot would be 256× that work, while this search is 16 compare+sum
     sweeps (~2·n_bits VPU ops/pixel — noise next to the U-Net forward) and
     exact for integers.  ``ks`` is a static list of 0-based positions; returns
-    (N, len(ks)) float32."""
-    x = flat.astype(jnp.int32)
+    (N, len(ks)) in the working dtype (int32, or uint32 when the input is
+    uint32 — the float32 sortable-bits path needs the full 32-bit space)."""
+    work = jnp.uint32 if flat.dtype == jnp.uint32 else jnp.int32
+    x = flat.astype(work)
     ks_arr = jnp.asarray(ks, jnp.int32)[None, :]  # (1, S)
     n = flat.shape[0]
-    val = jnp.zeros((n, len(ks)), jnp.int32)
+    val = jnp.zeros((n, len(ks)), work)
     for bit in range(n_bits - 1, -1, -1):
         # answer < val + 2^bit  ⇔  count(x ≤ val + 2^bit − 1) ≥ k+1
+        # (val's bits below `bit` are still 0, so the add never overflows)
         cand = val + ((1 << bit) - 1)
         cnt = jnp.sum(x[:, :, None] <= cand[:, None, :], axis=1,
                       dtype=jnp.int32)
         val = jnp.where(cnt < ks_arr + 1, val + (1 << bit), val)
-    return val.astype(jnp.float32)
+    return val
+
+
+def _f32_sortable(x_f32):
+    """float32 → uint32 whose unsigned order equals the floats' numeric
+    order (the radix-sort transform): non-negatives set the top bit, negatives
+    flip all bits.  NaNs map above +inf — callers must exclude them."""
+    import jax
+
+    bits = jax.lax.bitcast_convert_type(x_f32, jnp.uint32)
+    return jnp.where(bits >> 31 == 1, ~bits, bits | jnp.uint32(0x80000000))
+
+
+def _f32_unsortable(u_u32):
+    """Inverse of :func:`_f32_sortable`."""
+    import jax
+
+    bits = jnp.where(u_u32 >> 31 == 1, u_u32 ^ jnp.uint32(0x80000000),
+                     ~u_u32)
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
 
 
 def int_clip_bounds(frames, q_lo: float, q_hi: float, n_bits: int = 16):

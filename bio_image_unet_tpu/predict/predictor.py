@@ -429,13 +429,18 @@ class _Engine:
     _QUANT_CAL_MARGIN = 1.1
 
     def _calibrate_int8(self, imgs_u8, xs, ys, resize_dim, clip_threshold,
-                        invert, prev_u8=None):
+                        invert, prev_u8=None, fixed_bounds=None):
         """Calibrate the w8a8 forward on tiles of the actual movie: one
         instrumented bf16 dispatch records per-site max|activation|
         (predict/quant.py), then the engine swaps in the int8 apply + packed
         int8 weights.  Runs once per Predict; the compiled fused program
         takes the scales as traced arguments, so it is reused across movies.
-        ``prev_u8`` supplies the previous-frame stream for siamese models."""
+        ``prev_u8`` supplies the previous-frame stream for siamese models.
+        ``fixed_bounds`` — (lo, hi, gmin, gmax) — makes the calibration tiles
+        use the SAME stack-global normalization the inference program will
+        apply ('first'/'all' modes); without it a frame whose own range
+        differs from the stack bounds would calibrate scales the real
+        activations then exceed (advisor finding, round 3)."""
         cal_fn, quant_apply, make_vars = self._quant
         th, tw = resize_dim
         # evenly-spaced frames, not the leading ones: a movie whose opening
@@ -446,9 +451,18 @@ class _Engine:
             0, n_avail - 1, self._QUANT_CAL_FRAMES).round().astype(int))
 
         def sample_tiles(frames):
-            norm = _normalize_stack(
-                np.asarray(frames)[frame_idx], "single",
-                clip_threshold, invert) / 255.0
+            if fixed_bounds is not None:
+                # mirror _normalize_clip with the caller's global bounds
+                lo, hi, gmin, gmax = (float(v) for v in fixed_bounds)
+                f = np.clip(np.asarray(frames)[frame_idx].astype(np.float32),
+                            lo, hi)
+                f = ((f - gmin) / (gmax - gmin) * 255.0
+                     if gmax > gmin else np.zeros_like(f))
+                norm = (255.0 - f if invert else f) / 255.0
+            else:
+                norm = _normalize_stack(
+                    np.asarray(frames)[frame_idx], "single",
+                    clip_threshold, invert) / 255.0
             h, w = norm.shape[1:3]
             if th > h or tw > w:
                 norm = np.pad(norm, ((0, 0), (0, max(0, th - h)),
@@ -539,40 +553,18 @@ class _Engine:
     # oldest chunk overlap compute of the newest
     FUSED_PENDING_CHUNKS = 64
 
-    def fused_predict_frames(self, imgs_u8: np.ndarray, xs, ys, resize_dim,
-                             clip_threshold, invert: bool, progress=None,
-                             fixed_bounds: Optional[np.ndarray] = None):
-        """The speed-of-light 2D predict: raw uint8/uint16 frames are
-        uploaded in fixed-size chunks and one jitted program per chunk does
-        per-frame percentile normalization, static-grid tiling (two XLA
-        row/column gathers — no per-patch unrolling, so program size and
-        compile count are O(1) in movie length), the batched U-Net forward
-        (lax.map), uint8 quantization and mean-overlap stitching — only the
-        stitched uint8 masks return to the host.  All chunks are dispatched
-        asynchronously (upload of chunk k+1 overlaps compute of chunk k) and
-        fetched once at the end.  Semantics match the host-staged path within
-        one uint8 quantization step (normalization in float32 instead of
-        numpy float64).
-
-        ``fixed_bounds`` — (lo, hi, gmin, gmax) float32 — switches from
-        per-frame ('single') normalization to stack-global bounds: the
-        'first'/'all' modes of unet/predict.py:135-148, whose percentiles are
-        computed ONCE (host bincount, O(n)) and threaded in as *traced*
-        scalars, so every movie reuses one compiled program per shape.
-
-        With an engine ``mesh``, the chunk's FRAMES shard over the mesh's
-        ``data`` axis via ``shard_map`` — each chip runs the identical
-        single-chip program on its frame shard with ZERO collectives (frames
-        are independent end-to-end: normalize, tile, forward, stitch), the
-        natural SPMD layout for tiled inference (SURVEY.md §2.8)."""
-        if self._quant is not None and not self._quant_ready:
-            self._calibrate_int8(imgs_u8, xs, ys, resize_dim, clip_threshold,
-                                 invert)
-        n_frames, h, w = imgs_u8.shape
+    def _fused_frames_fn(self, n_frames: int, h: int, w: int, src_dtype,
+                         xs: tuple, ys: tuple, resize_dim, clip_threshold,
+                         invert: bool, fixed: bool):
+        """Build (or fetch) the compiled fused 2D chunk program for this
+        shape/dtype/engine config and return ``(fn, n_chunk)``.  ``fn`` maps
+        ``(variables, (n_chunk, h, w) raw frames[, bounds])`` to stitched
+        uint8 masks entirely on device; ``n_chunk`` is the program's fixed
+        frame count.  Split out of :meth:`fused_predict_frames` so benches
+        can reach the exact dispatched program through a supported accessor
+        (:meth:`fused_runner`) instead of poking ``_FUSED_CACHE``."""
         th, tw = resize_dim
         out_h, out_w = max(th, h), max(tw, w)
-        xs = tuple(int(v) for v in xs)
-        ys = tuple(int(v) for v in ys)
         mesh = self.mesh
         n_chunk = min(self.FUSED_CHUNK_FRAMES, n_frames)
         if mesh is not None:
@@ -587,8 +579,6 @@ class _Engine:
         # HBM.  The user's batch_size remains the floor for tiny workloads.
         per_chunk = len(xs) * len(ys) * k_loc
         bs = max(self.batch_size, min(per_chunk, (1 << 24) // (th * tw)))
-        src_dtype = imgs_u8.dtype
-        fixed = fixed_bounds is not None
         key = self._cache_key + ("fused", n_chunk, h, w, th, tw, xs, ys,
                                  tuple(clip_threshold), invert, bs,
                                  str(src_dtype), fixed) + _mesh_key(mesh)
@@ -655,9 +645,89 @@ class _Engine:
                                              out_specs=P("data"),
                                              check_vma=self._quant is None))
             self._cache_put(_Engine._FUSED_CACHE, key, compiled)
-        fn = self._cache_get(_Engine._FUSED_CACHE, key)
+        return self._cache_get(_Engine._FUSED_CACHE, key), n_chunk
+
+    def fused_runner(self, sample_frames: np.ndarray, xs, ys, resize_dim,
+                     clip_threshold, invert: bool = False,
+                     fixed_bounds: Optional[np.ndarray] = None):
+        """Supported device-resident bench accessor: prepare the engine
+        exactly as :meth:`fused_predict_frames` would for this workload —
+        int8 calibration on ``sample_frames`` when ``quantized=True``, one
+        warm dispatch so the program is compiled — and return
+        ``(fn, n_chunk)``: the very chunk program the end-to-end path
+        dispatches, plus its fixed frame count.  Benches time
+        ``fn(engine.variables, hbm_resident_chunk)`` to measure steady-state
+        chip throughput with the host link out of the loop (``bench.py``,
+        ``benchmarks/int8_bench.py``).  ``sample_frames`` must carry the
+        workload's (h, w) and dtype; calibration quality follows its
+        content.  With ``fixed_bounds`` set, call the returned program as
+        ``fn(variables, chunk, bounds)``."""
+        sample = np.asarray(sample_frames)
+        if sample.ndim != 3:
+            raise ValueError("sample_frames must be (frames, h, w), got "
+                             f"shape {sample.shape}")
+        xs = tuple(int(v) for v in xs)
+        ys = tuple(int(v) for v in ys)
+        if self._quant is not None and not self._quant_ready:
+            self._calibrate_int8(sample, xs, ys, resize_dim, clip_threshold,
+                                 invert, fixed_bounds=fixed_bounds)
+        fn, n_chunk = self._fused_frames_fn(
+            len(sample), sample.shape[1], sample.shape[2],
+            sample.dtype, xs, ys, resize_dim, clip_threshold, invert,
+            fixed_bounds is not None)
+        # one warm call (compile + any lazy constant folding) on the sample
+        chunk = sample[:n_chunk]
+        if len(chunk) < n_chunk:
+            chunk = np.concatenate(
+                [chunk, np.broadcast_to(chunk[-1:],
+                                        (n_chunk - len(chunk),) + chunk.shape[1:])])
+        warm = jnp.asarray(chunk)
+        if fixed_bounds is not None:
+            out = fn(self.variables, warm,
+                     jnp.asarray(np.asarray(fixed_bounds, np.float32)))
+        else:
+            out = fn(self.variables, warm)
+        jax.block_until_ready(out)
+        return fn, n_chunk
+
+    def fused_predict_frames(self, imgs_u8: np.ndarray, xs, ys, resize_dim,
+                             clip_threshold, invert: bool, progress=None,
+                             fixed_bounds: Optional[np.ndarray] = None):
+        """The speed-of-light 2D predict: raw uint8/uint16 frames are
+        uploaded in fixed-size chunks and one jitted program per chunk does
+        per-frame percentile normalization, static-grid tiling (two XLA
+        row/column gathers — no per-patch unrolling, so program size and
+        compile count are O(1) in movie length), the batched U-Net forward
+        (lax.map), uint8 quantization and mean-overlap stitching — only the
+        stitched uint8 masks return to the host.  All chunks are dispatched
+        asynchronously (upload of chunk k+1 overlaps compute of chunk k) and
+        fetched once at the end.  Semantics match the host-staged path within
+        one uint8 quantization step (normalization in float32 instead of
+        numpy float64).
+
+        ``fixed_bounds`` — (lo, hi, gmin, gmax) float32 — switches from
+        per-frame ('single') normalization to stack-global bounds: the
+        'first'/'all' modes of unet/predict.py:135-148, whose percentiles are
+        computed ONCE (host bincount, O(n)) and threaded in as *traced*
+        scalars, so every movie reuses one compiled program per shape.
+
+        With an engine ``mesh``, the chunk's FRAMES shard over the mesh's
+        ``data`` axis via ``shard_map`` — each chip runs the identical
+        single-chip program on its frame shard with ZERO collectives (frames
+        are independent end-to-end: normalize, tile, forward, stitch), the
+        natural SPMD layout for tiled inference (SURVEY.md §2.8)."""
+        if self._quant is not None and not self._quant_ready:
+            self._calibrate_int8(imgs_u8, xs, ys, resize_dim, clip_threshold,
+                                 invert, fixed_bounds=fixed_bounds)
+        n_frames, h, w = imgs_u8.shape
+        xs = tuple(int(v) for v in xs)
+        ys = tuple(int(v) for v in ys)
+        fn, n_chunk = self._fused_frames_fn(
+            n_frames, h, w, imgs_u8.dtype, xs, ys, resize_dim,
+            clip_threshold, invert, fixed_bounds is not None)
+        mesh = self.mesh
         bounds_dev = (jnp.asarray(np.asarray(fixed_bounds, np.float32))
-                      if fixed else None)
+                      if fixed_bounds is not None else None)
         chunk_sharding = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -694,8 +764,9 @@ class _Engine:
                 chunk_dev = dev[cstart : cstart + n_chunk]
                 if chunk_sharding is not None:
                     chunk_dev = jax.device_put(chunk_dev, chunk_sharding)
-                out = (fn(self.variables, chunk_dev, bounds_dev) if fixed
-                       else fn(self.variables, chunk_dev))
+                out = (fn(self.variables, chunk_dev)
+                       if bounds_dev is None
+                       else fn(self.variables, chunk_dev, bounds_dev))
                 try:
                     # start the D2H copy as soon as the chunk's compute
                     # finishes — downloads of early chunks then overlap the
@@ -827,7 +898,8 @@ class _Engine:
         callers cast to float32."""
         if self._quant is not None and not self._quant_ready:
             self._calibrate_int8(imgs_raw, xs, ys, patch_size,
-                                 clip_threshold, False)
+                                 clip_threshold, False,
+                                 fixed_bounds=fixed_bounds)
         n_frames, h, w = imgs_raw.shape
         ph, pw = patch_size
         out_h, out_w = max(ph, h), max(pw, w)
