@@ -75,13 +75,16 @@ def _order_stats_bitsearch(flat, ks, n_bits: int):
     ks_arr = jnp.asarray(ks, jnp.int32)[None, :]  # (1, S)
     n = flat.shape[0]
     val = jnp.zeros((n, len(ks)), work)
+    np_work = np.uint32 if work == jnp.uint32 else np.int32
     for bit in range(n_bits - 1, -1, -1):
         # answer < val + 2^bit  ⇔  count(x ≤ val + 2^bit − 1) ≥ k+1
-        # (val's bits below `bit` are still 0, so the add never overflows)
-        cand = val + ((1 << bit) - 1)
+        # (val's bits below `bit` are still 0, so the add never overflows);
+        # explicit np scalars — 1<<31 cannot weak-type into an int32 lane
+        step = np_work(1) << np_work(bit)
+        cand = val + (step - np_work(1))
         cnt = jnp.sum(x[:, :, None] <= cand[:, None, :], axis=1,
                       dtype=jnp.int32)
-        val = jnp.where(cnt < ks_arr + 1, val + (1 << bit), val)
+        val = jnp.where(cnt < ks_arr + 1, val + step, val)
     return val
 
 
@@ -118,18 +121,53 @@ def int_clip_bounds(frames, q_lo: float, q_hi: float, n_bits: int = 16):
         pos = (p - 1) * (float(q) / 100.0)
         poss.append(pos)
         ks.extend((int(np.floor(pos)), int(np.ceil(pos))))
-    stats = _order_stats_bitsearch(flat, ks, n_bits)
+    stats = _order_stats_bitsearch(flat, ks, n_bits).astype(jnp.float32)
 
-    def interp(i):
-        lo_k, hi_k = ks[2 * i], ks[2 * i + 1]
-        lo_v, hi_v = stats[:, 2 * i], stats[:, 2 * i + 1]
-        if hi_k == lo_k:
-            return lo_v
-        return lo_v + (poss[i] - lo_k) * (hi_v - lo_v)
-
-    lo, hi = interp(0), interp(1)
+    lo, hi = (_interp_stat(stats, ks, poss, i) for i in range(2))
     vmin = jnp.min(flat, axis=1).astype(jnp.float32)
     vmax = jnp.max(flat, axis=1).astype(jnp.float32)
+    return lo, hi, jnp.maximum(vmin, lo), jnp.minimum(vmax, hi)
+
+
+def _interp_stat(stats_f32, ks, poss, i):
+    """numpy-'linear' interpolation between the floor/ceil order statistics
+    of percentile ``i`` (columns 2i, 2i+1 of a bit-search result)."""
+    lo_k, hi_k = ks[2 * i], ks[2 * i + 1]
+    lo_v, hi_v = stats_f32[:, 2 * i], stats_f32[:, 2 * i + 1]
+    if hi_k == lo_k:
+        return lo_v
+    return lo_v + (poss[i] - lo_k) * (hi_v - lo_v)
+
+
+def float_clip_bounds(frames_f32, q_lo: float, q_hi: float):
+    """Per-frame ``(lo, hi, fmin, fmax)`` for NaN-free float32 frames — the
+    float sibling of :func:`int_clip_bounds`, keeping float movies fully
+    fused on device (no host percentile pass, reference semantics
+    unet/predict.py:122-150 extended to float dtypes).
+
+    The same bitwise binary search runs on the order-isomorphic IEEE-754 bit
+    image of the data (:func:`_f32_sortable`): 32 compare+sum sweeps find
+    the exact floor/ceil order statistics as REAL data values, which are
+    mapped back to float and interpolated with numpy's 'linear' rule.
+    Exactness: selection is exact; only the final interpolation rounds to
+    float32 (numpy interpolates in float64) — beneath the pipelines' uint8
+    quantization.  NaNs would sort above +inf and silently corrupt the
+    upper percentile, so callers must pre-screen them (Predict gates the
+    fused path on a NaN-free host scan)."""
+    n = frames_f32.shape[0]
+    flat = frames_f32.reshape(n, -1).astype(jnp.float32)
+    p = flat.shape[1]
+    ks, poss = [], []
+    for q in (q_lo, q_hi):
+        pos = (p - 1) * (float(q) / 100.0)
+        poss.append(pos)
+        ks.extend((int(np.floor(pos)), int(np.ceil(pos))))
+    stats_u = _order_stats_bitsearch(_f32_sortable(flat), ks, 32)
+    stats = _f32_unsortable(stats_u)
+
+    lo, hi = (_interp_stat(stats, ks, poss, i) for i in range(2))
+    vmin = jnp.min(flat, axis=1)
+    vmax = jnp.max(flat, axis=1)
     return lo, hi, jnp.maximum(vmin, lo), jnp.minimum(vmax, hi)
 
 

@@ -170,15 +170,31 @@ def _extract_tiles_3d(vols, nz: int, nx: int, ny: int, tz: int, tx: int,
             .reshape(v * nz * nx * ny, tz, tx, ty, 1))
 
 
+def _src_nbits(dtype) -> int:
+    """Bit width for the device percentile search of a fused program's
+    source dtype; 0 selects the float32 sortable-bits search
+    (ops/histogram.float_clip_bounds)."""
+    if dtype == np.uint8:
+        return 8
+    if dtype == np.uint16:
+        return 16
+    if np.issubdtype(np.dtype(dtype), np.floating):
+        return 0
+    raise ValueError(f"fused pipeline has no device percentile for {dtype}")
+
+
 def _device_frame_bounds(frames, clip_threshold, n_bits: int):
     """Per-frame ``(lo, hi, fmin, fmax)`` as flat (N,) float32 vectors on
     device, via bitwise binary search over the value space for ANY integer
-    width.  The search beats the 256-bin one-hot histogram even at 8 bits —
-    measured 40.5 vs 54.4 ms per 64 MP on v5e (8 passes × 4 stats + min/max
-    ≈ 34 compares/px vs 256), bit-identical results on integer inputs.
-    Callers broadcast to their spatial rank."""
-    from ..ops.histogram import int_clip_bounds
+    width, or (``n_bits=0``) over the order-isomorphic IEEE-754 bit image
+    for NaN-free float32 frames.  The search beats the 256-bin one-hot
+    histogram even at 8 bits — measured 40.5 vs 54.4 ms per 64 MP on v5e
+    (8 passes × 4 stats + min/max ≈ 34 compares/px vs 256), bit-identical
+    results on integer inputs.  Callers broadcast to their spatial rank."""
+    from ..ops.histogram import float_clip_bounds, int_clip_bounds
 
+    if n_bits == 0:
+        return float_clip_bounds(frames, clip_threshold[0], clip_threshold[1])
     return int_clip_bounds(frames, clip_threshold[0], clip_threshold[1],
                            n_bits=n_bits)
 
@@ -589,7 +605,7 @@ class _Engine:
             n = k_loc * per
             n_pad = _round_up(n, bs)
             exact, row_idx, col_idx = _tile_plan(h, w, th, tw, xs, ys)
-            n_bits = 8 if src_dtype == np.uint8 else 16
+            n_bits = _src_nbits(src_dtype)
 
             def pipeline(variables, movie_u8, bounds=None):
                 if bounds is not None:
@@ -820,7 +836,7 @@ class _Engine:
             nx, ny = len(xs), len(ys)
             n_pad = _round_up(n, bs)
             exact, row_idx, col_idx = _tile_plan(h, w, th, tw, xs, ys)
-            n_bits = 8 if src_dtype == np.uint8 else 16
+            n_bits = _src_nbits(src_dtype)
 
             def pipeline(variables, blk):
                 prevs, curs = blk[:-1], blk[1:]
@@ -928,7 +944,7 @@ class _Engine:
             nx, ny = len(xs), len(ys)
             n_pad = _round_up(n, bs)
             exact, row_idx, col_idx = _tile_plan(h, w, ph, pw, xs, ys)
-            n_bits = 8 if src_dtype == np.uint8 else 16
+            n_bits = _src_nbits(src_dtype)
             gx, gy = np.meshgrid(np.asarray(xs), np.asarray(ys), indexing="ij")
             starts = np.stack([gx.ravel(), gy.ravel()], axis=1).astype(np.int32)
             gi, gj = np.meshgrid(np.arange(nx), np.arange(ny), indexing="ij")
@@ -1023,7 +1039,7 @@ class _Engine:
             n_pad = _round_up(n, bs)
             exact, idx_z, idx_x, idx_y = _tile_plan_3d(d, h, w, tz, tx, ty,
                                                        zs, xs, ys)
-            n_bits = 8 if src_dtype == np.uint8 else 16
+            n_bits = _src_nbits(src_dtype)
             gz, gx, gy = np.meshgrid(np.asarray(zs), np.asarray(xs),
                                      np.asarray(ys), indexing="ij")
 
@@ -1101,7 +1117,7 @@ class _Engine:
             n_pad = _round_up(n, bs)
             exact, idx_z, idx_x, idx_y = _tile_plan_3d(d, h, w, tz, tx, ty,
                                                        zs, xs, ys)
-            n_bits = 8 if src_dtype == np.uint8 else 16
+            n_bits = _src_nbits(src_dtype)
             grids = np.meshgrid(np.asarray(zs), np.asarray(xs), np.asarray(ys),
                                 indexing="ij")
             starts = np.stack([g.ravel() for g in grids], axis=1).astype(np.int32)
@@ -1268,11 +1284,16 @@ class Predict:
         fused_blocker = None
         if out_ch != 1:
             fused_blocker = "multi-channel output (out_channels != 1)"
-        elif imgs.dtype not in (np.uint8, np.uint16):
+        elif not (imgs.dtype in (np.uint8, np.uint16)
+                  or np.issubdtype(imgs.dtype, np.floating)):
             fused_blocker = (f"input dtype {imgs.dtype} (the fused program "
-                             "normalizes uint8/uint16 on device; float movies "
-                             "may carry NaNs and use the host nanpercentile "
-                             "path)")
+                             "normalizes uint8/uint16/float on device)")
+        elif np.issubdtype(imgs.dtype, np.floating) and np.isnan(imgs).any():
+            # the device percentile search would sort NaNs above +inf and
+            # corrupt the upper clip bound; the host path's nanpercentile
+            # handles them (reference semantics, unet/predict.py:122-150)
+            fused_blocker = ("float input contains NaNs (handled by the "
+                             "host nanpercentile path)")
         elif any(self.resize_dim[a] - imgs.shape[a + 1] >= imgs.shape[a + 1]
                  for a in range(2)):
             fused_blocker = ("tile more than 2× the frame extent (XLA "
@@ -1288,6 +1309,12 @@ class Predict:
                 "and runs bf16/f32", stacklevel=2)
 
         if use_fused:
+            if (np.issubdtype(imgs.dtype, np.floating)
+                    and imgs.dtype != np.float32):
+                # normalize float16/float64 movies in float32 on device
+                # (documented divergence: the host path computes in float64;
+                # the difference is below the uint8 mask quantization)
+                imgs = imgs.astype(np.float32)
             fixed_bounds = None
             if normalization_mode in ("first", "all"):
                 # stack-global bounds, once, on host (O(n) bincount); the
@@ -1415,8 +1442,20 @@ class PredictSiam:
         page0 = np.asarray(reader.read_page(0))
         fused_blocker = None
         if page0.dtype not in (np.uint8, np.uint16):
-            fused_blocker = (f"page dtype {page0.dtype} (the fused program "
-                             "normalizes uint8/uint16 on device)")
+            if (np.issubdtype(page0.dtype, np.floating)
+                    and device_pipeline is True):
+                # float movies are fused ONLY on explicit opt-in: the
+                # streaming reader cannot pre-screen later pages for NaNs
+                # (which corrupt the device percentile search), so a NaN page
+                # mid-stream raises instead of silently degrading
+                if np.isnan(page0).any():
+                    fused_blocker = ("page 0 contains NaNs (handled by the "
+                                     "host nanpercentile path)")
+            else:
+                fused_blocker = (
+                    f"page dtype {page0.dtype} (the auto device pipeline "
+                    "streams uint8/uint16; NaN-free float movies opt in "
+                    "with device_pipeline=True)")
         elif normalization_mode not in ("single", "first", "all"):
             fused_blocker = f"normalization_mode {normalization_mode}"
         use_fused = _resolve_device_pipeline(device_pipeline, fused_blocker)
@@ -1470,13 +1509,30 @@ class PredictSiam:
                     frames_raw = [np.asarray(read_page(i))
                                   for i in range(start, stop)]
                     if start == 0:
-                        prev0 = (frames_raw[1] if k > 1 else
-                                 np.asarray(read_page(1)) if n_frames > 1 else
-                                 frames_raw[0])
+                        if k > 1:
+                            prev0 = frames_raw[1]
+                        elif n_frames > 1:
+                            prev0 = np.asarray(read_page(1))
+                            # the next chunk starts at page 1 — keep the
+                            # decode (frames_per_chunk=1 would otherwise pay
+                            # the host TIFF decode twice for page 1)
+                            page_cache[1] = prev0
+                        else:
+                            prev0 = frames_raw[0]
                     else:
                         prev0 = last_page
                     last_page = frames_raw[-1]
                     block = np.stack([prev0] + frames_raw)
+                    if np.issubdtype(block.dtype, np.floating):
+                        if np.isnan(block).any():
+                            raise ValueError(
+                                f"NaN in pages {start}..{stop - 1}: the "
+                                "opt-in fused float pipeline requires "
+                                "NaN-free data — rerun with "
+                                "device_pipeline=False (output so far is "
+                                f"partial in {result_name})")
+                        if block.dtype != np.float32:
+                            block = block.astype(np.float32)
                     if k < frames_per_chunk:  # tail: keep the program shape
                         block = np.concatenate(
                             [block, np.broadcast_to(
@@ -1581,9 +1637,14 @@ class Predict3D:
                  * int(np.prod(self.resize_dim)))
 
         fused_blocker = None
-        if vol.dtype not in (np.uint8, np.uint16):
+        if not (vol.dtype in (np.uint8, np.uint16)
+                or np.issubdtype(vol.dtype, np.floating)):
             fused_blocker = (f"input dtype {vol.dtype} (the fused program "
-                             "normalizes uint8/uint16 on device)")
+                             "normalizes uint8/uint16/float on device)")
+        elif (np.issubdtype(vol.dtype, np.floating)
+              and np.isnan(vol).any()):
+            fused_blocker = ("float input contains NaNs (handled by the "
+                             "host nanpercentile path)")
         elif n_vox > _Engine.FUSED_HEADS_MAX_PX:
             fused_blocker = (f"{n_vox} patch voxels exceed the "
                              "single-program budget")
@@ -1596,6 +1657,9 @@ class Predict3D:
         if show_progress:
             print("Predicting data ...")
         if use_fused:
+            if (np.issubdtype(vol.dtype, np.floating)
+                    and vol.dtype != np.float32):
+                vol = vol.astype(np.float32)  # device-normalized in f32
             # the fused path is ONE dispatch: tick any caller notifier once
             # so notifier-driven UIs still start and complete
             for _ in _single_tick(progress_notifier, show_progress):
@@ -1683,9 +1747,14 @@ class PredictMultiOutput:
         from .tiling import _margin_weights
 
         fused_blocker = None
-        if imgs.dtype not in (np.uint8, np.uint16):
+        if not (imgs.dtype in (np.uint8, np.uint16)
+                or np.issubdtype(imgs.dtype, np.floating)):
             fused_blocker = (f"input dtype {imgs.dtype} (the fused program "
-                             "normalizes uint8/uint16 on device)")
+                             "normalizes uint8/uint16/float on device)")
+        elif (np.issubdtype(imgs.dtype, np.floating)
+              and np.isnan(imgs).any()):
+            fused_blocker = ("float input contains NaNs (handled by the "
+                             "host nanpercentile path)")
         elif n_px > _Engine.FUSED_HEADS_MAX_PX:
             fused_blocker = (f"{n_px} patch pixels exceed the single-program "
                              "budget (the uncovered-pixel fill is a "
@@ -1707,6 +1776,9 @@ class PredictMultiOutput:
         if show_progress:
             print("Predicting data ...")
         if use_fused:
+            if (np.issubdtype(imgs.dtype, np.floating)
+                    and imgs.dtype != np.float32):
+                imgs = imgs.astype(np.float32)  # device-normalized in f32
             fixed_bounds = None
             if normalization_mode in ("first", "all"):
                 ref = imgs[0] if normalization_mode == "first" else imgs
@@ -1812,9 +1884,14 @@ class PredictMultiOutput3D:
         n_vox = n_vol * len(zs) * len(xs) * len(ys) * int(np.prod(tile))
 
         fused_blocker = None
-        if imgs.dtype not in (np.uint8, np.uint16):
+        if not (imgs.dtype in (np.uint8, np.uint16)
+                or np.issubdtype(imgs.dtype, np.floating)):
             fused_blocker = (f"input dtype {imgs.dtype} (the fused program "
-                             "normalizes uint8/uint16 on device)")
+                             "normalizes uint8/uint16/float on device)")
+        elif (np.issubdtype(imgs.dtype, np.floating)
+              and np.isnan(imgs).any()):
+            fused_blocker = ("float input contains NaNs (handled by the "
+                             "host nanpercentile path)")
         elif n_vox > _Engine.FUSED_HEADS_MAX_PX:
             fused_blocker = (f"{n_vox} patch voxels exceed the "
                              "single-program budget")
@@ -1823,6 +1900,9 @@ class PredictMultiOutput3D:
         if show_progress:
             print("Predicting data ...")
         if use_fused:
+            if (np.issubdtype(imgs.dtype, np.floating)
+                    and imgs.dtype != np.float32):
+                imgs = imgs.astype(np.float32)  # device-normalized in f32
             from .tiling import _blend_factors
 
             factors = _blend_factors((len(zs), len(xs), len(ys)), tile,

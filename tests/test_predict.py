@@ -334,6 +334,58 @@ def test_fused_runner_returns_the_dispatched_program(rng, torch_unet_ckpt):
     assert out_e2e_q.shape == out_e2e.shape
 
 
+def test_device_pipeline_float32_matches_host_path(rng, torch_unet_ckpt):
+    """float32 movies (pre-processed microscopy) take the fused device
+    pipeline too — per-frame percentiles via the IEEE-754 sortable-bits
+    binary search (ops/histogram.float_clip_bounds) — and must match the
+    host-staged nanpercentile path within the same one-level contract as the
+    integer dtypes (reference normalizes all dtypes uniformly,
+    unet/predict.py:122-150)."""
+    ckpt_path, _ = torch_unet_ckpt
+    base = rng.random((3, 96, 96)).astype(np.float32)
+    movie = base * 731.0 - 500.0  # negative values, non-unit range
+    kw = dict(resize_dim=(64, 64), show_progress=False, batch_size=4)
+    for mode in ("single", "first", "all"):
+        host = Predict(movie, None, ckpt_path, device_pipeline=False,
+                       normalization_mode=mode, **kw)
+        fused = Predict(movie, None, ckpt_path, device_pipeline=True,
+                        normalization_mode=mode, **kw)
+        diff = np.abs(host.result.astype(int) - fused.result.astype(int))
+        assert np.mean(diff > 1) < 0.01, (mode, diff.max())
+        assert diff.max() <= 16, mode
+    # auto (None) also takes the fused path for float32: bit-identical
+    auto = Predict(movie, None, ckpt_path, **kw)
+    forced = Predict(movie, None, ckpt_path, device_pipeline=True, **kw)
+    np.testing.assert_array_equal(auto.result, forced.result)
+    # float64 input is normalized in float32 on device — same contract
+    host64 = Predict(movie.astype(np.float64), None, ckpt_path,
+                     device_pipeline=False, **kw)
+    fused64 = Predict(movie.astype(np.float64), None, ckpt_path,
+                      device_pipeline=True, **kw)
+    diff = np.abs(host64.result.astype(int) - fused64.result.astype(int))
+    assert np.mean(diff > 1) < 0.01
+
+
+def test_device_pipeline_float_nan_falls_back(rng, torch_unet_ckpt):
+    """A float movie carrying NaNs must NOT enter the fused program (NaNs
+    sort above +inf in the bit search): auto falls back silently, an
+    explicit device_pipeline=True warns naming NaNs, and the host path's
+    nanpercentile result is returned either way."""
+    ckpt_path, _ = torch_unet_ckpt
+    movie = (rng.random((2, 96, 96)) * 200).astype(np.float32)
+    movie[1, 10, 10] = np.nan
+    auto = Predict(movie, None, ckpt_path, resize_dim=(64, 64),
+                   show_progress=False, batch_size=4)
+    with pytest.warns(UserWarning, match="NaN"):
+        forced = Predict(movie, None, ckpt_path, resize_dim=(64, 64),
+                         show_progress=False, batch_size=4,
+                         device_pipeline=True)
+    host = Predict(movie, None, ckpt_path, resize_dim=(64, 64),
+                   show_progress=False, batch_size=4, device_pipeline=False)
+    np.testing.assert_array_equal(auto.result, host.result)
+    np.testing.assert_array_equal(forced.result, host.result)
+
+
 def test_int_percentile_matches_numpy(rng):
     """Exact bincount percentiles for integer frames must equal numpy's
     sort-based result (same 'linear' interpolation rule)."""
@@ -503,13 +555,14 @@ def test_device_pipeline_first_all_modes(rng, torch_unet_ckpt, mode, dtype):
 
 
 def test_device_pipeline_warns_on_ineligible(rng, torch_unet_ckpt):
-    """An explicit device_pipeline=True that cannot be honored (float input)
-    warns with the reason and falls back to the host path; the default auto
-    mode falls back silently."""
+    """An explicit device_pipeline=True that cannot be honored (int32 input —
+    float32 became fused-eligible in round 4) warns with the reason and
+    falls back to the host path; the default auto mode falls back
+    silently."""
     import warnings
 
     ckpt_path, _ = torch_unet_ckpt
-    movie = rng.random((2, 96, 96), dtype=np.float32) * 255
+    movie = (rng.random((2, 96, 96)) * 255).astype(np.int32)
     with pytest.warns(UserWarning, match="device_pipeline=True cannot"):
         loud = Predict(movie, None, ckpt_path, resize_dim=(64, 64),
                        show_progress=False, batch_size=4, device_pipeline=True)
@@ -535,15 +588,19 @@ def siam_ckpt(tmp_path_factory):
 
 
 @pytest.mark.parametrize("mode", ["single", "first", "all"])
-@pytest.mark.parametrize("dtype", [np.uint8, np.uint16])
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16, np.float32])
 def test_predict_siam_fused_matches_host(tmp_path, rng, siam_ckpt, mode, dtype):
     """The fused Siam chunk program (per-pair normalize + twin tiling +
     forward + stitch in one dispatch) matches the host-staged path within one
-    uint8 quantization step — for all three per-PAIR normalization modes and
-    both integer dtypes, across a chunk boundary and an odd tail."""
-    hi = 255 if dtype == np.uint8 else 50000
+    uint8 quantization step — for all three per-PAIR normalization modes,
+    integer and float32 dtypes, across a chunk boundary and an odd tail."""
     movie_path = str(tmp_path / "movie.tif")
-    tiff.imwrite(movie_path, rng.integers(0, hi, (7, 48, 48), dtype=dtype))
+    if dtype == np.float32:
+        movie = (rng.random((7, 48, 48)) * 600 - 100).astype(np.float32)
+    else:
+        hi = 255 if dtype == np.uint8 else 50000
+        movie = rng.integers(0, hi, (7, 48, 48), dtype=dtype)
+    tiff.imwrite(movie_path, movie)
     out_f = str(tmp_path / "fused.tif")
     out_h = str(tmp_path / "host.tif")
     kwargs = dict(resize_dim=(32, 32), normalization_mode=mode,
@@ -557,9 +614,12 @@ def test_predict_siam_fused_matches_host(tmp_path, rng, siam_ckpt, mode, dtype):
     assert np.mean(diff > 1) < 0.01, (mode, dtype, diff.max(), np.mean(diff > 1))
 
 
-def test_predict_siam_default_is_fused_and_float_falls_back(tmp_path, rng, siam_ckpt):
+def test_predict_siam_default_is_fused_and_float_contract(tmp_path, rng, siam_ckpt):
     """Default device_pipeline=None auto-enables the fused Siam path (equals
-    explicit True bit-for-bit); float input warns on explicit True."""
+    explicit True bit-for-bit).  Float movies: auto stays on the host path
+    (the streaming reader cannot pre-screen later pages for NaNs), explicit
+    True opts into the fused float program and matches the host result; a
+    NaN page raises mid-stream with a clear message."""
     movie_path = str(tmp_path / "movie.tif")
     tiff.imwrite(movie_path, rng.integers(0, 255, (4, 48, 48), dtype=np.uint8))
     out_a = str(tmp_path / "auto.tif")
@@ -570,11 +630,32 @@ def test_predict_siam_default_is_fused_and_float_falls_back(tmp_path, rng, siam_
     np.testing.assert_array_equal(tiff.imread(out_a), tiff.imread(out_b))
 
     float_path = str(tmp_path / "floats.tif")
-    tiff.imwrite(float_path, rng.random((3, 48, 48), dtype=np.float32) * 255)
-    with pytest.warns(UserWarning, match="device_pipeline=True cannot"):
-        PredictSiam(float_path, str(tmp_path / "f.tif"), siam_ckpt,
-                    device_pipeline=True, resize_dim=(48, 48),
-                    show_progress=False)
+    tiff.imwrite(float_path,
+                 (rng.random((3, 48, 48), dtype=np.float32) * 255 - 40))
+    out_fh = str(tmp_path / "f_host.tif")
+    out_ff = str(tmp_path / "f_fused.tif")
+    PredictSiam(float_path, out_fh, siam_ckpt, device_pipeline=False, **kwargs)
+    PredictSiam(float_path, out_ff, siam_ckpt, device_pipeline=True, **kwargs)
+    diff = np.abs(tiff.imread(out_fh).astype(int)
+                  - tiff.imread(out_ff).astype(int))
+    assert np.mean(diff > 1) < 0.01, (diff.max(), np.mean(diff > 1))
+
+    nan_movie = rng.random((3, 48, 48), dtype=np.float32) * 10
+    nan_movie[2, 5, 5] = np.nan
+    nan_path = str(tmp_path / "nan.tif")
+    tiff.imwrite(nan_path, nan_movie)
+    with pytest.raises(ValueError, match="NaN"):
+        PredictSiam(nan_path, str(tmp_path / "n.tif"), siam_ckpt,
+                    device_pipeline=True, **kwargs)
+    # NaN already in page 0 is caught up front: warn + host fallback
+    nan_movie0 = nan_movie.copy()
+    nan_movie0[0, 1, 1] = np.nan
+    nan_movie0[2, 5, 5] = 0.0
+    nan0_path = str(tmp_path / "nan0.tif")
+    tiff.imwrite(nan0_path, nan_movie0)
+    with pytest.warns(UserWarning, match="NaN"):
+        PredictSiam(nan0_path, str(tmp_path / "n0.tif"), siam_ckpt,
+                    device_pipeline=True, **kwargs)
 
 
 @pytest.fixture(scope="module")
@@ -596,13 +677,17 @@ def mo_ckpt(tmp_path_factory):
 
 
 @pytest.mark.parametrize("mode", ["single", "first", "all"])
-@pytest.mark.parametrize("dtype", [np.uint8, np.uint16])
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16, np.float32])
 def test_predict_multi_output_fused_matches_host(rng, mo_ckpt, mode, dtype):
-    """The fused multi-head program (raw int upload, device normalize to
+    """The fused multi-head program (raw upload, device normalize to
     [0, 1], tile, forward, margin stitch) matches the round-2 host-staged
-    float32 path to float tolerance for every head."""
-    hi = 255 if dtype == np.uint8 else 50000
-    imgs = rng.integers(0, hi, (2, 48, 48), dtype=dtype)
+    float32 path to float tolerance for every head — float32 inputs
+    included (device percentiles via the sortable-bits search)."""
+    if dtype == np.float32:
+        imgs = (rng.random((2, 48, 48)) * 800 - 250).astype(np.float32)
+    else:
+        hi = 255 if dtype == np.uint8 else 50000
+        imgs = rng.integers(0, hi, (2, 48, 48), dtype=dtype)
     kwargs = dict(max_patch_size=(32, 32), show_progress=False, batch_size=4,
                   safe_margin=4, normalization_mode=mode)
     fused = PredictMultiOutput(imgs, mo_ckpt, device_pipeline=True, **kwargs)
@@ -624,9 +709,10 @@ def test_predict_multi_output_default_fused_and_fallback(rng, mo_ckpt):
     for key in auto.result:
         np.testing.assert_array_equal(auto.result[key], forced.result[key])
 
+    # float32 is fused-eligible since round 4; int32 still is not
     with pytest.warns(UserWarning, match="device_pipeline=True cannot"):
-        PredictMultiOutput(rng.random((1, 48, 48), dtype=np.float32), mo_ckpt,
-                           device_pipeline=True, **kwargs)
+        PredictMultiOutput((rng.random((1, 48, 48)) * 99).astype(np.int32),
+                           mo_ckpt, device_pipeline=True, **kwargs)
 
 
 def test_margin_blend_factors_reproduce_dense_weights(rng):
@@ -673,13 +759,17 @@ def unet3d_ckpt(tmp_path_factory):
     return path
 
 
-@pytest.mark.parametrize("dtype", [np.uint8, np.uint16])
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16, np.float32])
 def test_predict_3d_fused_matches_host(tmp_path, rng, unet3d_ckpt, dtype):
     """The fused 3D program (raw volume upload, device whole-volume
     normalize, 3-axis tiling, forward, mean stitch) matches the host-staged
-    path within one uint8 quantization step — overlapping grid included."""
-    hi = 255 if dtype == np.uint8 else 50000
-    vol = rng.integers(0, hi, (12, 24, 24), dtype=dtype)
+    path within one uint8 quantization step — overlapping grid included,
+    float32 volumes too (sortable-bits device percentiles)."""
+    if dtype == np.float32:
+        vol = (rng.random((12, 24, 24)) * 900 - 300).astype(np.float32)
+    else:
+        hi = 255 if dtype == np.uint8 else 50000
+        vol = rng.integers(0, hi, (12, 24, 24), dtype=dtype)
     kwargs = dict(resize_dim=(8, 16, 16), show_progress=False, batch_size=2)
     host = Predict3D(vol, None, unet3d_ckpt, device_pipeline=False, **kwargs)
     fused = Predict3D(vol, None, unet3d_ckpt, device_pipeline=True, **kwargs)
@@ -717,12 +807,16 @@ def mo3d_ckpt(tmp_path_factory):
     return path
 
 
-@pytest.mark.parametrize("dtype", [np.uint8, np.uint16])
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16, np.float32])
 def test_predict_multi_output_3d_fused_matches_host(rng, mo3d_ckpt, dtype):
     """Fused multi-head 3D (factored blend stitch) matches the host-staged
-    float path to float tolerance on an overlap-stride grid."""
-    hi = 255 if dtype == np.uint8 else 50000
-    vol = rng.integers(0, hi, (12, 24, 24), dtype=dtype)
+    float path to float tolerance on an overlap-stride grid — float32
+    volumes included."""
+    if dtype == np.float32:
+        vol = (rng.random((12, 24, 24)) * 700 - 200).astype(np.float32)
+    else:
+        hi = 255 if dtype == np.uint8 else 50000
+        vol = rng.integers(0, hi, (12, 24, 24), dtype=dtype)
     kwargs = dict(max_patch_size=(8, 16, 16), overlap_factor=0.25,
                   show_progress=False, batch_size=2, blend_margin=4)
     fused = PredictMultiOutput3D(vol, mo3d_ckpt, device_pipeline=True, **kwargs)

