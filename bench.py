@@ -280,14 +280,22 @@ def main():
                                  "patches, batch-1 reference loop"}, fh)
 
     try:
-        wait_for_backend()
+        platform = wait_for_backend()
+        if platform.lower() in ("cpu", "host"):
+            # the plugin can fail in a mode where jax silently falls back to
+            # CPU — measuring that would overwrite LASTGOOD with numbers
+            # ~2700x off and take hours on this 1-core host
+            raise RuntimeError(
+                "backend probe returned CPU — TPU plugin fell back instead "
+                "of initializing; refusing to measure the wrong device")
         e2e_value, device_value, device_u16, device_int8 = measure_ours()
     except BaseException as exc:  # noqa: BLE001 — emit JSON even on Ctrl-C
         print(json.dumps(fallback_result(
             baseline, f"{type(exc).__name__}: {str(exc)[-400:]}")))
-        return
+        sys.exit(1)  # parseable JSON either way; exit code says it measured
     result = build_result(baseline, e2e_value, device_value, device_u16,
                           device_int8)
+    result["platform"] = platform
     try:
         with open(LASTGOOD, "w") as fh:
             json.dump({"measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",

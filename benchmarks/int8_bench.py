@@ -23,6 +23,7 @@ sys.path.insert(0, ROOT)
 import jax
 import jax.numpy as jnp
 
+from bench import _cpu_init_context  # guarded CPU-device walk (bench.py)
 from bio_image_unet_tpu import checkpoint
 from bio_image_unet_tpu.predict.predictor import _Engine
 from bio_image_unet_tpu.predict.tiling import _margin_factors, grid_starts
@@ -48,7 +49,7 @@ def _best(fn, n_outer=3):
 def bench_2d():
     from bio_image_unet_tpu.models import Unet
 
-    with jax.default_device(jax.devices("cpu")[0]):
+    with _cpu_init_context():
         v = Unet(n_filter=NF).init(jax.random.PRNGKey(0),
                                    jnp.zeros((1, 256, 256, 1)))
     ck = "/tmp/int8_bench_2d.ckpt"
@@ -82,7 +83,7 @@ def bench_2d():
 def bench_siam():
     from bio_image_unet_tpu.models import Siam_UNet
 
-    with jax.default_device(jax.devices("cpu")[0]):
+    with _cpu_init_context():
         v = Siam_UNet(n_filter=NF).init(
             jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 1)),
             jnp.zeros((1, 256, 256, 1)))
@@ -118,7 +119,7 @@ def bench_multi_output():
 
     heads = {"mask": {"channels": 1, "activation": "sigmoid"},
              "orientation": {"channels": 2, "activation": None}}
-    with jax.default_device(jax.devices("cpu")[0]):
+    with _cpu_init_context():
         v = MultiOutputUnet(n_filter=NF, output_heads=heads).init(
             jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 1)))
     ck = "/tmp/int8_bench_mo.ckpt"

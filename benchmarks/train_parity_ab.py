@@ -93,19 +93,12 @@ def install_reference_shims():
 
 
 def make_blob(rng, shape=(128, 128), n_blobs=10):
-    """Learnable synthetic sample (tests/test_learning.py recipe at the
+    """Learnable synthetic sample (the canonical blob recipe at the
     reference smoke test's 128² size, utils/test.py:27-31)."""
-    yy, xx = np.mgrid[: shape[0], : shape[1]]
-    img = np.zeros(shape, np.float32)
-    for _ in range(n_blobs):
-        cy = rng.integers(10, shape[0] - 10)
-        cx = rng.integers(10, shape[1] - 10)
-        r = rng.integers(5, 12)
-        img += np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * r ** 2))
-    mask = (img > 0.4).astype(np.uint8) * 255
-    noisy = np.clip(img / max(img.max(), 1e-6) * 200
-                    + rng.normal(0, 8, shape), 0, 255)
-    return noisy.astype(np.uint8), mask
+    from bio_image_unet_tpu.utils import blob_sample
+
+    return blob_sample(rng, shape=shape, n_blobs=n_blobs, margin=10,
+                       radius=(5, 12))
 
 
 def build_dataset(base):

@@ -1288,7 +1288,9 @@ class Predict:
                   or np.issubdtype(imgs.dtype, np.floating)):
             fused_blocker = (f"input dtype {imgs.dtype} (the fused program "
                              "normalizes uint8/uint16/float on device)")
-        elif np.issubdtype(imgs.dtype, np.floating) and np.isnan(imgs).any():
+        elif (np.issubdtype(imgs.dtype, np.floating)
+              and device_pipeline is not False  # skip the O(n) scan when
+              and np.isnan(imgs).any()):        # the host path is forced
             # the device percentile search would sort NaNs above +inf and
             # corrupt the upper clip bound; the host path's nanpercentile
             # handles them (reference semantics, unet/predict.py:122-150)
@@ -1406,7 +1408,16 @@ class PredictSiam:
     TPU redesign: frames stream in chunks of ``frames_per_chunk`` so each
     device dispatch carries many frames' patches (one dispatch per frame
     pays full round-trip latency on remote TPUs); stitching is fused
-    on-device per chunk.  Memory stays bounded by the chunk."""
+    on-device per chunk.  Memory stays bounded by the chunk.
+
+    ``quantized=True`` (w8a8 int8): because the movie streams, the int8
+    activation scales are calibrated on the FIRST chunk only — a movie
+    whose brightness distribution drifts far from its opening frames can
+    exceed the calibrated range and saturate beyond the documented
+    ~1-uint8-level bound.  For such movies prefer ``quantized=False`` (see
+    docs/CHANGELOG.md).  Float32 pages are fused only on explicit
+    ``device_pipeline=True`` (NaN pages cannot be pre-screened when
+    streaming; one raises mid-stream)."""
 
     def __init__(self, tif_file, result_name, model_params, resize_dim=(512, 512),
                  invert=False, normalization_mode="single", clip_threshold=(0.0, 99.98),
@@ -1437,6 +1448,13 @@ class PredictSiam:
         out_h = max(self.resize_dim[0], frame_shape[0])
         out_w = max(self.resize_dim[1], frame_shape[1])
 
+        # an invalid mode must raise on EVERY path (host and fused alike —
+        # the fused pair program's 'else' branch would otherwise silently
+        # run a typo as 'all'; reference siam_unet/predict.py semantics)
+        if normalization_mode not in ("single", "first", "all"):
+            reader.close()
+            raise ValueError(
+                f"normalization_mode {normalization_mode} not valid!")
         # fused path eligibility (same contract as Predict.device_pipeline):
         # page 0 is decoded once here and reused as the first chunk's frame
         page0 = np.asarray(reader.read_page(0))
@@ -1456,8 +1474,6 @@ class PredictSiam:
                     f"page dtype {page0.dtype} (the auto device pipeline "
                     "streams uint8/uint16; NaN-free float movies opt in "
                     "with device_pipeline=True)")
-        elif normalization_mode not in ("single", "first", "all"):
-            fused_blocker = f"normalization_mode {normalization_mode}"
         use_fused = _resolve_device_pipeline(device_pipeline, fused_blocker)
         if quantized and engine._quant is not None and not use_fused:
             import warnings
@@ -1525,12 +1541,18 @@ class PredictSiam:
                     block = np.stack([prev0] + frames_raw)
                     if np.issubdtype(block.dtype, np.floating):
                         if np.isnan(block).any():
+                            # save everything already computed, release the
+                            # reader, THEN raise — the message must not
+                            # overstate (or understate) what landed on disk
+                            flush(writer)
+                            pending = None
+                            reader.close()
                             raise ValueError(
                                 f"NaN in pages {start}..{stop - 1}: the "
                                 "opt-in fused float pipeline requires "
                                 "NaN-free data — rerun with "
-                                "device_pipeline=False (output so far is "
-                                f"partial in {result_name})")
+                                f"device_pipeline=False (the first {start} "
+                                f"result pages are already in {result_name})")
                         if block.dtype != np.float32:
                             block = block.astype(np.float32)
                     if k < frames_per_chunk:  # tail: keep the program shape
@@ -1642,7 +1664,8 @@ class Predict3D:
             fused_blocker = (f"input dtype {vol.dtype} (the fused program "
                              "normalizes uint8/uint16/float on device)")
         elif (np.issubdtype(vol.dtype, np.floating)
-              and np.isnan(vol).any()):
+              and device_pipeline is not False  # skip the O(n) scan when
+              and np.isnan(vol).any()):         # the host path is forced
             fused_blocker = ("float input contains NaNs (handled by the "
                              "host nanpercentile path)")
         elif n_vox > _Engine.FUSED_HEADS_MAX_PX:
@@ -1752,7 +1775,8 @@ class PredictMultiOutput:
             fused_blocker = (f"input dtype {imgs.dtype} (the fused program "
                              "normalizes uint8/uint16/float on device)")
         elif (np.issubdtype(imgs.dtype, np.floating)
-              and np.isnan(imgs).any()):
+              and device_pipeline is not False  # skip the O(n) scan when
+              and np.isnan(imgs).any()):        # the host path is forced
             fused_blocker = ("float input contains NaNs (handled by the "
                              "host nanpercentile path)")
         elif n_px > _Engine.FUSED_HEADS_MAX_PX:
@@ -1889,7 +1913,8 @@ class PredictMultiOutput3D:
             fused_blocker = (f"input dtype {imgs.dtype} (the fused program "
                              "normalizes uint8/uint16/float on device)")
         elif (np.issubdtype(imgs.dtype, np.floating)
-              and np.isnan(imgs).any()):
+              and device_pipeline is not False  # skip the O(n) scan when
+              and np.isnan(imgs).any()):        # the host path is forced
             fused_blocker = ("float input contains NaNs (handled by the "
                              "host nanpercentile path)")
         elif n_vox > _Engine.FUSED_HEADS_MAX_PX:

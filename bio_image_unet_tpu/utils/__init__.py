@@ -1,4 +1,5 @@
 from .metrics import dice_coefficient, iou, pixel_accuracy
+from .synth import blob_sample
 from .utils import (
     enable_compilation_cache,
     get_device,
@@ -16,4 +17,5 @@ __all__ = [
     "iou",
     "dice_coefficient",
     "pixel_accuracy",
+    "blob_sample",
 ]

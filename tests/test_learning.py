@@ -15,16 +15,7 @@ from bio_image_unet_tpu.data import tiff
 from bio_image_unet_tpu.utils import iou
 
 
-def _blob_image(rng, shape=(64, 64), n_blobs=6):
-    yy, xx = np.mgrid[: shape[0], : shape[1]]
-    img = np.zeros(shape, np.float32)
-    for _ in range(n_blobs):
-        cy, cx = rng.integers(8, shape[0] - 8), rng.integers(8, shape[1] - 8)
-        r = rng.integers(4, 10)
-        img += np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * r**2))
-    mask = (img > 0.4).astype(np.uint8) * 255
-    noisy = np.clip(img / max(img.max(), 1e-6) * 200 + rng.normal(0, 8, shape), 0, 255)
-    return noisy.astype(np.uint8), mask
+from bio_image_unet_tpu.utils import blob_sample as _blob_image  # one recipe
 
 
 def test_unet_learns_blob_segmentation(tmp_path, rng):

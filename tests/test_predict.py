@@ -644,9 +644,22 @@ def test_predict_siam_default_is_fused_and_float_contract(tmp_path, rng, siam_ck
     nan_movie[2, 5, 5] = np.nan
     nan_path = str(tmp_path / "nan.tif")
     tiff.imwrite(nan_path, nan_movie)
-    with pytest.raises(ValueError, match="NaN"):
-        PredictSiam(nan_path, str(tmp_path / "n.tif"), siam_ckpt,
-                    device_pipeline=True, **kwargs)
+    # frames_per_chunk=1 so the flush-before-raise contract is observable:
+    # the NaN hits the chunk for page 2, pages 0-1 must already be on disk
+    # and the message must say exactly that (review finding: the raise used
+    # to drop the pending chunk and leak the reader)
+    nan_out = str(tmp_path / "n.tif")
+    with pytest.raises(ValueError, match="first 2 result pages"):
+        PredictSiam(nan_path, nan_out, siam_ckpt, device_pipeline=True,
+                    frames_per_chunk=1, **kwargs)
+    assert tiff.imread(nan_out).shape[0] == 2
+
+    # an invalid normalization_mode must raise on the fused float path too,
+    # not silently run as 'all' (review finding)
+    with pytest.raises(ValueError, match="not valid"):
+        PredictSiam(float_path, str(tmp_path / "bad.tif"), siam_ckpt,
+                    device_pipeline=True, normalization_mode="frist",
+                    **kwargs)
     # NaN already in page 0 is caught up front: warn + host fallback
     nan_movie0 = nan_movie.copy()
     nan_movie0[0, 1, 1] = np.nan
