@@ -76,3 +76,55 @@ def test_int_clip_bounds_u8_agrees_with_u8_path(rng):
     b = [np.asarray(v) for v in int_clip_bounds(frames, 0.0, 99.8, n_bits=8)]
     for x, y in zip(a, b):
         np.testing.assert_allclose(x, y, atol=1e-5)
+
+
+def test_float_clip_bounds_matches_numpy(rng):
+    """The sortable-bits float search must reproduce numpy's float64
+    percentiles (selection is exact; only the final linear-rule blend runs
+    in float32) across signs, magnitudes, duplicates and constants."""
+    import numpy as np
+
+    from bio_image_unet_tpu.ops.histogram import float_clip_bounds
+
+    cases = [
+        ("positive", rng.random((3, 41, 37)).astype(np.float32) * 1000),
+        ("mixed-sign", (rng.standard_normal((2, 53, 29)) * 50).astype(np.float32)),
+        ("tiny", rng.random((1, 7, 5)).astype(np.float32) * 1e-6),
+        ("constant", np.full((2, 16, 16), 3.25, np.float32)),
+        ("duplicates", rng.integers(0, 5, (2, 32, 32)).astype(np.float32)),
+        ("signed-zero", np.where(rng.random((1, 16, 16)) > 0.5, 0.0,
+                                 -0.0).astype(np.float32)),
+    ]
+    for name, frames in cases:
+        lo, hi, fmin, fmax = (np.asarray(v)
+                              for v in float_clip_bounds(frames, 0.2, 99.8))
+        want_lo = np.percentile(frames.astype(np.float64), 0.2, axis=(1, 2))
+        want_hi = np.percentile(frames.astype(np.float64), 99.8, axis=(1, 2))
+        scale = max(float(np.abs(want_hi).max()), 1e-9)
+        assert np.abs(lo - want_lo).max() <= 1e-6 * scale, name
+        assert np.abs(hi - want_hi).max() <= 1e-6 * scale, name
+        for i, f in enumerate(frames):
+            clipped = np.clip(f.astype(np.float64), want_lo[i], want_hi[i])
+            assert abs(fmin[i] - clipped.min()) <= 1e-6 * scale, name
+            assert abs(fmax[i] - clipped.max()) <= 1e-6 * scale, name
+
+
+def test_f32_sortable_transform_roundtrip_and_order(rng):
+    """The IEEE-754 sortable transform is a bijection whose uint32 order
+    equals float order — the property the float bit search stands on."""
+    import numpy as np
+
+    from bio_image_unet_tpu.ops.histogram import _f32_sortable, _f32_unsortable
+
+    vals = np.array([-np.inf, -1e30, -1.5, -1e-40, -0.0, 0.0, 1e-40, 0.5,
+                     1.5, 1e30, np.inf], np.float32)
+    vals = np.concatenate([vals, (rng.standard_normal(100) * 1e3).astype(np.float32)])
+    u = np.asarray(_f32_sortable(vals))
+    back = np.asarray(_f32_unsortable(u))
+    # bijection (−0.0 and +0.0 map to distinct codes but equal floats)
+    np.testing.assert_array_equal(back, vals)
+    # order isomorphism: sorting the codes sorts the floats
+    order_f = np.sort(vals)
+    order_u = back[np.argsort(u, kind="stable")]
+    np.testing.assert_array_equal(np.sort(order_u), order_f)
+    assert np.all(np.diff(order_u.astype(np.float64)) >= 0)
