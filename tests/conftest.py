@@ -47,6 +47,7 @@ _QUICK = (
     "test_data_pipelines.py::test_dataprocess2d_end_to_end",
     "test_predict.py::test_grid_starts_matches_reference",
     "test_predict.py::test_stitch_mean_equals_nanmean",
+    "test_histogram.py::test_float_clip_bounds_matches_numpy",
     "test_model_parity.py::test_unet_parity",
     "test_pt_reader.py::test_read_pt_matches_torch_load",
     "test_sharded_inference.py::test_unet_whole_frame_halo_sharded",
