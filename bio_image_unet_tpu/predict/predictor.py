@@ -1410,14 +1410,14 @@ class PredictSiam:
     pays full round-trip latency on remote TPUs); stitching is fused
     on-device per chunk.  Memory stays bounded by the chunk.
 
-    ``quantized=True`` (w8a8 int8): because the movie streams, the int8
-    activation scales are calibrated on the FIRST chunk only — a movie
-    whose brightness distribution drifts far from its opening frames can
-    exceed the calibrated range and saturate beyond the documented
-    ~1-uint8-level bound.  For such movies prefer ``quantized=False`` (see
-    docs/CHANGELOG.md).  Float32 pages are fused only on explicit
-    ``device_pipeline=True`` (NaN pages cannot be pre-screened when
-    streaming; one raises mid-stream)."""
+    ``quantized=True`` (w8a8 int8): activation scales are calibrated on a
+    pre-pass that decodes ``_Engine._QUANT_CAL_FRAMES`` pairs evenly spaced
+    across the WHOLE movie (same sampling the in-memory paths use) before
+    streaming starts, so a brightness distribution that drifts away from
+    the opening frames still calibrates correctly; the decoded pages are
+    kept and reused when the stream reaches them.  Float32 pages are fused
+    only on explicit ``device_pipeline=True`` (NaN pages cannot be
+    pre-screened when streaming; one raises mid-stream)."""
 
     def __init__(self, tif_file, result_name, model_params, resize_dim=(512, 512),
                  invert=False, normalization_mode="single", clip_threshold=(0.0, 99.98),
@@ -1499,6 +1499,41 @@ class PredictSiam:
             if i in page_cache:
                 return page_cache.pop(i)
             return reader.read_page(i)
+
+        if use_fused and engine._quant is not None and not engine._quant_ready:
+            # movie-spanning int8 calibration pre-pass: the in-memory paths
+            # sample calibration frames evenly across the whole stack; a
+            # streaming movie used to calibrate on its FIRST chunk only and
+            # could saturate when brightness drifts in later (advisor
+            # finding, round 3).  Decode the sampled pairs once here and
+            # seed the page cache so the stream reuses the decodes.
+            cur_idx = np.unique(np.linspace(
+                0, n_frames - 1, engine._QUANT_CAL_FRAMES).round().astype(int))
+
+            def cal_page(i):
+                if i not in page_cache:
+                    page_cache[i] = np.asarray(reader.read_page(i))
+                return page_cache[i]
+
+            curs = np.stack([cal_page(int(i)) for i in cur_idx])
+            # pair i = (prev=frame i-1, cur=frame i); frame 0 pairs with
+            # frame 1 (reference siam_unet/predict.py frame-0 semantics)
+            prevs = np.stack([cal_page(int(i) - 1 if i > 0
+                                       else min(1, n_frames - 1))
+                              for i in cur_idx])
+            for planes in (curs, prevs):
+                if (np.issubdtype(planes.dtype, np.floating)
+                        and np.isnan(planes).any()):
+                    # fail before anything is written: NaN pages violate the
+                    # opt-in fused-float contract, and calibrating on them
+                    # would silently poison every chunk's int8 scales
+                    reader.close()
+                    raise ValueError(
+                        "NaN in a sampled calibration page: the opt-in "
+                        "fused float pipeline requires NaN-free data — "
+                        "rerun with device_pipeline=False")
+            engine._calibrate_int8(curs, xs, ys, self.resize_dim,
+                                   clip_threshold, invert, prev_u8=prevs)
 
         last_page = None
         pending = None  # (device chunk output, real frame count)

@@ -204,7 +204,8 @@ trainer.start()'''),
 `siam.Predict` STREAMS: TIFF pages are decoded incrementally, paired with
 their previous frame, predicted in fused on-device chunks and appended to
 the output TIFF — memory stays bounded for arbitrarily long movies.
-(`quantized=True` works here too; note it calibrates on the first chunk.)"""),
+(`quantized=True` works here too; calibration pairs are sampled evenly
+across the whole movie in a pre-pass.)"""),
     ("code", '''siam.Predict(
     f"{base}/movie.tif", f"{base}/result.tif",
     f"{base}/model/model.ckpt",

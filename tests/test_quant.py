@@ -151,6 +151,56 @@ def test_quantized_siam_close_to_bf16(rng, tmp_path, mode):
     assert (d > 1).mean() < 0.01, (d > 1).mean()
 
 
+def test_quantized_siam_streaming_calibration_spans_the_movie(
+        rng, tmp_path, monkeypatch):
+    """The streaming PredictSiam path must calibrate on pairs sampled evenly
+    across the WHOLE movie (round-4 pre-pass), not on its first chunk — a
+    movie whose bright content only appears in the closing frames would
+    otherwise calibrate tiny scales and saturate (advisor finding, round 3)."""
+    from bio_image_unet_tpu.data import tiff
+    from bio_image_unet_tpu.predict import PredictSiam
+    from bio_image_unet_tpu.predict.predictor import _Engine
+
+    ck = _siam_ckpt(tmp_path, "max")
+    yy, xx = np.mgrid[0:96, 0:96]
+    bright = np.clip(20 + 220 * np.exp(-((yy - 48) ** 2
+                                         + (xx - 48) ** 2) / 300.0),
+                     0, 255).astype(np.uint8)
+    dark = np.full((96, 96), 10, np.uint8)
+    # dark opening chunks, bright closing frames (frames_per_chunk=3 below:
+    # the old first-chunk calibration saw only frames 0-3)
+    movie = np.stack([dark] * 5 + [bright] * 2)
+    movie_path = str(tmp_path / "drift.tif")
+    tiff.imwrite(movie_path, movie)
+
+    seen = {}
+    orig = _Engine._calibrate_int8
+
+    def spy(self, imgs_u8, *args, **kwargs):
+        seen["curs"] = np.asarray(imgs_u8)
+        seen["prevs"] = np.asarray(kwargs["prev_u8"])
+        return orig(self, imgs_u8, *args, **kwargs)
+
+    monkeypatch.setattr(_Engine, "_calibrate_int8", spy)
+    kw = dict(resize_dim=(64, 64), show_progress=False, batch_size=8,
+              frames_per_chunk=3, device_pipeline=True)
+    out_q = str(tmp_path / "drift_q.tif")
+    PredictSiam(movie_path, out_q, ck, quantized=True, **kw)
+
+    # evenly-spaced sampling must reach the LAST (bright) frame, paired with
+    # its true predecessor — not stay inside the first chunk
+    assert any((f == movie[-1]).all() for f in seen["curs"])
+    assert (seen["prevs"][-1] == movie[-2]).all()
+    # and the streamed int8 output still tracks bf16 on the drifted content
+    out_ref = str(tmp_path / "drift_ref.tif")
+    PredictSiam(movie_path, out_ref, ck, **kw)
+    ref, q = tiff.imread(out_ref), tiff.imread(out_q)
+    assert q.shape == movie.shape
+    d = np.abs(ref.astype(int) - q.astype(int))
+    assert d.max() <= 4, d.max()
+    assert d.mean() < 0.5, d.mean()
+
+
 def test_quantized_siam_corr_falls_back_with_warning(rng, tmp_path):
     from bio_image_unet_tpu.data import tiff
     from bio_image_unet_tpu.predict import PredictSiam
