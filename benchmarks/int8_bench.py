@@ -1,6 +1,11 @@
 #!/usr/bin/env python
 """Same-session bf16-vs-int8 A/B of the fused predict pipelines for every
-family with an int8 formulation (predict/quant.py): 2D, Siam, multi-head.
+family with an int8 formulation: the shipped 2D trunk paths (predict/
+quant.py: 2D, Siam, multi-head) AND the measurement-gated families
+(quant_nested.py UNet++, quant3d.py 3D) — the nested/unet3d legs ARE the
+ship/no-ship decision measurements for quant._MEASURED_INT8 (~1.15x rule,
+VERDICT r3 ask #2): set BIU_INT8_EXPERIMENTAL in-process so their engines
+build the int8 path regardless of the gate.
 
 Writes benchmarks/INT8_r04.json and prints one JSON line per family.  Each
 leg times the SAME fused program path with `quantized=` toggled, device-
@@ -147,10 +152,82 @@ def bench_multi_output():
     return run(False), run(True)
 
 
+def bench_nested():
+    """UNet++ decision leg (quant_nested.py): 4-level grid at reference
+    scale through the fused multi-head pipeline."""
+    os.environ["BIU_INT8_EXPERIMENTAL"] = "1"
+    from bio_image_unet_tpu.models import MultiOutputNestedUNet
+
+    heads = {"mask": {"channels": 1, "activation": "sigmoid"}}
+    with _cpu_init_context():
+        v = MultiOutputNestedUNet(n_filter=NF, output_heads=heads).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 1)))
+    ck = "/tmp/int8_bench_nested.ckpt"
+    checkpoint.save(ck, v, {"model_name": "MultiOutputNestedUNet",
+                            "n_filter": NF, "output_heads": heads})
+    # the dense grid keeps full-res activations for every column: smaller
+    # patches than the plain multi-head leg, same total pixels per dispatch
+    frames, h, w, ph = 8, 1024, 1024, 512
+    imgs = np.random.default_rng(0).integers(0, 255, (frames, h, w),
+                                             dtype=np.uint8)
+    xs, ys = grid_starts(h, ph, 0), grid_starts(w, ph, 0)
+    factors = _margin_factors((len(xs), len(ys)), (ph, ph), 20)
+
+    def run(quantized):
+        eng = _Engine(ck, None, batch_size=4, half_precision=True,
+                      quantized=quantized)
+        out = eng.fused_predict_heads(imgs, xs, ys, (ph, ph), (0.0, 99.98),
+                                      factors)
+        _sync(out["mask"])
+
+        def one():
+            return eng.fused_predict_heads(imgs, xs, ys, (ph, ph),
+                                           (0.0, 99.98), factors)["mask"]
+
+        return frames * h * w / 1e6 / _best(one)
+
+    return run(False), run(True)
+
+
+def bench_unet3d():
+    """3D decision leg (quant3d.py): UNet3D tconv decoder at the FAMILY
+    config-5 geometry through the fused volume pipeline."""
+    os.environ["BIU_INT8_EXPERIMENTAL"] = "1"
+    from bio_image_unet_tpu.models import UNet3D
+
+    with _cpu_init_context():
+        v = UNet3D(n_filter=NF).init(jax.random.PRNGKey(0),
+                                     jnp.zeros((1, 32, 128, 128, 1)))
+    ck = "/tmp/int8_bench_3d.ckpt"
+    checkpoint.save(ck, v, {"model_name": "UNet3D", "n_filter": NF})
+    d, h, w = 64, 512, 512
+    vol = np.random.default_rng(0).integers(0, 255, (d, h, w),
+                                            dtype=np.uint8)
+    zs = grid_starts(d, 32, 0)
+    xs, ys = grid_starts(h, 128, 0), grid_starts(w, 128, 0)
+
+    def run(quantized):
+        eng = _Engine(ck, None, batch_size=4, half_precision=True,
+                      quantized=quantized)
+        out = eng.fused_predict_volume(vol, zs, xs, ys, (32, 128, 128),
+                                       (0.0, 99.8), False)
+        _sync(out)
+
+        def one():
+            return eng.fused_predict_volume(vol, zs, xs, ys, (32, 128, 128),
+                                            (0.0, 99.8), False)
+
+        return d * h * w / 1e6 / _best(one)
+
+    return run(False), run(True)
+
+
 def main():
     results = {}
-    for name, fn in [("2d_unet", bench_2d), ("siam", bench_siam),
-                     ("multi_output", bench_multi_output)]:
+    legs = [("2d_unet", bench_2d), ("siam", bench_siam),
+            ("multi_output", bench_multi_output),
+            ("nested_unetpp", bench_nested), ("unet3d", bench_unet3d)]
+    for name, fn in legs:
         bf16, int8 = fn()
         results[name] = {"bf16_mpix_per_s": round(bf16, 1),
                          "int8_mpix_per_s": round(int8, 1),
@@ -158,8 +235,10 @@ def main():
         print(json.dumps({"family": name, **results[name]}), flush=True)
     with open(OUT, "w") as fh:
         json.dump({"config": f"nf{NF} bf16-vs-int8 fused pipelines, "
-                             "device-resident, best-of-3", **results}, fh,
-                  indent=1)
+                             "device-resident, best-of-3; nested_unetpp/"
+                             "unet3d are the _MEASURED_INT8 decision legs "
+                             "(ship >= ~1.15x); unet3d values are Mvox/s",
+                   **results}, fh, indent=1)
     print("wrote", OUT)
 
 

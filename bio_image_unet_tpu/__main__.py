@@ -103,9 +103,10 @@ def _add_predict(sub):
                    help="force the fused single-dispatch path on or off "
                         "(default: auto — on for uint8/uint16 inputs)")
     p.add_argument("--quantized", action="store_true",
-                   help="w8a8 int8 inference (unet/siam_unet/"
-                        "multi_output_unet; ~1.2-1.3x bf16 on TPU, outputs "
-                        "within ~1% of bf16)")
+                   help="w8a8 int8 inference (~1.2-1.3x bf16 on TPU, outputs "
+                        "within ~1% of bf16; measured-win families run it "
+                        "directly, implemented-but-unmeasured families need "
+                        "BIU_INT8_EXPERIMENTAL=1 and warn otherwise)")
 
 
 def _resolve_heads(args):
@@ -229,9 +230,8 @@ def main(argv=None):
         if args.device_pipeline is not None:
             kwargs["device_pipeline"] = args.device_pipeline
         if args.quantized:
-            if args.family not in ("unet", "siam_unet", "multi_output_unet"):
-                parser.error("--quantized is supported for the unet, "
-                             "siam_unet, and multi_output_unet families only")
+            # every family's Predict accepts the kwarg; unsupported
+            # architectures / unmeasured families warn and run bf16
             kwargs["quantized"] = True
         if args.family.startswith("multi_output"):
             pkg.Predict(args.input, args.checkpoint, result_path=args.output,

@@ -365,23 +365,28 @@ class _Engine:
         self._quant = None
         self._quant_ready = False
         if quantized:
-            from .quant import build_calibrator, build_int8_apply, supports_int8
+            from .quant import int8_builders, int8_status
 
-            if fast is not None and supports_int8(self.model):
-                mode = self.model.mode
-                heads = getattr(self.model, "heads", None)
-                self._quant = (build_calibrator(raw_variables, mode),
-                               *build_int8_apply(raw_variables, mode,
-                                                 heads=heads))
+            status = int8_status(self.model) if fast is not None else None
+            if status == "enabled":
+                self._quant = int8_builders(self.model, raw_variables)
             else:
                 import warnings
 
-                warnings.warn(
-                    "quantized=True is only supported for the plain-trunk "
-                    "2D fast paths — Unet, Siam_UNet (max/control/concat "
-                    "joins), MultiOutputUnet; not attention/UNet++/"
-                    "dilation/'corr'/3D; running the bf16 path instead",
-                    stacklevel=3)
+                if status == "experimental":
+                    warnings.warn(
+                        "quantized=True for this family has a full int8 "
+                        "implementation but is still awaiting its on-chip "
+                        ">=1.15x end-to-end measurement (benchmarks/"
+                        "int8_bench.py); set BIU_INT8_EXPERIMENTAL=1 to opt "
+                        "in — running the bf16 path instead", stacklevel=3)
+                else:
+                    warnings.warn(
+                        "quantized=True is only supported for the plain-trunk "
+                        "2D fast paths (Unet, Siam_UNet max/control/concat "
+                        "joins, MultiOutputUnet), UNet++ and the 3D trunks — "
+                        "not attention/dilated-2D/'corr'; running the bf16 "
+                        "path instead", stacklevel=3)
         # volatile training-progress fields must NOT enter the program cache
         # key: scheduler_state changes nearly every epoch, and a per-epoch
         # cache miss means minutes of recompilation per test prediction on a
@@ -497,6 +502,48 @@ class _Engine:
         x = sample_tiles(imgs_u8)
         args = (x,) if prev_u8 is None else (x, sample_tiles(prev_u8))
         maxes = np.asarray(cal_fn(*args)) * self._QUANT_CAL_MARGIN
+        variables = make_vars(maxes)
+        if self.mesh is not None:
+            from ..parallel import replicated
+
+            variables = jax.device_put(variables, replicated(self.mesh))
+        self.variables = variables
+        self._apply_fn = quant_apply
+        self._quant_ready = True
+
+    # int8 calibration sub-volumes for the 3D family: 3D tiles are ~100×
+    # the pixel count of 2D tiles, so far fewer suffice for per-tensor maxes
+    _QUANT_CAL_TILES_3D = 8
+
+    def _calibrate_int8_3d(self, vols, zs, xs, ys, tile, clip_threshold,
+                           invert=False):
+        """3D analog of :meth:`_calibrate_int8`: sub-volumes sampled across
+        the tiling grid of (up to two) volumes spanning the stack, normalized
+        the way the fused 3D programs do (per-volume bounds — 'single'/
+        'first'/'all' coincide on one-volume stacks, fused_predict_volume /
+        fused_predict_heads_3d), one instrumented bf16 dispatch
+        (predict/quant3d.py), then the int8 apply + packed weights swap in."""
+        cal_fn, quant_apply, make_vars = self._quant
+        tz, tx, ty = tile
+        vols = np.asarray(vols)
+        if vols.ndim == 3:
+            vols = vols[None]
+        vidx = np.unique(np.linspace(0, len(vols) - 1, 2).round().astype(int))
+        norm = _normalize_stack(
+            vols[vidx].reshape(len(vidx), -1), "single", clip_threshold,
+            invert).reshape((len(vidx),) + vols.shape[1:]) / 255.0
+        pads = [(0, max(0, t - s)) for t, s in zip(tile, norm.shape[1:])]
+        if any(p[1] for p in pads):
+            norm = np.pad(norm, [(0, 0)] + pads, mode="reflect")
+        tiles = [norm[v, z: z + tz, x: x + tx, y: y + ty]
+                 for v in range(len(vidx)) for z in zs for x in xs for y in ys]
+        # stride across the whole grid (not the leading corner) so bright
+        # content anywhere in the volume reaches the calibration sample
+        step = -(-len(tiles) // self._QUANT_CAL_TILES_3D)
+        batch = jnp.asarray(
+            np.stack(tiles[::step][: self._QUANT_CAL_TILES_3D])[..., None],
+            jnp.float32)
+        maxes = np.asarray(cal_fn(batch)) * self._QUANT_CAL_MARGIN
         variables = make_vars(maxes)
         if self.mesh is not None:
             from ..parallel import replicated
@@ -1016,6 +1063,9 @@ class _Engine:
         (out_d, out_h, out_w, 1) uint8 volume on device."""
         from ..ops.stitch import _stitch_xla_3d
 
+        if self._quant is not None and not self._quant_ready:
+            self._calibrate_int8_3d(vol_raw, zs, xs, ys, resize_dim,
+                                    clip_threshold, invert)
         d, h, w = vol_raw.shape
         tz, tx, ty = resize_dim
         out_d, out_h, out_w = max(tz, d), max(tx, h), max(ty, w)
@@ -1092,6 +1142,9 @@ class _Engine:
         dense blend-weight stack, hundreds of MB for big 3D grids, is never
         built).  Returns {head: (V, D, H, W, c) float16 device array} (the
         reference's result-patch dtype; callers cast to float32)."""
+        if self._quant is not None and not self._quant_ready:
+            self._calibrate_int8_3d(vols_raw, zs, xs, ys, tile,
+                                    clip_threshold)
         n_vol, d, h, w = vols_raw.shape
         tz, tx, ty = tile
         zs = tuple(int(v) for v in zs)
@@ -1677,6 +1730,7 @@ class Predict3D:
                  add_patch=0, normalize_result=False, show_progress=True,
                  batch_size: int = 4, half_precision=False, mesh=None, device=None,
                  device_pipeline: Optional[bool] = None,
+                 quantized: bool = False,
                  progress_notifier: ProgressNotifier = None):
         del device
         if isinstance(vol, (str, os.PathLike)):
@@ -1685,7 +1739,8 @@ class Predict3D:
         self.vol_shape = vol.shape
         self.resize_dim = tuple(resize_dim)
 
-        engine = _Engine(model_params, network, batch_size, half_precision, mesh=mesh)
+        engine = _Engine(model_params, network, batch_size, half_precision,
+                         mesh=mesh, quantized=quantized)
 
         zs = grid_starts(self.vol_shape[0], self.resize_dim[0], 0)
         xs = grid_starts(self.vol_shape[1], self.resize_dim[1], add_patch)
@@ -1711,6 +1766,15 @@ class Predict3D:
             fused_blocker = ("tile more than 2× the volume extent (XLA "
                              "reflect pad cannot exceed the axis size)")
         use_fused = _resolve_device_pipeline(device_pipeline, fused_blocker)
+
+        if quantized and engine._quant is not None and not use_fused:
+            import warnings
+
+            reason = fused_blocker or "device_pipeline=False was forced"
+            warnings.warn(
+                "quantized=True runs only inside the fused device pipeline; "
+                f"this request took the host-staged path ({reason}) "
+                "and runs bf16/f32", stacklevel=2)
 
         if show_progress:
             print("Predicting data ...")
@@ -1917,6 +1981,7 @@ class PredictMultiOutput3D:
                  add_tile=0, compress_tif=False, show_progress=True,
                  half_precision=False, blend_margin: int = 16, mesh=None, device=None,
                  device_pipeline: Optional[bool] = None,
+                 quantized: bool = False,
                  progress_notifier: ProgressNotifier = None):
         del device
         if isinstance(imgs, (str, os.PathLike)):
@@ -1926,7 +1991,8 @@ class PredictMultiOutput3D:
             imgs = imgs[None]  # (n_volumes, Z, X, Y)
         self.imgs_shape = imgs.shape
 
-        engine = _Engine(model_params, network, batch_size, half_precision, mesh=mesh)
+        engine = _Engine(model_params, network, batch_size, half_precision,
+                         mesh=mesh, quantized=quantized)
         heads = engine.hyperparams["output_heads"]
         self.target_keys = list(heads)
 
@@ -1956,6 +2022,15 @@ class PredictMultiOutput3D:
             fused_blocker = (f"{n_vox} patch voxels exceed the "
                              "single-program budget")
         use_fused = _resolve_device_pipeline(device_pipeline, fused_blocker)
+
+        if quantized and engine._quant is not None and not use_fused:
+            import warnings
+
+            reason = fused_blocker or "device_pipeline=False was forced"
+            warnings.warn(
+                "quantized=True runs only inside the fused device pipeline; "
+                f"this request took the host-staged path ({reason}) "
+                "and runs bf16/f32", stacklevel=2)
 
         if show_progress:
             print("Predicting data ...")

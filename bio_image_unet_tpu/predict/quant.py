@@ -33,9 +33,17 @@ The apply function conforms to the fastpath contract
 ``apply_fn(variables, x_norm) -> (sigmoid, logits)`` so the fused predict
 pipeline (predictor.py) uses it unchanged; ``variables`` is the pytree
 ``(int8_packed, f32_packed, act_maxes)``.
+
+This module owns the plain 2D trunk's int8 graph plus the family dispatch
+(``int8_status`` / ``int8_builders``): UNet++ lives in quant_nested.py and
+the 3-level volumetric trunks in quant3d.py, both measurement-gated via
+``_MEASURED_INT8`` below.  Attention gates, 2D dilation and the 'corr' join
+have no int8 formulation and always fall back to bf16 with a warning.
 """
 
 from __future__ import annotations
+
+import os
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +53,14 @@ from jax import lax
 from .fastpath import _conv, _conv1x1, fold_unet2d
 
 _DN = ("NHWC", "HWIO", "NHWC")
+
+# Families whose int8 end-to-end pipeline MEASURED >= ~1.15x over bf16 on the
+# target chip (the ship rule, benchmarks/NOTES.md): these quantize whenever
+# the user passes quantized=True.  Architecturally-supported families still
+# awaiting their on-chip A/B (benchmarks/int8_bench.py legs) run int8 only
+# under BIU_INT8_EXPERIMENTAL=1 and otherwise warn + fall back to bf16 — the
+# exclusion list stays 100% measurement-backed.
+_MEASURED_INT8 = frozenset({"unet2d"})
 
 def _sites(mode):
     """Activation-scale sites in calibration-vector order.  Siamese 'concat'
@@ -69,22 +85,77 @@ _SKIPS = ("e8", "e6", "e4", "e2")
 _INT8_MODES = (None, "max", "control", "concat")
 
 
-def supports_int8(model) -> bool:
-    """int8 inference covers the non-attention undilated 2D U-Nets built on
-    the plain trunk: Unet, Siam_UNet (max/control/concat joins), and
-    MultiOutputUnet (trunk in int8, per-head 1×1 convs + activations in
-    float).  UNet++ (dense skip lattice), attention gates, dilation, and
-    'corr' fall back to the bf16 fast path with a warning."""
-    from ..models.unet2d import UNet2DBase
+def _int8_family(model):
+    """Architecture-level int8 support: the family key, or None.
 
-    # UNet++ (MultiOutputNestedUNet) is not a UNet2DBase subclass, so the
-    # isinstance check below already excludes the dense-skip lattice
-    return (
-        isinstance(model, UNet2DBase)
-        and model.mode in _INT8_MODES
-        and not model.attention
-        and model.dilation in (False, None, True, 1)
-    )
+    - ``'unet2d'`` — the plain 2D trunk (Unet, Siam_UNet max/control/concat,
+      MultiOutputUnet): trunk in int8, per-head 1×1 convs + activations in
+      float.  Attention gates, dilation, and 'corr' (dynamic-kernel conv)
+      have no int8 formulation and fall back.
+    - ``'nested'`` — UNet++ (MultiOutputNestedUNet, both depths): the dense
+      VGG grid in int8, shared-scale concats, bilinear upsampling on
+      dequantized values (predict/quant_nested.py).
+    - ``'unet3d'`` — the 3-level volumetric trunks (UNet3D both decoder
+      styles, MultiOutputUnet3D): predict/quant3d.py.
+    """
+    from ..models.nested_unet import MultiOutputNestedUNet
+    from ..models.unet2d import UNet2DBase
+    from ..models.unet3d import MultiOutputUnet3D, UNet3D
+
+    if isinstance(model, UNet2DBase):
+        if (model.mode in _INT8_MODES and not model.attention
+                and model.dilation in (False, None, True, 1)):
+            return "unet2d"
+        return None
+    if isinstance(model, MultiOutputNestedUNet):
+        return "nested"
+    if isinstance(model, (UNet3D, MultiOutputUnet3D)):
+        return "unet3d"
+    return None
+
+
+def int8_status(model):
+    """``'enabled'`` (quantizes on ``quantized=True``), ``'experimental'``
+    (int8 graph implemented, awaiting its on-chip >=1.15x measurement —
+    enable with ``BIU_INT8_EXPERIMENTAL=1``), or ``None`` (no int8
+    formulation)."""
+    family = _int8_family(model)
+    if family is None:
+        return None
+    if family in _MEASURED_INT8 or os.environ.get("BIU_INT8_EXPERIMENTAL"):
+        return "enabled"
+    return "experimental"
+
+
+def supports_int8(model) -> bool:
+    """True when ``quantized=True`` will actually run int8 for this model
+    (architecture supported AND the family's on-chip win is measured, or
+    BIU_INT8_EXPERIMENTAL opts into an implemented-but-unmeasured family)."""
+    return int8_status(model) == "enabled"
+
+
+def int8_builders(model, variables):
+    """The engine's quantization triple for a supported model:
+    ``(cal_fn, apply_fn, make_variables)`` — the instrumented calibration
+    forward, the int8 apply with the fastpath output contract, and the
+    weight-baking closure (predictor._Engine._calibrate_int8)."""
+    family = _int8_family(model)
+    if family == "unet2d":
+        mode = model.mode
+        return (build_calibrator(variables, mode),
+                *build_int8_apply(variables, mode,
+                                  heads=getattr(model, "heads", None)))
+    if family == "nested":
+        from .quant_nested import build_calibrator_nested, build_int8_apply_nested
+
+        return (build_calibrator_nested(model, variables),
+                *build_int8_apply_nested(model, variables))
+    if family == "unet3d":
+        from .quant3d import build_calibrator_3d, build_int8_apply_3d
+
+        return (build_calibrator_3d(model, variables),
+                *build_int8_apply_3d(model, variables))
+    raise ValueError(f"no int8 formulation for {type(model).__name__}")
 
 
 def _pack(arrs, dtype):
@@ -92,6 +163,61 @@ def _pack(arrs, dtype):
     from .fastpath import pack_tree
 
     return pack_tree(list(arrs), dtype)
+
+
+def _requant(a, s_out):
+    """f32 activations → symmetric int8 at scale ``s_out``."""
+    return jnp.clip(jnp.round(a / s_out), -127, 127).astype(jnp.int8)
+
+
+class _WeightPack:
+    """Quantize + pack an int8 graph's weights into two device buffers
+    (int8 kernels; f32 scales/biases/float-layer weights) with named-slot
+    lookups — shared by the 2D (this module), UNet++ (quant_nested.py) and
+    3D (quant3d.py) builders.  Host-side numpy; runs once per Predict."""
+
+    def __init__(self):
+        self._i8, self._f32 = [], []
+        self._i8_slot, self._f32_slot = {}, {}
+
+    def put_f32(self, name, a):
+        self._f32_slot[name] = len(self._f32)
+        self._f32.append(np.asarray(a, np.float32))
+
+    def float_layer(self, name, p):
+        """A layer kept in float (first conv / output heads)."""
+        self.put_f32(f"{name}.kernel", p["kernel"])
+        self.put_f32(f"{name}.bias", p["bias"])
+
+    def quant_conv(self, name, p, per_channel=True):
+        """Symmetric int8 kernel + f32 scale/bias.  ``per_channel`` scales
+        per output channel (last kernel axis — HWIO/DHWIO convs);
+        transposed-conv kernels ((…, O, I) under ``transpose_kernel=True``)
+        use per-tensor."""
+        k = np.asarray(p["kernel"], np.float32)
+        if per_channel:
+            sw = np.maximum(np.abs(k).max(axis=tuple(range(k.ndim - 1))),
+                            1e-12) / 127.0
+        else:
+            sw = np.float32(max(float(np.abs(k).max()), 1e-12) / 127.0)
+        self._i8_slot[name] = len(self._i8)
+        self._i8.append(np.clip(np.round(k / sw), -127, 127).astype(np.int8))
+        self.put_f32(f"{name}.sw", sw)
+        self.put_f32(f"{name}.bias", p["bias"])
+
+    def finish(self):
+        """→ (i8_buf, f32_buf, lookups(vars_tuple) -> (w8, f32) getters)."""
+        i8_buf, unpack_i8 = _pack(self._i8, jnp.int8)
+        f32_buf, unpack_f32 = _pack(self._f32, jnp.float32)
+        i8_slot, f32_slot = dict(self._i8_slot), dict(self._f32_slot)
+
+        def lookups(vars_tuple):
+            i8_leaves = unpack_i8(vars_tuple[0])
+            f32_leaves = unpack_f32(vars_tuple[1])
+            return (lambda name: i8_leaves[i8_slot[name]],
+                    lambda name: f32_leaves[f32_slot[name]])
+
+        return i8_buf, f32_buf, lookups
 
 
 def _maxpool_i8(x):
@@ -186,65 +312,34 @@ def build_int8_apply(variables, mode=None, heads=None):
     sites = _sites(mode)
     site_idx = {name: i for i, name in enumerate(sites)}
 
-    i8_arrs, f32_arrs = [], []
-    i8_slot, f32_slot = {}, {}
-
-    def put_i8(name, a):
-        i8_slot[name] = len(i8_arrs)
-        i8_arrs.append(a)
-
-    def put_f32(name, a):
-        f32_slot[name] = len(f32_arrs)
-        f32_arrs.append(np.asarray(a, np.float32))
-
+    pack = _WeightPack()
     # encode1 + the output 1×1 conv(s) stay float (packed whole)
     head_layers = (["final"] if heads is None
                    else [f"output_layers_{n}" for n in heads])
     for lyr in ["encode1"] + head_layers:
-        put_f32(f"{lyr}.kernel", folded[lyr]["kernel"])
-        put_f32(f"{lyr}.bias", folded[lyr]["bias"])
-
+        pack.float_layer(lyr, folded[lyr])
     conv_names = ([f"encode{i}" for i in range(2, 9)]
                   + (["conv_concat"] if mode == "concat" else [])
                   + ["middle_conv1", "middle_conv2"]
                   + [f"decode{i}" for i in range(1, 9)])
     for name in conv_names:
-        k = np.asarray(folded[name]["kernel"], np.float32)
-        sw = np.maximum(np.abs(k).max(axis=(0, 1, 2)), 1e-12) / 127.0
-        put_i8(name, np.clip(np.round(k / sw), -127, 127).astype(np.int8))
-        put_f32(f"{name}.sw", sw)
-        put_f32(f"{name}.bias", folded[name]["bias"])
+        pack.quant_conv(name, folded[name])
     for i in range(1, 5):
-        name = f"up{i}"
-        k = np.asarray(folded[name]["kernel"], np.float32)
-        sw = max(float(np.abs(k).max()), 1e-12) / 127.0  # per-tensor
-        put_i8(name, np.clip(np.round(k / sw), -127, 127).astype(np.int8))
-        put_f32(f"{name}.sw", np.float32(sw))
-        put_f32(f"{name}.bias", folded[name]["bias"])
-
-    i8_buf, unpack_i8 = _pack(i8_arrs, jnp.int8)
-    f32_buf, unpack_f32 = _pack(f32_arrs, jnp.float32)
+        pack.quant_conv(f"up{i}", folded[f"up{i}"], per_channel=False)
+    i8_buf, f32_buf, lookups = pack.finish()
 
     def make_variables(act_maxes) -> tuple:
         scales = np.maximum(np.asarray(act_maxes, np.float32), 1e-8) / 127.0
         return (i8_buf, f32_buf, jnp.asarray(scales))
 
     def apply_fn(vars_tuple, x, prev=None):
-        i8_leaves = unpack_i8(vars_tuple[0])
-        f32_leaves = unpack_f32(vars_tuple[1])
+        w8, f32 = lookups(vars_tuple)
         s = vars_tuple[2]
-
-        def w8(name):
-            return i8_leaves[i8_slot[name]]
-
-        def f32(name):
-            return f32_leaves[f32_slot[name]]
 
         def sa(site):
             return s[site_idx[site]]
 
-        def requant(a, s_out):
-            return jnp.clip(jnp.round(a / s_out), -127, 127).astype(jnp.int8)
+        requant = _requant
 
         def qconv(x_q, s_in, name, s_out):
             y = lax.conv_general_dilated(

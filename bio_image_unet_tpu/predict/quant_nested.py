@@ -1,0 +1,201 @@
+"""w8a8 int8 inference forward for UNet++ (models/nested_unet.py — the
+reference's MultiOutputNestedUNet / _3Levels, multi_output_nested_unet.py:
+58-240).
+
+Scheme: identical policy to the plain-trunk 2D path (predict/quant.py) —
+per-output-channel symmetric int8 kernels, per-tensor activation scales
+calibrated from the movie being predicted and passed as TRACED arguments,
+first conv (grid block (0,0) stage 1) and the 1×1 output heads kept in
+float.  The parts specific to the dense skip grid:
+
+- **Concats**: block x_{k,j} consumes j same-level predecessors plus one
+  upsampled deeper tensor, each carrying its own calibrated scale.  All
+  inputs are requantized to the shared concat scale max(s_1..s_{j+1})
+  before concatenation (exact int8→int8 rescale, same as the 2D decoder's
+  skip handling).
+- **Bilinear upsampling** (align_corners=True, reference :73): linear
+  interpolation has no useful int8 formulation — the deeper tensor is
+  dequantized to f32, upsampled, and requantized at the concat scale.
+  Convex combinations cannot exceed the input's range, so the calibrated
+  deeper-site scale still bounds the upsampled values.
+- **Backbone dilation** (per-level ``dilations``): carried through the int8
+  convs via ``rhs_dilation`` with the fastpath's explicit padding geometry.
+
+Measurement gate: the family runs under ``quantized=True`` only once its
+end-to-end on-chip A/B clears the ~1.15× ship rule (quant._MEASURED_INT8;
+until then BIU_INT8_EXPERIMENTAL=1 opts in — see benchmarks/int8_bench.py
+and the round-3 cell-level probe benchmarks/probe_nested_int8.py, whose
+narrow-conv int8 gain motivated implementing the full path).
+
+Accuracy is platform-independent (integer math) and CPU-tested:
+tests/test_quant_families.py bounds int8-vs-bf16 head outputs.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..ops.functional import upsample_linear
+from .fastpath import _conv, _conv1x1, fold_unet2d
+from .quant import _DN, _maxpool_f, _maxpool_i8, _requant, _WeightPack
+
+
+def _grid_order(L):
+    """Grid blocks (i, j) in forward order (models/nested_unet.py:87-98)."""
+    order = [(0, 0)]
+    for i in range(1, L + 1):
+        order.append((i, 0))
+        for k in range(i - 1, -1, -1):
+            order.append((k, i - k))
+    return order
+
+
+def _sites_nested(L):
+    """Activation-scale sites in calibration-vector order: two per VGG block
+    (stage-1 and stage-2 conv outputs)."""
+    sites = []
+    for i, j in _grid_order(L):
+        sites += [f"g{i}_{j}a", f"g{i}_{j}b"]
+    return sites
+
+
+def build_calibrator_nested(model, variables):
+    """One-dispatch instrumented bf16 forward mirroring
+    fastpath._build_fast_nested: ``cal_fn(x_norm) -> (n_sites,) f32`` of
+    per-site max |activation| over the sample batch."""
+    folded = jax.tree_util.tree_map(np.asarray, fold_unet2d(variables))
+    L = model.levels
+    dil = model.dilations
+    sites = _sites_nested(L)
+
+    @jax.jit
+    def cal_fn(x):
+        x = x.astype(jnp.bfloat16)
+        maxes = {}
+
+        def rec(name, a):
+            m = jnp.max(jnp.abs(a)).astype(jnp.float32)
+            maxes[name] = jnp.maximum(maxes[name], m) if name in maxes else m
+            return a
+
+        f = {k: jax.tree_util.tree_map(jnp.asarray, v)
+             for k, v in folded.items()}
+
+        def vgg(x, ij, d=1):
+            blk = f[f"grid_conv{ij}"]
+            a = rec(f"g{ij}a", _conv(x, blk["stage1"], d))
+            return rec(f"g{ij}b", _conv(a, blk["stage2"], d))
+
+        col = {0: {0: vgg(x, "0_0", dil[0])}}
+        for i in range(1, L + 1):
+            col.setdefault(i, {})
+            col[i][0] = vgg(_maxpool_f(col[i - 1][0]), f"{i}_0", dil[i])
+            for k in range(i - 1, -1, -1):
+                j = i - k
+                inputs = [col[k][jj] for jj in range(j)] + [
+                    upsample_linear(col[k + 1][j - 1], 2, align_corners=True)]
+                col[k][j] = vgg(jnp.concatenate(inputs, axis=-1), f"{k}_{j}")
+        return jnp.stack([maxes[s] for s in sites])
+
+    return cal_fn
+
+
+def build_int8_apply_nested(model, variables):
+    """Return ``(apply_fn, make_variables)`` with the fastpath nested output
+    contract: ``apply_fn(vars_tuple, x_norm) -> {head: activated}`` (eval
+    mode emits only the deepest level under deep supervision, reference
+    multi_output_nested_unet.py:136-154)."""
+    folded = jax.tree_util.tree_map(np.asarray, fold_unet2d(variables))
+    L = model.levels
+    dil = model.dilations
+    heads = model.heads
+    deep = model.deep_supervision
+    sites = _sites_nested(L)
+    site_idx = {name: i for i, name in enumerate(sites)}
+    order = _grid_order(L)
+
+    pack = _WeightPack()
+    for i, j in order:
+        blk = folded[f"grid_conv{i}_{j}"]
+        if (i, j) == (0, 0):
+            # stage 1 of the input block stays float (same policy as the 2D
+            # path's encode1: <1% of FLOPs, avoids re-quantizing the input)
+            pack.float_layer("g0_0s1", blk["stage1"])
+        else:
+            pack.quant_conv(f"g{i}_{j}s1", blk["stage1"])
+        pack.quant_conv(f"g{i}_{j}s2", blk["stage2"])
+    head_layers = {name: (f"output_layers_{name}_{L}" if deep
+                          else f"output_layers_{name}")
+                   for name in heads}
+    for name, layer in head_layers.items():
+        pack.float_layer(layer, folded[layer])
+    i8_buf, f32_buf, lookups = pack.finish()
+
+    def make_variables(act_maxes) -> tuple:
+        scales = np.maximum(np.asarray(act_maxes, np.float32), 1e-8) / 127.0
+        return (i8_buf, f32_buf, jnp.asarray(scales))
+
+    def apply_fn(vars_tuple, x):
+        from ..models.unet2d import apply_activation
+
+        w8, f32 = lookups(vars_tuple)
+        s = vars_tuple[2]
+
+        def sa(site):
+            return s[site_idx[site]]
+
+        def qconv(x_q, s_in, name, s_out, d=1):
+            y = lax.conv_general_dilated(
+                x_q, w8(name), (1, 1), [(d, d)] * 2, rhs_dilation=(d, d),
+                dimension_numbers=_DN, preferred_element_type=jnp.int32)
+            a = y.astype(jnp.float32) * (s_in * f32(f"{name}.sw")) \
+                + f32(f"{name}.bias")
+            return _requant(jax.nn.leaky_relu(a, 0.1), s_out)
+
+        def qvgg(x_q, s_in, i, j, d=1):
+            a = qconv(x_q, s_in, f"g{i}_{j}s1", sa(f"g{i}_{j}a"), d)
+            return qconv(a, sa(f"g{i}_{j}a"), f"g{i}_{j}s2",
+                         sa(f"g{i}_{j}b"), d)
+
+        # col[k][j] = (int8 tensor, its site scale)
+        a = _conv(x.astype(jnp.bfloat16),
+                  {"kernel": f32("g0_0s1.kernel"),
+                   "bias": f32("g0_0s1.bias")}, dil[0])
+        q = _requant(a.astype(jnp.float32), sa("g0_0a"))
+        q = qconv(q, sa("g0_0a"), "g0_0s2", sa("g0_0b"), dil[0])
+        col = {0: {0: (q, sa("g0_0b"))}}
+        for i in range(1, L + 1):
+            col.setdefault(i, {})
+            prev_q, _ = col[i - 1][0]
+            col[i][0] = (qvgg(_maxpool_i8(prev_q), col[i - 1][0][1],
+                              i, 0, dil[i]), sa(f"g{i}_0b"))
+            for k in range(i - 1, -1, -1):
+                j = i - k
+                ins = [col[k][jj] for jj in range(j)]
+                up_q, up_s = col[k + 1][j - 1]
+                s_cat = up_s
+                for _, sc in ins:
+                    s_cat = jnp.maximum(s_cat, sc)
+                parts = [_requant(t.astype(jnp.float32) * sc, s_cat)
+                         for t, sc in ins]
+                upf = upsample_linear(up_q.astype(jnp.float32) * up_s, 2,
+                                      align_corners=True)
+                parts.append(_requant(upf, s_cat))
+                col[k][j] = (qvgg(jnp.concatenate(parts, axis=-1), s_cat,
+                                  k, j), sa(f"g{k}_{j}b"))
+
+        qL, sL = col[0][L]
+        hd = (qL.astype(jnp.float32) * sL).astype(jnp.bfloat16)
+        return {
+            name: apply_activation(
+                _conv1x1(hd, {"kernel": f32(f"{head_layers[name]}.kernel"),
+                              "bias": f32(f"{head_layers[name]}.bias")}
+                         ).astype(jnp.float32),
+                cfg.get("activation"))
+            for name, cfg in heads.items()
+        }
+
+    return apply_fn, make_variables
