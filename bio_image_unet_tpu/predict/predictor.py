@@ -439,8 +439,8 @@ class _Engine:
                                   quantize, variables)
 
     # int8 calibration: tiles sampled from this many frames, evenly spaced
-    # across the available stack (the movie, or the first chunk for the
-    # streaming siam path)
+    # across the whole stack (the streaming siam path pre-decodes the same
+    # evenly-spaced pairs before its first chunk)
     _QUANT_CAL_FRAMES = 2
     _QUANT_CAL_TILES = 32
     # headroom on calibrated max|activation|: later frames may swing
@@ -462,7 +462,7 @@ class _Engine:
         apply ('first'/'all' modes); without it a frame whose own range
         differs from the stack bounds would calibrate scales the real
         activations then exceed (advisor finding, round 3)."""
-        cal_fn, quant_apply, make_vars = self._quant
+        cal_fn = self._quant[0]
         th, tw = resize_dim
         # evenly-spaced frames, not the leading ones: a movie whose opening
         # frames are dark/empty would otherwise calibrate tiny scales and
@@ -501,8 +501,13 @@ class _Engine:
 
         x = sample_tiles(imgs_u8)
         args = (x,) if prev_u8 is None else (x, sample_tiles(prev_u8))
-        maxes = np.asarray(cal_fn(*args)) * self._QUANT_CAL_MARGIN
-        variables = make_vars(maxes)
+        self._finish_int8_calibration(cal_fn(*args))
+
+    def _finish_int8_calibration(self, raw_maxes):
+        """Shared tail of the 2D and 3D calibration passes: headroom margin,
+        int8 weight baking, mesh replication, apply-fn swap."""
+        _, quant_apply, make_vars = self._quant
+        variables = make_vars(np.asarray(raw_maxes) * self._QUANT_CAL_MARGIN)
         if self.mesh is not None:
             from ..parallel import replicated
 
@@ -523,7 +528,7 @@ class _Engine:
         'first'/'all' coincide on one-volume stacks, fused_predict_volume /
         fused_predict_heads_3d), one instrumented bf16 dispatch
         (predict/quant3d.py), then the int8 apply + packed weights swap in."""
-        cal_fn, quant_apply, make_vars = self._quant
+        cal_fn = self._quant[0]
         tz, tx, ty = tile
         vols = np.asarray(vols)
         if vols.ndim == 3:
@@ -543,15 +548,7 @@ class _Engine:
         batch = jnp.asarray(
             np.stack(tiles[::step][: self._QUANT_CAL_TILES_3D])[..., None],
             jnp.float32)
-        maxes = np.asarray(cal_fn(batch)) * self._QUANT_CAL_MARGIN
-        variables = make_vars(maxes)
-        if self.mesh is not None:
-            from ..parallel import replicated
-
-            variables = jax.device_put(variables, replicated(self.mesh))
-        self.variables = variables
-        self._apply_fn = quant_apply
-        self._quant_ready = True
+        self._finish_int8_calibration(cal_fn(batch))
 
     # batches per compiled super-chunk: every dispatch sees the same static
     # shape (CHUNK_BATCHES, bs, *tile, C), so a movie of ANY length reuses
@@ -1292,6 +1289,21 @@ class _Engine:
         return np.concatenate([c.reshape((-1,) + c.shape[2:]) for c in chunks])[:n]
 
 
+
+def _warn_quantized_host_path(quantized, engine, use_fused, fused_blocker):
+    """quantized=True only runs inside the fused device pipeline — warn when
+    the request fell back to the host-staged bf16/f32 path (shared by all
+    five Predict classes)."""
+    if not (quantized and engine._quant is not None and not use_fused):
+        return
+    import warnings
+
+    reason = fused_blocker or "device_pipeline=False was forced"
+    warnings.warn(
+        "quantized=True runs only inside the fused device pipeline; "
+        f"this request took the host-staged path ({reason}) "
+        "and runs bf16/f32", stacklevel=3)
+
 class Predict:
     """Tiled 2D prediction with mean-overlap stitching
     (reference unet/predict.py:14-229).
@@ -1354,14 +1366,8 @@ class Predict:
             fused_blocker = ("tile more than 2× the frame extent (XLA "
                              "reflect pad cannot exceed the axis size)")
         use_fused = _resolve_device_pipeline(device_pipeline, fused_blocker)
-        if quantized and engine._quant is not None and not use_fused:
-            import warnings
-
-            reason = fused_blocker or "device_pipeline=False was forced"
-            warnings.warn(
-                "quantized=True runs only inside the fused device pipeline; "
-                f"this request took the host-staged path ({reason}) "
-                "and runs bf16/f32", stacklevel=2)
+        _warn_quantized_host_path(quantized, engine, use_fused,
+                                  fused_blocker)
 
         if use_fused:
             if (np.issubdtype(imgs.dtype, np.floating)
@@ -1528,14 +1534,8 @@ class PredictSiam:
                     "streams uint8/uint16; NaN-free float movies opt in "
                     "with device_pipeline=True)")
         use_fused = _resolve_device_pipeline(device_pipeline, fused_blocker)
-        if quantized and engine._quant is not None and not use_fused:
-            import warnings
-
-            reason = fused_blocker or "device_pipeline=False was forced"
-            warnings.warn(
-                "quantized=True runs only inside the fused device pipeline; "
-                f"this request took the host-staged path ({reason}) "
-                "and runs bf16/f32", stacklevel=2)
+        _warn_quantized_host_path(quantized, engine, use_fused,
+                                  fused_blocker)
 
         if show_progress:
             print("Predicting data ...")
@@ -1767,14 +1767,8 @@ class Predict3D:
                              "reflect pad cannot exceed the axis size)")
         use_fused = _resolve_device_pipeline(device_pipeline, fused_blocker)
 
-        if quantized and engine._quant is not None and not use_fused:
-            import warnings
-
-            reason = fused_blocker or "device_pipeline=False was forced"
-            warnings.warn(
-                "quantized=True runs only inside the fused device pipeline; "
-                f"this request took the host-staged path ({reason}) "
-                "and runs bf16/f32", stacklevel=2)
+        _warn_quantized_host_path(quantized, engine, use_fused,
+                                  fused_blocker)
 
         if show_progress:
             print("Predicting data ...")
@@ -1887,14 +1881,8 @@ class PredictMultiOutput:
             fused_blocker = ("patch more than 2× the frame extent (XLA "
                              "reflect pad cannot exceed the axis size)")
         use_fused = _resolve_device_pipeline(device_pipeline, fused_blocker)
-        if quantized and engine._quant is not None and not use_fused:
-            import warnings
-
-            reason = fused_blocker or "device_pipeline=False was forced"
-            warnings.warn(
-                "quantized=True runs only inside the fused device pipeline; "
-                f"this request took the host-staged path ({reason}) "
-                "and runs bf16/f32", stacklevel=2)
+        _warn_quantized_host_path(quantized, engine, use_fused,
+                                  fused_blocker)
 
         if show_progress:
             print("Predicting data ...")
@@ -2023,14 +2011,8 @@ class PredictMultiOutput3D:
                              "single-program budget")
         use_fused = _resolve_device_pipeline(device_pipeline, fused_blocker)
 
-        if quantized and engine._quant is not None and not use_fused:
-            import warnings
-
-            reason = fused_blocker or "device_pipeline=False was forced"
-            warnings.warn(
-                "quantized=True runs only inside the fused device pipeline; "
-                f"this request took the host-staged path ({reason}) "
-                "and runs bf16/f32", stacklevel=2)
+        _warn_quantized_host_path(quantized, engine, use_fused,
+                                  fused_blocker)
 
         if show_progress:
             print("Predicting data ...")

@@ -122,7 +122,11 @@ def int8_status(model):
     family = _int8_family(model)
     if family is None:
         return None
-    if family in _MEASURED_INT8 or os.environ.get("BIU_INT8_EXPERIMENTAL"):
+    opt_in = os.environ.get("BIU_INT8_EXPERIMENTAL", "").strip().lower()
+    # "0"/"false"/"no"/"off" must DISABLE: a truthy-string check would turn
+    # an intended opt-out (BIU_INT8_EXPERIMENTAL=0) into an opt-in
+    if family in _MEASURED_INT8 or opt_in not in ("", "0", "false", "no",
+                                                  "off"):
         return "enabled"
     return "experimental"
 

@@ -27,9 +27,8 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_distributed_runtime():
+def _launch(port):
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
-    port = _free_port()
     procs = [
         subprocess.Popen([sys.executable, worker, str(i), "2", str(port)],
                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
@@ -45,6 +44,18 @@ def test_two_process_distributed_runtime():
         for p in procs:
             if p.poll() is None:
                 p.kill()
+    return procs, outs
+
+
+def test_two_process_distributed_runtime():
+    # _free_port closes its probe socket before the coordinator binds, so
+    # another process can steal the port in between (TOCTOU) — one retry on
+    # a fresh port removes that spurious failure mode without masking real
+    # breakage (a genuine bug fails on both ports)
+    for attempt in range(2):
+        procs, outs = _launch(_free_port())
+        if all(p.returncode == 0 for p in procs) or attempt == 1:
+            break
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
 
