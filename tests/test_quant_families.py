@@ -192,6 +192,25 @@ def test_quantized_3d_calibrates_once_and_reports_ready(rng, tmp_path,
     assert len(calls) == 1
 
 
+def test_quantized_3d_mesh_matches_single_device(rng, tmp_path, monkeypatch):
+    """int8 is integer math: the batch-sharded fused volume program must
+    equal the single-chip result EXACTLY (same invariant as the 2D mesh
+    int8 leg in test_predict_mesh / dryrun_multichip)."""
+    from bio_image_unet_tpu.models import UNet3D
+    from bio_image_unet_tpu.parallel import get_mesh
+
+    monkeypatch.setenv("BIU_INT8_EXPERIMENTAL", "1")
+    ck = _warmed_ckpt(tmp_path, UNet3D(n_filter=8),
+                      {"model_name": "UNet3D", "n_filter": 8},
+                      (1, 16, 32, 32, 1))
+    vol = _blob_volume(rng)
+    kw = dict(resize_dim=(16, 32, 32), show_progress=False, batch_size=8,
+              device_pipeline=True, quantized=True)
+    single = Predict3D(vol, None, ck, **kw).result
+    sharded = Predict3D(vol, None, ck, mesh=get_mesh(), **kw).result
+    assert np.array_equal(single, sharded)
+
+
 def test_quantized_3d_host_path_warns(rng, tmp_path, monkeypatch):
     from bio_image_unet_tpu.models import UNet3D
 
