@@ -211,6 +211,27 @@ def test_quantized_3d_mesh_matches_single_device(rng, tmp_path, monkeypatch):
     assert np.array_equal(single, sharded)
 
 
+def test_quantized_nested_mesh_matches_single_device(rng, tmp_path,
+                                                     monkeypatch):
+    """Same exactness invariant for the UNet++ int8 path under the mesh's
+    batch sharding (fused_predict_heads)."""
+    from bio_image_unet_tpu.models import MultiOutputNestedUNet_3Levels
+    from bio_image_unet_tpu.parallel import get_mesh
+
+    monkeypatch.setenv("BIU_INT8_EXPERIMENTAL", "1")
+    ck = _warmed_ckpt(
+        tmp_path, MultiOutputNestedUNet_3Levels(n_filter=4, output_heads=HEADS),
+        {"model_name": "MultiOutputNestedUNet_3Levels", "n_filter": 4,
+         "output_heads": HEADS}, (1, 48, 48, 1))
+    movie = np.stack([_blob_volume(rng, 1, 96, 96)[0] for _ in range(2)])
+    kw = dict(max_patch_size=(48, 48), show_progress=False, batch_size=8,
+              device_pipeline=True, quantized=True)
+    single = PredictMultiOutput(movie, ck, **kw).result
+    sharded = PredictMultiOutput(movie, ck, mesh=get_mesh(), **kw).result
+    for head in single:
+        assert np.array_equal(single[head], sharded[head]), head
+
+
 def test_quantized_3d_host_path_warns(rng, tmp_path, monkeypatch):
     from bio_image_unet_tpu.models import UNet3D
 
