@@ -374,12 +374,20 @@ class _Engine:
                 import warnings
 
                 if status == "experimental":
+                    from .quant import _INT8_MEASURED_RATIO, _int8_family
+
+                    ratio = _INT8_MEASURED_RATIO[_int8_family(self.model)]
+                    verdict = ("measured SLOWER than bf16"
+                               if ratio < 1.0 else
+                               f"measured only {ratio:.2f}x over bf16, "
+                               "below the ~1.15x ship bar")
                     warnings.warn(
                         "quantized=True for this family has a full int8 "
-                        "implementation but is still awaiting its on-chip "
-                        ">=1.15x end-to-end measurement (benchmarks/"
-                        "int8_bench.py); set BIU_INT8_EXPERIMENTAL=1 to opt "
-                        "in — running the bf16 path instead", stacklevel=3)
+                        f"implementation but its end-to-end pipeline "
+                        f"{verdict} on the target chip (benchmarks/"
+                        "INT8_r04.json); set BIU_INT8_EXPERIMENTAL=1 to run "
+                        "int8 anyway — running the bf16 path instead",
+                        stacklevel=3)
                 else:
                     warnings.warn(
                         "quantized=True is only supported for the plain-trunk "

@@ -56,11 +56,21 @@ _DN = ("NHWC", "HWIO", "NHWC")
 
 # Families whose int8 end-to-end pipeline MEASURED >= ~1.15x over bf16 on the
 # target chip (the ship rule, benchmarks/NOTES.md): these quantize whenever
-# the user passes quantized=True.  Architecturally-supported families still
-# awaiting their on-chip A/B (benchmarks/int8_bench.py legs) run int8 only
-# under BIU_INT8_EXPERIMENTAL=1 and otherwise warn + fall back to bf16 — the
-# exclusion list stays 100% measurement-backed.
+# the user passes quantized=True.  The round-4 decision legs
+# (benchmarks/INT8_r04.json, same-session fused-pipeline A/Bs) measured the
+# two remaining families BELOW the bar — UNet++ 0.895x (slower: the dense
+# grid's per-cell dequant/requant + rescale traffic outweighs the narrow-conv
+# MXU gain; cell probe 0.62x) and the 3D trunks 1.127x (a real but sub-bar
+# gain; forward-level 1.18x diluted by pipeline overhead) — so they stay
+# opt-in via BIU_INT8_EXPERIMENTAL=1 and otherwise warn + fall back to bf16.
+# The exclusion list is 100% measurement-backed.
 _MEASURED_INT8 = frozenset({"unet2d"})
+
+# measured end-to-end int8/bf16 ratios per family (benchmarks/INT8_r04.json;
+# the 'unet2d' trunk ratio is the plain-2D leg — Siam 1.249x and MultiOutput
+# 1.745x share the trunk), quoted in the fallback warning so a declined
+# quantized=True explains itself with the number that decided it
+_INT8_MEASURED_RATIO = {"unet2d": 1.257, "nested": 0.895, "unet3d": 1.127}
 
 def _sites(mode):
     """Activation-scale sites in calibration-vector order.  Siamese 'concat'
@@ -116,8 +126,9 @@ def _int8_family(model):
 
 def int8_status(model):
     """``'enabled'`` (quantizes on ``quantized=True``), ``'experimental'``
-    (int8 graph implemented, awaiting its on-chip >=1.15x measurement —
-    enable with ``BIU_INT8_EXPERIMENTAL=1``), or ``None`` (no int8
+    (int8 graph implemented but MEASURED below the ~1.15x end-to-end ship
+    bar on the target chip — ``_INT8_MEASURED_RATIO`` — so it runs only
+    under ``BIU_INT8_EXPERIMENTAL=1``), or ``None`` (no int8
     formulation)."""
     family = _int8_family(model)
     if family is None:
@@ -133,8 +144,8 @@ def int8_status(model):
 
 def supports_int8(model) -> bool:
     """True when ``quantized=True`` will actually run int8 for this model
-    (architecture supported AND the family's on-chip win is measured, or
-    BIU_INT8_EXPERIMENTAL opts into an implemented-but-unmeasured family)."""
+    (architecture supported AND the family's on-chip win cleared the ship
+    bar, or BIU_INT8_EXPERIMENTAL opts into a measured-below-bar family)."""
     return int8_status(model) == "enabled"
 
 

@@ -21,11 +21,16 @@ float.  The parts specific to the dense skip grid:
 - **Backbone dilation** (per-level ``dilations``): carried through the int8
   convs via ``rhs_dilation`` with the fastpath's explicit padding geometry.
 
-Measurement gate: the family runs under ``quantized=True`` only once its
-end-to-end on-chip A/B clears the ~1.15× ship rule (quant._MEASURED_INT8;
-until then BIU_INT8_EXPERIMENTAL=1 opts in — see benchmarks/int8_bench.py
-and the round-3 cell-level probe benchmarks/probe_nested_int8.py, whose
-narrow-conv int8 gain motivated implementing the full path).
+Measurement verdict (round 4, benchmarks/INT8_r04.json): int8 UNet++
+measured **0.895× — SLOWER than bf16** end-to-end on the target chip
+(17.5 → 15.6 MP/s on the fused heads pipeline, device-resident), and the
+cell-level probe (benchmarks/probe_nested_int8.py) confirmed the mechanism
+at 0.62×: every dense-grid cell pays dequant→bilinear→requant plus
+per-partner concat rescales at full resolution, epilogue traffic that
+outweighs the narrow-conv MXU gain (1.37× at conv level).  The family
+therefore stays OUT of quant._MEASURED_INT8 — ``quantized=True`` warns and
+runs bf16; BIU_INT8_EXPERIMENTAL=1 forces int8 anyway (A/B reproduction,
+accuracy tests).
 
 Accuracy is platform-independent (integer math) and CPU-tested:
 tests/test_quant_families.py bounds int8-vs-bf16 head outputs.

@@ -115,8 +115,8 @@ trainer.start()'''),
 `Predict` tiles each frame, runs the batched forward and stitches with
 overlap averaging. On uint8/uint16/float32 inputs the whole
 normalize→tile→forward→stitch chain runs as ONE device program per chunk
-(`device_pipeline`, auto-enabled — 264 MP/s/chip device-resident on v5e,
-`benchmarks/NOTES.md`). `quantized=True` opts into w8a8 int8 on the MXU's
+(`device_pipeline`, auto-enabled — 273 MP/s/chip device-resident on v5e,
+`benchmarks/LASTGOOD.json`). `quantized=True` opts into w8a8 int8 on the MXU's
 int8 path (~1.2× faster, masks within ~1 uint8 level)."""),
     ("code", '''movie = np.stack([blob(np.random.default_rng(100 + i))[0] for i in range(8)])
 tiff.imwrite(f"{base}/movie.tif", movie)
