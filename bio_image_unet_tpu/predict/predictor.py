@@ -458,7 +458,8 @@ class _Engine:
     _QUANT_CAL_MARGIN = 1.1
 
     def _calibrate_int8(self, imgs_u8, xs, ys, resize_dim, clip_threshold,
-                        invert, prev_u8=None, fixed_bounds=None):
+                        invert, prev_u8=None, fixed_bounds=None,
+                        pair_mode="single"):
         """Calibrate the w8a8 forward on tiles of the actual movie: one
         instrumented bf16 dispatch records per-site max|activation|
         (predict/quant.py), then the engine swaps in the int8 apply + packed
@@ -469,7 +470,13 @@ class _Engine:
         use the SAME stack-global normalization the inference program will
         apply ('first'/'all' modes); without it a frame whose own range
         differs from the stack bounds would calibrate scales the real
-        activations then exceed (advisor finding, round 3)."""
+        activations then exceed (advisor finding, round 3).  ``pair_mode``
+        is the siamese analog: the fused pair program normalizes BOTH planes
+        of pair i from the prev plane's bounds ('first') or the 2-plane
+        stack's ('all') — calibrating such pairs per-plane would record
+        maxes from a different input distribution than inference sees (e.g.
+        a bright cur clipped into a dark prev's range reaches the net as a
+        near-constant saturated plane, not a texture-stretched one)."""
         cal_fn = self._quant[0]
         th, tw = resize_dim
         # evenly-spaced frames, not the leading ones: a movie whose opening
@@ -479,19 +486,9 @@ class _Engine:
         frame_idx = np.unique(np.linspace(
             0, n_avail - 1, self._QUANT_CAL_FRAMES).round().astype(int))
 
-        def sample_tiles(frames):
-            if fixed_bounds is not None:
-                # mirror _normalize_clip with the caller's global bounds
-                lo, hi, gmin, gmax = (float(v) for v in fixed_bounds)
-                f = np.clip(np.asarray(frames)[frame_idx].astype(np.float32),
-                            lo, hi)
-                f = ((f - gmin) / (gmax - gmin) * 255.0
-                     if gmax > gmin else np.zeros_like(f))
-                norm = (255.0 - f if invert else f) / 255.0
-            else:
-                norm = _normalize_stack(
-                    np.asarray(frames)[frame_idx], "single",
-                    clip_threshold, invert) / 255.0
+        def tiles_from(norm):
+            """[0,1] normalized (F, h, w) planes → strided calibration
+            tiles (the sampling shared by every normalization branch)."""
             h, w = norm.shape[1:3]
             if th > h or tw > w:
                 norm = np.pad(norm, ((0, 0), (0, max(0, th - h)),
@@ -506,6 +503,46 @@ class _Engine:
             return jnp.asarray(
                 np.stack(tiles[::step][: self._QUANT_CAL_TILES])[..., None],
                 jnp.float32)
+
+        def sample_tiles(frames):
+            if fixed_bounds is not None:
+                # mirror _normalize_clip with the caller's global bounds
+                lo, hi, gmin, gmax = (float(v) for v in fixed_bounds)
+                f = np.clip(np.asarray(frames)[frame_idx].astype(np.float32),
+                            lo, hi)
+                f = ((f - gmin) / (gmax - gmin) * 255.0
+                     if gmax > gmin else np.zeros_like(f))
+                norm = (255.0 - f if invert else f) / 255.0
+            else:
+                norm = _normalize_stack(
+                    np.asarray(frames)[frame_idx], "single",
+                    clip_threshold, invert) / 255.0
+            return tiles_from(norm)
+
+        if prev_u8 is not None and pair_mode in ("first", "all"):
+            # host mirror of fused_predict_pairs' per-pair bounds: lo/hi are
+            # the percentiles of the prev plane ('first') or the 2-plane
+            # stack ('all'); fmin/fmax are that reference's extremes clamped
+            # into [lo, hi] (ops/histogram.int_clip_bounds semantics)
+            prevs = np.asarray(prev_u8)[frame_idx]
+            curs = np.asarray(imgs_u8)[frame_idx]
+            norm_p = np.empty(prevs.shape, np.float32)
+            norm_c = np.empty(curs.shape, np.float32)
+            for i in range(len(frame_idx)):
+                ref = (prevs[i] if pair_mode == "first"
+                       else np.stack([prevs[i], curs[i]]))
+                lo = _percentile(ref, clip_threshold[0])
+                hi = _percentile(ref, clip_threshold[1])
+                fmin = max(float(ref.min()), lo)
+                fmax = min(float(ref.max()), hi)
+                for src, dst in ((prevs, norm_p), (curs, norm_c)):
+                    f = np.clip(src[i].astype(np.float32), lo, hi)
+                    f = ((f - fmin) / (fmax - fmin) * 255.0
+                         if fmax > fmin else np.zeros_like(f))
+                    dst[i] = (255.0 - f if invert else f) / 255.0
+            self._finish_int8_calibration(
+                cal_fn(tiles_from(norm_c), tiles_from(norm_p)))
+            return
 
         x = sample_tiles(imgs_u8)
         args = (x,) if prev_u8 is None else (x, sample_tiles(prev_u8))
@@ -865,7 +902,8 @@ class _Engine:
         Siam path.  Returns (k, h, w) uint8 masks."""
         if self._quant is not None and not self._quant_ready:
             self._calibrate_int8(blocks[1:], xs, ys, resize_dim,
-                                 clip_threshold, invert, prev_u8=blocks[:-1])
+                                 clip_threshold, invert, prev_u8=blocks[:-1],
+                                 pair_mode=mode)
         k = blocks.shape[0] - 1
         h, w = blocks.shape[1], blocks.shape[2]
         th, tw = resize_dim
@@ -1594,7 +1632,8 @@ class PredictSiam:
                         "fused float pipeline requires NaN-free data — "
                         "rerun with device_pipeline=False")
             engine._calibrate_int8(curs, xs, ys, self.resize_dim,
-                                   clip_threshold, invert, prev_u8=prevs)
+                                   clip_threshold, invert, prev_u8=prevs,
+                                   pair_mode=normalization_mode)
 
         last_page = None
         pending = None  # (device chunk output, real frame count)
@@ -1639,12 +1678,23 @@ class PredictSiam:
                         if np.isnan(block).any():
                             # save everything already computed, release the
                             # reader, THEN raise — the message must not
-                            # overstate (or understate) what landed on disk
+                            # overstate (or understate) what landed on disk.
+                            # Name the ACTUAL offending pages: the block also
+                            # carries prev0, which on the very first chunk is
+                            # page 1 (frame-0 pairing) — without checking it
+                            # separately a NaN living only there would be
+                            # misreported as page `start` (review finding)
+                            bad = {i for i, fr in
+                                   enumerate(frames_raw, start=start)
+                                   if np.isnan(fr).any()}
+                            if start == 0 and np.isnan(prev0).any():
+                                bad.add(1 if n_frames > 1 else 0)
                             flush(writer)
                             pending = None
                             reader.close()
                             raise ValueError(
-                                f"NaN in pages {start}..{stop - 1}: the "
+                                f"NaN in page(s) "
+                                f"{', '.join(map(str, sorted(bad)))}: the "
                                 "opt-in fused float pipeline requires "
                                 "NaN-free data — rerun with "
                                 f"device_pipeline=False (the first {start} "

@@ -68,15 +68,9 @@ dir_images, dir_masks = f"{base}/image/", f"{base}/label/"
 os.makedirs(dir_images, exist_ok=True), os.makedirs(dir_masks, exist_ok=True)
 
 rng = np.random.default_rng(0)
-yy, xx = np.mgrid[:64, :64]
-def blob(rng):
-    img = np.zeros((64, 64), np.float32)
-    for _ in range(6):
-        cy, cx, r = rng.integers(8, 56), rng.integers(8, 56), rng.integers(4, 10)
-        img += np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * r ** 2))
-    mask = (img > 0.4).astype(np.uint8) * 255
-    noisy = np.clip(img / img.max() * 200 + rng.normal(0, 8, (64, 64)), 0, 255)
-    return noisy.astype(np.uint8), mask
+# the canonical demo recipe — the same generator the learning-sanity tests,
+# the int8 accuracy gate and the training-parity A/B use
+from bio_image_unet_tpu.utils import blob_sample as blob
 
 for i in range(6):
     img, mask = blob(rng)

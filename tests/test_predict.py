@@ -649,10 +649,22 @@ def test_predict_siam_default_is_fused_and_float_contract(tmp_path, rng, siam_ck
     # and the message must say exactly that (review finding: the raise used
     # to drop the pending chunk and leak the reader)
     nan_out = str(tmp_path / "n.tif")
-    with pytest.raises(ValueError, match="first 2 result pages"):
+    with pytest.raises(ValueError, match=r"page\(s\) 2.*first 2 result pages"):
         PredictSiam(nan_path, nan_out, siam_ckpt, device_pipeline=True,
                     frames_per_chunk=1, **kwargs)
     assert tiff.imread(nan_out).shape[0] == 2
+
+    # NaN ONLY in page 1: the first chunk's block is [prev0=page 1, page 0]
+    # (frame-0 pairing), so the raise must blame page 1 — not page 0
+    # (review finding: the message used to say 'pages 0..0')
+    nan_movie1 = nan_movie.copy()
+    nan_movie1[2, 5, 5] = 0.0
+    nan_movie1[1, 7, 7] = np.nan
+    nan1_path = str(tmp_path / "nan1.tif")
+    tiff.imwrite(nan1_path, nan_movie1)
+    with pytest.raises(ValueError, match=r"page\(s\) 1:"):
+        PredictSiam(nan1_path, str(tmp_path / "n1.tif"), siam_ckpt,
+                    device_pipeline=True, frames_per_chunk=1, **kwargs)
 
     # an invalid normalization_mode must raise on the fused float path too,
     # not silently run as 'all' (review finding)

@@ -201,6 +201,80 @@ def test_quantized_siam_streaming_calibration_spans_the_movie(
     assert d.mean() < 0.5, d.mean()
 
 
+@pytest.mark.parametrize("norm_mode", ["first", "all"])
+def test_quantized_siam_calibration_matches_pair_normalization(
+        rng, tmp_path, norm_mode, monkeypatch):
+    """Under normalization_mode='first'/'all' the fused pair program
+    normalizes BOTH planes of a pair from the prev plane's (or the pair
+    stack's) bounds — so a bright cur following a dark prev is clipped into
+    the dark range and reaches the net as a near-saturated plane.  The int8
+    calibration must normalize its sample pairs the SAME way (pair_mode,
+    review finding round 4): per-plane 'single' calibration would record
+    activation maxes from texture-stretched tiles — a different input
+    distribution than inference ever sees."""
+    from bio_image_unet_tpu.data import tiff
+    from bio_image_unet_tpu.predict import PredictSiam
+    from bio_image_unet_tpu.predict.predictor import _Engine
+
+    ck = _siam_ckpt(tmp_path, "max")
+    yy, xx = np.mgrid[0:96, 0:96]
+    dark = np.clip(5 + 20 * np.exp(-((yy - 48) ** 2 + (xx - 48) ** 2)
+                                   / 300.0), 0, 255).astype(np.uint8)
+    bright = np.clip(30 + 220 * np.exp(-((yy - 30) ** 2 + (xx - 60) ** 2)
+                                       / 200.0), 0, 255).astype(np.uint8)
+    # every sampled pair is (dark prev, bright cur): under 'first' the cur
+    # plane is clipped into the dark range → near-constant saturated; under
+    # 'all' the prev plane is compressed to the bottom of the pair's range
+    movie = np.stack([dark, bright, dark, bright, dark, bright])
+    movie_path = str(tmp_path / f"pairs_{norm_mode}.tif")
+    tiff.imwrite(movie_path, movie)
+
+    seen = {}
+    orig = _Engine._calibrate_int8
+
+    def spy(self, imgs_u8, *args, **kwargs):
+        cal_fn, *rest = self._quant
+
+        def capture(x, prev):
+            seen["cur"] = np.asarray(x)
+            seen["prev"] = np.asarray(prev)
+            return cal_fn(x, prev)
+
+        self._quant = (capture, *rest)
+        try:
+            return orig(self, imgs_u8, *args, **kwargs)
+        finally:
+            self._quant = (cal_fn, *rest)
+
+    monkeypatch.setattr(_Engine, "_calibrate_int8", spy)
+    kw = dict(resize_dim=(64, 64), show_progress=False, batch_size=8,
+              frames_per_chunk=6, device_pipeline=True,
+              normalization_mode=norm_mode)
+    o_ref = str(tmp_path / f"pref_{norm_mode}.tif")
+    o_q = str(tmp_path / f"pq_{norm_mode}.tif")
+    PredictSiam(movie_path, o_ref, ck, **kw)
+    PredictSiam(movie_path, o_q, ck, quantized=True, **kw)
+
+    # mechanism: the captured calibration tiles carry the PAIR-normalized
+    # distribution, not the per-plane stretch.  Every 64² tile of these 96²
+    # frames covers the gaussian bump, so a 'single'-stretched plane would
+    # give EVERY tile ptp ≈ 1 / max ≈ 1 — while pair normalization makes
+    # the cross-brightness planes constant ('first': clipped saturated/zero)
+    # or compressed ('all': the dark plane lives under (25-5)/245 ≈ 0.08)
+    tile_ptp = np.ptp(seen["cur"], axis=(1, 2, 3))
+    tile_max = seen["cur"].max(axis=(1, 2, 3))
+    if norm_mode == "first":
+        assert tile_ptp.max() < 0.05, tile_ptp
+    else:  # 'all': the dark cur plane's tiles stay compressed near zero
+        assert tile_max.min() < 0.15, tile_max
+
+    # and the int8 output still tracks bf16 under these modes
+    ref, q = tiff.imread(o_ref), tiff.imread(o_q)
+    d = np.abs(ref.astype(int) - q.astype(int))
+    assert d.max() <= 4, d.max()
+    assert d.mean() < 0.5, d.mean()
+
+
 def test_quantized_siam_corr_falls_back_with_warning(rng, tmp_path):
     from bio_image_unet_tpu.data import tiff
     from bio_image_unet_tpu.predict import PredictSiam

@@ -160,7 +160,6 @@ def test_quantized_nested_close_to_bf16(rng, tmp_path, monkeypatch):
 
 def test_quantized_mo3d_close_to_bf16(rng, tmp_path, monkeypatch):
     from bio_image_unet_tpu.models import MultiOutputUnet3D
-    from bio_image_unet_tpu.predict.predictor import _Engine
 
     monkeypatch.setenv("BIU_INT8_EXPERIMENTAL", "1")
     ck = _warmed_ckpt(
