@@ -771,6 +771,18 @@ class _Engine:
         if sample.ndim != 3:
             raise ValueError("sample_frames must be (frames, h, w), got "
                              f"shape {sample.shape}")
+        if (np.issubdtype(sample.dtype, np.floating)
+                and np.isnan(sample).any()):
+            # same gate as the Predict entry points: the device percentile
+            # search sorts NaNs above +inf and would corrupt the upper clip
+            # bound (and, under quantized=True, the calibrated activation
+            # scales). The e2e path falls back to host nanpercentile; a
+            # bench accessor has no host path, so refuse loudly.
+            raise ValueError(
+                "sample_frames contains NaNs — the fused device percentile "
+                "search cannot screen them (Predict falls back to the host "
+                "nanpercentile path for such movies); pass NaN-free frames "
+                "or use fixed_bounds")
         xs = tuple(int(v) for v in xs)
         ys = tuple(int(v) for v in ys)
         if self._quant is not None and not self._quant_ready:

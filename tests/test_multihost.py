@@ -38,12 +38,26 @@ def _launch(port):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=600)
+            try:
+                out, _ = p.communicate(timeout=600)
+            except subprocess.TimeoutExpired:
+                # A hung worker (e.g. jax.distributed blocking because the
+                # coordinator port was stolen — the very flake the caller's
+                # retry exists for) must land on the returncode != 0 path,
+                # not raise out of the test: kill everything, harvest the
+                # partial output for the diagnostic dump, and let the retry
+                # loop try a fresh port.
+                for q in procs:
+                    if q.poll() is None:
+                        q.kill()
+                out, _ = p.communicate()
+                out = (out or "") + "\n[killed after 600s timeout]"
             outs.append(out)
     finally:
         for p in procs:
             if p.poll() is None:
                 p.kill()
+                p.wait()
     return procs, outs
 
 

@@ -334,6 +334,24 @@ def test_fused_runner_returns_the_dispatched_program(rng, torch_unet_ckpt):
     assert out_e2e_q.shape == out_e2e.shape
 
 
+def test_fused_runner_refuses_nan_float_samples(rng, torch_unet_ckpt):
+    """The bench accessor has no host-nanpercentile fallback (unlike the
+    Predict entry points, which gate the fused float path on a NaN-free
+    scan), so NaN float samples — which the device bit search would sort
+    above +inf, corrupting the clip bound and any int8 calibration — must
+    be refused loudly, not silently mis-measured."""
+    from bio_image_unet_tpu.predict.predictor import _Engine
+    from bio_image_unet_tpu.predict.tiling import grid_starts
+
+    ckpt_path, _ = torch_unet_ckpt
+    movie = rng.random((2, 96, 96)).astype(np.float32)
+    movie[1, 10, 10] = np.nan
+    xs, ys = grid_starts(96, 64, 0), grid_starts(96, 64, 0)
+    eng = _Engine(ckpt_path, None, batch_size=2, half_precision=False)
+    with pytest.raises(ValueError, match="NaN"):
+        eng.fused_runner(movie, xs, ys, (64, 64), (0.0, 99.8))
+
+
 def test_device_pipeline_float32_matches_host_path(rng, torch_unet_ckpt):
     """float32 movies (pre-processed microscopy) take the fused device
     pipeline too — per-frame percentiles via the IEEE-754 sortable-bits
