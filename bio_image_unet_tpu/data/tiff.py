@@ -306,10 +306,16 @@ class TiffReader:
             seen.add(offset)
             self._ifd_offsets.append(offset)
             self._fh.seek(offset)
-            (n,) = struct.unpack(self._bo + cnt_fmt, self._fh.read(cnt_size))
+            raw = self._fh.read(cnt_size)
+            if len(raw) < cnt_size:
+                raise TiffFormatError("truncated IFD (entry count past EOF)")
+            (n,) = struct.unpack(self._bo + cnt_fmt, raw)
             self._fh.seek(offset + cnt_size + entry_size * n)
-            (offset,) = struct.unpack(self._bo + next_fmt,
-                                      self._fh.read(struct.calcsize(next_fmt)))
+            nxt_size = struct.calcsize(next_fmt)
+            raw = self._fh.read(nxt_size)
+            if len(raw) < nxt_size:
+                raise TiffFormatError("truncated IFD (next pointer past EOF)")
+            (offset,) = struct.unpack(self._bo + next_fmt, raw)
 
     def __enter__(self) -> "TiffReader":
         return self
@@ -328,9 +334,13 @@ class TiffReader:
         fh = self._fh
         fh.seek(ifd_offset)
         cnt_size, entry_size, off_fmt = self._ifd_layout
-        (n,) = struct.unpack(self._bo + ("Q" if self._big else "H"),
-                             fh.read(cnt_size))
+        cnt_raw = fh.read(cnt_size)
+        if len(cnt_raw) < cnt_size:
+            raise TiffFormatError("truncated IFD (entry count past EOF)")
+        (n,) = struct.unpack(self._bo + ("Q" if self._big else "H"), cnt_raw)
         raw = fh.read(entry_size * n)
+        if len(raw) < entry_size * n:
+            raise TiffFormatError("truncated IFD (entries past EOF)")
         tags = {}
         type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
                      10: 8, 11: 4, 12: 8, 13: 4, 16: 8, 17: 8, 18: 8}
@@ -353,6 +363,14 @@ class TiffReader:
                 fh.seek(value_offset)
                 payload = fh.read(size)
             if typ in type_fmt:
+                if len(payload) != size:
+                    # out-of-bounds value area — also bounds `count` by the
+                    # file size BEFORE the "fmt * count" string below, so a
+                    # corrupt 2^32 count cannot allocate a gigabyte format
+                    # string
+                    raise TiffFormatError(
+                        f"tag {tag} value truncated ({len(payload)}/{size} "
+                        "bytes)")
                 values = struct.unpack(self._bo + type_fmt[typ] * count, payload)
                 tags[tag] = values
         return tags
@@ -401,16 +419,37 @@ class TiffReader:
                 "by the built-in codec")
         offsets = tags[TAG_STRIP_OFFSETS]
         counts = tags[TAG_STRIP_BYTE_COUNTS]
+        need = h * w * c * dtype.itemsize
+        if need > (1 << 40):
+            # >1 TiB for a single 2-D page = corrupt dimension tags; refuse
+            # before any allocation keyed on them
+            raise TiffFormatError(
+                f"implausible page size {h}x{w}x{c} ({need} bytes)")
         chunks = []
+        got = 0
         for off, cnt in zip(offsets, counts):
             self._fh.seek(off)
             buf = self._fh.read(cnt)
             if comp in (COMPRESSION_DEFLATE, COMPRESSION_DEFLATE_OLD):
-                buf = zlib.decompress(buf)
+                try:
+                    # cap inflation at the bytes the page can actually use:
+                    # a corrupt/malicious deflate stream must not expand past
+                    # the declared page size (decompression-bomb guard)
+                    d = zlib.decompressobj()
+                    buf = d.decompress(buf, max(need - got, 1))
+                except zlib.error as e:
+                    raise TiffFormatError(
+                        f"corrupt deflate strip: {e}") from None
             elif comp != COMPRESSION_NONE:
                 raise TiffFormatError(f"compression {comp} not supported")
+            got += len(buf)
             chunks.append(buf)
+            if got >= need:
+                break
         data = b"".join(chunks)
+        if len(data) < need:
+            raise TiffFormatError(
+                f"truncated page data ({len(data)}/{need} bytes)")
         arr = np.frombuffer(data, dtype=dtype.newbyteorder(self._bo))[: h * w * c]
         arr = arr.astype(dtype)  # native byte order
         return arr.reshape((h, w) if c == 1 else (h, w, c))
@@ -500,6 +539,8 @@ def imread(path) -> np.ndarray:
 
         return np.asarray(iio.imread(path))
     except Exception:
+        pass
+    try:
         from PIL import Image
 
         im = Image.open(path)
@@ -508,3 +549,10 @@ def imread(path) -> np.ndarray:
             im.seek(i)
             frames.append(np.array(im))
         return frames[0] if len(frames) == 1 else np.stack(frames)
+    except Exception as pil_err:
+        # every decoder in the chain refused — surface ONE codec error
+        # (PIL raises SyntaxError/OSError/etc. on garbage; those types must
+        # not leak to callers as if they were programming errors)
+        raise TiffFormatError(
+            f"could not decode {path!r} as TIFF with the native, built-in, "
+            f"imageio, or PIL decoders (last error: {pil_err})") from pil_err
