@@ -391,10 +391,12 @@ class _Engine:
                 else:
                     warnings.warn(
                         "quantized=True is only supported for the plain-trunk "
-                        "2D fast paths (Unet, Siam_UNet max/control/concat "
-                        "joins, MultiOutputUnet), UNet++ and the 3D trunks — "
-                        "not attention/dilated-2D/'corr'; running the bf16 "
-                        "path instead", stacklevel=3)
+                        "2D fast paths (Unet incl. dilation, Siam_UNet "
+                        "max/control/concat joins, MultiOutputUnet), UNet++ "
+                        "and the 3D trunks — not attention/'corr' (no int8 "
+                        "formulation: the gate/correlation multiplies two "
+                        "traced activations); running the bf16 path instead",
+                        stacklevel=3)
         # volatile training-progress fields must NOT enter the program cache
         # key: scheduler_state changes nearly every epoch, and a per-epoch
         # cache miss means minutes of recompilation per test prediction on a

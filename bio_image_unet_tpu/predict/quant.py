@@ -37,8 +37,10 @@ pipeline (predictor.py) uses it unchanged; ``variables`` is the pytree
 This module owns the plain 2D trunk's int8 graph plus the family dispatch
 (``int8_status`` / ``int8_builders``): UNet++ lives in quant_nested.py and
 the 3-level volumetric trunks in quant3d.py, both measurement-gated via
-``_MEASURED_INT8`` below.  Attention gates, 2D dilation and the 'corr' join
-have no int8 formulation and always fall back to bf16 with a warning.
+``_MEASURED_INT8`` below.  Dilated 2D trunks ride the same int8 graph
+(``rhs_dilation`` on the encoder/middle convs).  Attention gates and the
+'corr' join have no int8 formulation and always fall back to bf16 with a
+warning.
 """
 
 from __future__ import annotations
@@ -98,10 +100,10 @@ _INT8_MODES = (None, "max", "control", "concat")
 def _int8_family(model):
     """Architecture-level int8 support: the family key, or None.
 
-    - ``'unet2d'`` — the plain 2D trunk (Unet, Siam_UNet max/control/concat,
-      MultiOutputUnet): trunk in int8, per-head 1×1 convs + activations in
-      float.  Attention gates, dilation, and 'corr' (dynamic-kernel conv)
-      have no int8 formulation and fall back.
+    - ``'unet2d'`` — the plain 2D trunk, any integer dilation (Unet,
+      Siam_UNet max/control/concat, MultiOutputUnet): trunk in int8,
+      per-head 1×1 convs + activations in float.  Attention gates and
+      'corr' (dynamic-kernel conv) have no int8 formulation and fall back.
     - ``'nested'`` — UNet++ (MultiOutputNestedUNet, both depths): the dense
       VGG grid in int8, shared-scale concats, bilinear upsampling on
       dequantized values (predict/quant_nested.py).
@@ -113,8 +115,11 @@ def _int8_family(model):
     from ..models.unet3d import MultiOutputUnet3D, UNet3D
 
     if isinstance(model, UNet2DBase):
-        if (model.mode in _INT8_MODES and not model.attention
-                and model.dilation in (False, None, True, 1)):
+        if model.mode in _INT8_MODES and not model.attention:
+            # any integer dilation rides the same int8 graph (rhs_dilation
+            # on the encoder/middle convs — identical FLOPs/requant traffic
+            # to the measured plain trunk; own on-chip decision leg measured
+            # 1.405x end-to-end, benchmarks/PROBE_DILATED_INT8.json)
             return "unet2d"
         return None
     if isinstance(model, MultiOutputNestedUNet):
@@ -157,9 +162,11 @@ def int8_builders(model, variables):
     family = _int8_family(model)
     if family == "unet2d":
         mode = model.mode
-        return (build_calibrator(variables, mode),
+        d = 1 if model.dilation in (False, None, True) else int(model.dilation)
+        return (build_calibrator(variables, mode, dilation=d),
                 *build_int8_apply(variables, mode,
-                                  heads=getattr(model, "heads", None)))
+                                  heads=getattr(model, "heads", None),
+                                  dilation=d))
     if family == "nested":
         from .quant_nested import build_calibrator_nested, build_int8_apply_nested
 
@@ -245,15 +252,17 @@ def _maxpool_f(x):
                              (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
 
 
-def build_calibrator(variables, mode=None):
+def build_calibrator(variables, mode=None, dilation=1):
     """One-dispatch instrumented bf16 forward: returns
     ``cal_fn(x_norm[, prev_norm]) -> (len(_sites(mode)),) f32`` of per-site
     max |activation| over the sample batch.  Mirrors fastpath's graph
-    exactly; for siamese modes both streams run the shared encoder and each
-    encoder site records the max over BOTH streams (so one scale set serves
-    both — int8 ``max`` join is then exact)."""
+    exactly (incl. ``dilation`` on the encoder + middle convs, decoder at
+    1 — unet/unet.py:38-52); for siamese modes both streams run the shared
+    encoder and each encoder site records the max over BOTH streams (so one
+    scale set serves both — int8 ``max`` join is then exact)."""
     folded = jax.tree_util.tree_map(np.asarray, fold_unet2d(variables))
     sites = _sites(mode)
+    d = dilation
 
     def _convt_f(x, p):
         dt = x.dtype
@@ -276,14 +285,14 @@ def build_calibrator(variables, mode=None):
              for k, v in folded.items()}
 
         def encode(x):
-            e1 = rec("e1", _conv(x, f["encode1"]))
-            e2 = rec("e2", _conv(e1, f["encode2"]))
-            e3 = rec("e3", _conv(_maxpool_f(e2), f["encode3"]))
-            e4 = rec("e4", _conv(e3, f["encode4"]))
-            e5 = rec("e5", _conv(_maxpool_f(e4), f["encode5"]))
-            e6 = rec("e6", _conv(e5, f["encode6"]))
-            e7 = rec("e7", _conv(_maxpool_f(e6), f["encode7"]))
-            e8 = rec("e8", _conv(e7, f["encode8"]))
+            e1 = rec("e1", _conv(x, f["encode1"], d))
+            e2 = rec("e2", _conv(e1, f["encode2"], d))
+            e3 = rec("e3", _conv(_maxpool_f(e2), f["encode3"], d))
+            e4 = rec("e4", _conv(e3, f["encode4"], d))
+            e5 = rec("e5", _conv(_maxpool_f(e4), f["encode5"], d))
+            e6 = rec("e6", _conv(e5, f["encode6"], d))
+            e7 = rec("e7", _conv(_maxpool_f(e6), f["encode7"], d))
+            e8 = rec("e8", _conv(e7, f["encode8"], d))
             return e2, e4, e6, e8, _maxpool_f(e8)
 
         e2, e4, e6, e8, m4 = encode(x)
@@ -299,8 +308,8 @@ def build_calibrator(variables, mode=None):
             else:  # concat
                 join = rec("join", _conv(
                     jnp.concatenate([m4, mm4], axis=-1), f["conv_concat"]))
-        h = rec("m1", _conv(join, f["middle_conv1"]))
-        h = rec("m2", _conv(h, f["middle_conv2"]))
+        h = rec("m1", _conv(join, f["middle_conv1"], d))
+        h = rec("m2", _conv(h, f["middle_conv2"], d))
         for i, skip in zip(range(1, 5), (e8, e6, e4, e2)):
             u = rec(f"up{i}", _convt_f(h, f[f"up{i}"]))
             h = jnp.concatenate([u, skip], axis=-1)
@@ -311,7 +320,7 @@ def build_calibrator(variables, mode=None):
     return cal_fn
 
 
-def build_int8_apply(variables, mode=None, heads=None):
+def build_int8_apply(variables, mode=None, heads=None, dilation=1):
     """Return ``(apply_fn, make_variables)``.
 
     ``make_variables(act_maxes)`` bakes the quantized weight buffers once
@@ -326,6 +335,7 @@ def build_int8_apply(variables, mode=None, heads=None):
     folded = jax.tree_util.tree_map(np.asarray, fold_unet2d(variables))
     sites = _sites(mode)
     site_idx = {name: i for i, name in enumerate(sites)}
+    dil = dilation
 
     pack = _WeightPack()
     # encode1 + the output 1×1 conv(s) stay float (packed whole)
@@ -356,10 +366,13 @@ def build_int8_apply(variables, mode=None, heads=None):
 
         requant = _requant
 
-        def qconv(x_q, s_in, name, s_out):
+        def qconv(x_q, s_in, name, s_out, d=1):
+            # encoder/middle convs carry the model's dilation (decoder at 1,
+            # unet/unet.py:38-52); SAME padding keeps the spatial extent for
+            # any rhs_dilation at k=3
             y = lax.conv_general_dilated(
-                x_q, w8(name), (1, 1), "SAME", dimension_numbers=_DN,
-                preferred_element_type=jnp.int32)
+                x_q, w8(name), (1, 1), "SAME", rhs_dilation=(d, d),
+                dimension_numbers=_DN, preferred_element_type=jnp.int32)
             a = y.astype(jnp.float32) * (s_in * f32(f"{name}.sw")) \
                 + f32(f"{name}.bias")
             return requant(jax.nn.leaky_relu(a, 0.1), s_out)
@@ -376,15 +389,15 @@ def build_int8_apply(variables, mode=None, heads=None):
             # encode1 in bf16 (sub-1% of FLOPs; avoids re-quantizing input)
             e1 = _conv(xf.astype(jnp.bfloat16),
                        {"kernel": f32("encode1.kernel"),
-                        "bias": f32("encode1.bias")})
+                        "bias": f32("encode1.bias")}, dil)
             q = requant(e1.astype(jnp.float32), sa("e1"))
-            q2 = qconv(q, sa("e1"), "encode2", sa("e2"))
-            q3 = qconv(_maxpool_i8(q2), sa("e2"), "encode3", sa("e3"))
-            q4 = qconv(q3, sa("e3"), "encode4", sa("e4"))
-            q5 = qconv(_maxpool_i8(q4), sa("e4"), "encode5", sa("e5"))
-            q6 = qconv(q5, sa("e5"), "encode6", sa("e6"))
-            q7 = qconv(_maxpool_i8(q6), sa("e6"), "encode7", sa("e7"))
-            q8 = qconv(q7, sa("e7"), "encode8", sa("e8"))
+            q2 = qconv(q, sa("e1"), "encode2", sa("e2"), dil)
+            q3 = qconv(_maxpool_i8(q2), sa("e2"), "encode3", sa("e3"), dil)
+            q4 = qconv(q3, sa("e3"), "encode4", sa("e4"), dil)
+            q5 = qconv(_maxpool_i8(q4), sa("e4"), "encode5", sa("e5"), dil)
+            q6 = qconv(q5, sa("e5"), "encode6", sa("e6"), dil)
+            q7 = qconv(_maxpool_i8(q6), sa("e6"), "encode7", sa("e7"), dil)
+            q8 = qconv(q7, sa("e7"), "encode8", sa("e8"), dil)
             return q2, q4, q6, q8, _maxpool_i8(q8)
 
         q2, q4, q6, q8, m4 = qencode(x)
@@ -401,8 +414,8 @@ def build_int8_apply(variables, mode=None, heads=None):
                 join = qconv(jnp.concatenate([m4, mm4], axis=-1), sa("e8"),
                              "conv_concat", sa("join"))
                 s_join = sa("join")
-        h = qconv(join, s_join, "middle_conv1", sa("m1"))
-        h, s_h = qconv(h, sa("m1"), "middle_conv2", sa("m2")), sa("m2")
+        h = qconv(join, s_join, "middle_conv1", sa("m1"), dil)
+        h, s_h = qconv(h, sa("m1"), "middle_conv2", sa("m2"), dil), sa("m2")
 
         for i, (skip_q, skip_site) in enumerate(
                 zip((q8, q6, q4, q2), _SKIPS), start=1):

@@ -64,6 +64,50 @@ def test_quantized_fused_close_to_bf16(rng, warmed_unet_pt, dtype, mode):
     assert (d > 1).mean() < 0.01, (d > 1).mean()
 
 
+def test_quantized_dilated_unet_close_to_bf16(rng, tmp_path):
+    """Dilated 2D trunks ride the same int8 graph (rhs_dilation on the
+    encoder/middle convs — round-4 extension; previously an artificial
+    fallback): int8-vs-bf16 accuracy must match the plain trunk's
+    contract, and torch-forward parity of the bf16 side pins the dilation
+    geometry itself (reference Unet ctor, unet/unet.py:5-104)."""
+    import torch
+
+    torch.manual_seed(1)
+    spec = importlib.util.spec_from_file_location(
+        "ref_unet_qd", "/root/reference/bio_image_unet/unet/unet.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    net = mod.Unet(n_filter=8, dilation=2)
+    for _ in range(5):
+        net(torch.rand(2, 1, 64, 64))
+    net.eval()
+    path = str(tmp_path / "dil.pt")
+    torch.save({"state_dict": net.state_dict(), "model_name": "Unet",
+                "n_filter": 8, "dilation": 2}, path)
+
+    movie = _blob_movie(rng)
+    kw = dict(resize_dim=(64, 64), show_progress=False, batch_size=8,
+              device_pipeline=True)
+    ref = Predict(movie, None, path, **kw).result
+    q = Predict(movie, None, path, quantized=True, **kw).result
+    d = np.abs(ref.astype(int) - q.astype(int))
+    assert d.max() <= 4, d.max()
+    assert d.mean() < 0.5, d.mean()
+    assert (d > 1).mean() < 0.01, (d > 1).mean()
+    # and the bf16 side really ran the dilated geometry: torch forward on
+    # one normalized tile must match within float tolerance
+    from bio_image_unet_tpu.interop import load_torch_checkpoint
+    from bio_image_unet_tpu.models import get_model
+
+    ckpt = load_torch_checkpoint(path)
+    model = get_model("Unet", **ckpt["hyperparams"])
+    x = (movie[0, :64, :64].astype(np.float32) / 255.0)[None, ..., None]
+    ours = np.asarray(model.apply(ckpt["variables"], x, train=False)[1])
+    with torch.no_grad():
+        theirs = net(torch.from_numpy(np.moveaxis(x, -1, 1)))[1].numpy()
+    assert np.abs(ours - np.moveaxis(theirs, 1, -1)).max() < 2e-2
+
+
 def test_quantized_unsupported_model_warns_and_falls_back(rng, tmp_path):
     import jax
     import jax.numpy as jnp
