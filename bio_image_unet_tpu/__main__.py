@@ -104,12 +104,13 @@ def _add_predict(sub):
                         "(default: auto — on for uint8/uint16 inputs)")
     p.add_argument("--quantized", action="store_true",
                    help="w8a8 int8 inference; families with a measured "
-                        "on-chip win run it directly (2D 1.26x, Siam 1.25x, "
-                        "multi-head 1.75x over bf16, outputs within ~1 "
-                        "uint8 level / a few %% of range), families measured "
-                        "BELOW the bar warn and run bf16 (UNet++ 0.90x — "
-                        "slower; 3D 1.13x) unless BIU_INT8_EXPERIMENTAL=1 "
-                        "forces them (benchmarks/INT8_r04.json)")
+                        "on-chip win run it directly (2D 1.26x, dilated "
+                        "1.41x, attention 1.33x, Siam 1.25x, multi-head "
+                        "1.75x over bf16, outputs within ~1 uint8 level / "
+                        "a few %% of range), families measured BELOW the "
+                        "bar warn and run bf16 (UNet++ 0.90x — slower; 3D "
+                        "1.13x) unless BIU_INT8_EXPERIMENTAL=1 forces them "
+                        "(benchmarks/INT8_r04.json, PROBE_*_INT8.json)")
 
 
 def _resolve_heads(args):

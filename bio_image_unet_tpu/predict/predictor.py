@@ -390,12 +390,13 @@ class _Engine:
                         stacklevel=3)
                 else:
                     warnings.warn(
-                        "quantized=True is only supported for the plain-trunk "
-                        "2D fast paths (Unet incl. dilation, Siam_UNet "
-                        "max/control/concat joins, MultiOutputUnet), UNet++ "
-                        "and the 3D trunks — not attention/'corr' (no int8 "
-                        "formulation: the gate/correlation multiplies two "
-                        "traced activations); running the bf16 path instead",
+                        "quantized=True is only supported for the 2D fast "
+                        "paths (Unet incl. dilation, AttentionUnet, "
+                        "Siam_UNet max/control/concat joins, "
+                        "MultiOutputUnet), UNet++ and the 3D trunks — not "
+                        "the 'corr' join (no int8 formulation: the "
+                        "correlation's kernel is a traced activation, not a "
+                        "weight); running the bf16 path instead",
                         stacklevel=3)
         # volatile training-progress fields must NOT enter the program cache
         # key: scheduler_state changes nearly every epoch, and a per-epoch

@@ -38,9 +38,11 @@ This module owns the plain 2D trunk's int8 graph plus the family dispatch
 (``int8_status`` / ``int8_builders``): UNet++ lives in quant_nested.py and
 the 3-level volumetric trunks in quant3d.py, both measurement-gated via
 ``_MEASURED_INT8`` below.  Dilated 2D trunks ride the same int8 graph
-(``rhs_dilation`` on the encoder/middle convs).  Attention gates and the
-'corr' join have no int8 formulation and always fall back to bf16 with a
-warning.
+(``rhs_dilation`` on the encoder/middle convs); AttentionUnet quantizes its
+trunk with the four gates in float (dequant → gate → requant per level,
+like the float output heads).  Only the 'corr' join has no int8
+formulation (it correlates two traced activations — there is no weight
+tensor to quantize) and always falls back to bf16 with a warning.
 """
 
 from __future__ import annotations
@@ -65,14 +67,19 @@ _DN = ("NHWC", "HWIO", "NHWC")
 # MXU gain; cell probe 0.62x) and the 3D trunks 1.127x (a real but sub-bar
 # gain; forward-level 1.18x diluted by pipeline overhead) — so they stay
 # opt-in via BIU_INT8_EXPERIMENTAL=1 and otherwise warn + fall back to bf16.
-# The exclusion list is 100% measurement-backed.
-_MEASURED_INT8 = frozenset({"unet2d"})
+# The exclusion list is 100% measurement-backed.  'attention2d' (int8 trunk,
+# float gates) measured 1.331x end-to-end at the headline shapes
+# (benchmarks/PROBE_ATTENTION_INT8.json) and ships; dilated trunks measured
+# 1.405x (PROBE_DILATED_INT8.json) and ride 'unet2d'.
+_MEASURED_INT8 = frozenset({"unet2d", "attention2d"})
 
-# measured end-to-end int8/bf16 ratios per family (benchmarks/INT8_r04.json;
-# the 'unet2d' trunk ratio is the plain-2D leg — Siam 1.249x and MultiOutput
-# 1.745x share the trunk), quoted in the fallback warning so a declined
-# quantized=True explains itself with the number that decided it
-_INT8_MEASURED_RATIO = {"unet2d": 1.257, "nested": 0.895, "unet3d": 1.127}
+# measured end-to-end int8/bf16 ratios per family (benchmarks/INT8_r04.json,
+# PROBE_ATTENTION_INT8.json; the 'unet2d' trunk ratio is the plain-2D leg —
+# Siam 1.249x and MultiOutput 1.745x share the trunk), quoted in the
+# fallback warning so a declined quantized=True explains itself with the
+# number that decided it
+_INT8_MEASURED_RATIO = {"unet2d": 1.257, "attention2d": 1.331,
+                        "nested": 0.895, "unet3d": 1.127}
 
 def _sites(mode):
     """Activation-scale sites in calibration-vector order.  Siamese 'concat'
@@ -102,8 +109,10 @@ def _int8_family(model):
 
     - ``'unet2d'`` — the plain 2D trunk, any integer dilation (Unet,
       Siam_UNet max/control/concat, MultiOutputUnet): trunk in int8,
-      per-head 1×1 convs + activations in float.  Attention gates and
-      'corr' (dynamic-kernel conv) have no int8 formulation and fall back.
+      per-head 1×1 convs + activations in float.
+    - ``'attention2d'`` — AttentionUnet: int8 trunk, the four gates in
+      float (dequant → gate → requant per level).  Only 'corr'
+      (dynamic-kernel conv) has no int8 formulation and falls back.
     - ``'nested'`` — UNet++ (MultiOutputNestedUNet, both depths): the dense
       VGG grid in int8, shared-scale concats, bilinear upsampling on
       dequantized values (predict/quant_nested.py).
@@ -115,12 +124,15 @@ def _int8_family(model):
     from ..models.unet3d import MultiOutputUnet3D, UNet3D
 
     if isinstance(model, UNet2DBase):
-        if model.mode in _INT8_MODES and not model.attention:
+        if model.mode in _INT8_MODES:
             # any integer dilation rides the same int8 graph (rhs_dilation
             # on the encoder/middle convs — identical FLOPs/requant traffic
             # to the measured plain trunk; own on-chip decision leg measured
-            # 1.405x end-to-end, benchmarks/PROBE_DILATED_INT8.json)
-            return "unet2d"
+            # 1.405x end-to-end, benchmarks/PROBE_DILATED_INT8.json).
+            # Attention gates stay float inside the int8 graph (dequant →
+            # gate → requant per level) — a separate family key so the ship
+            # decision is its own measurement.
+            return "attention2d" if model.attention else "unet2d"
         return None
     if isinstance(model, MultiOutputNestedUNet):
         return "nested"
@@ -160,13 +172,14 @@ def int8_builders(model, variables):
     forward, the int8 apply with the fastpath output contract, and the
     weight-baking closure (predictor._Engine._calibrate_int8)."""
     family = _int8_family(model)
-    if family == "unet2d":
+    if family in ("unet2d", "attention2d"):
         mode = model.mode
         d = 1 if model.dilation in (False, None, True) else int(model.dilation)
-        return (build_calibrator(variables, mode, dilation=d),
+        att = family == "attention2d"
+        return (build_calibrator(variables, mode, dilation=d, attention=att),
                 *build_int8_apply(variables, mode,
                                   heads=getattr(model, "heads", None),
-                                  dilation=d))
+                                  dilation=d, attention=att))
     if family == "nested":
         from .quant_nested import build_calibrator_nested, build_int8_apply_nested
 
@@ -252,7 +265,17 @@ def _maxpool_f(x):
                              (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
 
 
-def build_calibrator(variables, mode=None, dilation=1):
+def _attend_f(p, gate, skip):
+    """Float attention gate (fastpath.attend): the gate multiplies two
+    traced activations (skip × psi), so it has no w8a8 form — the int8
+    graph dequantizes around it, like the float output heads."""
+    g1 = _conv1x1(gate, p["W_gate"])
+    x1 = _conv1x1(skip, p["W_x"])
+    psi = jax.nn.sigmoid(_conv1x1(jax.nn.relu(g1 + x1), p["psi"]))
+    return skip * psi
+
+
+def build_calibrator(variables, mode=None, dilation=1, attention=False):
     """One-dispatch instrumented bf16 forward: returns
     ``cal_fn(x_norm[, prev_norm]) -> (len(_sites(mode)),) f32`` of per-site
     max |activation| over the sample batch.  Mirrors fastpath's graph
@@ -312,7 +335,13 @@ def build_calibrator(variables, mode=None, dilation=1):
         h = rec("m2", _conv(h, f["middle_conv2"], d))
         for i, skip in zip(range(1, 5), (e8, e6, e4, e2)):
             u = rec(f"up{i}", _convt_f(h, f[f"up{i}"]))
-            h = jnp.concatenate([u, skip], axis=-1)
+            if attention:
+                # gates in float; |skip·psi| ≤ |skip|, so the attended skip
+                # reuses the skip site's scale — no extra calibration site
+                a = _attend_f(f[f"attention{i}"], u, skip)
+                h = jnp.concatenate([a, u], axis=-1)
+            else:
+                h = jnp.concatenate([u, skip], axis=-1)
             h = rec(f"d{2 * i - 1}", _conv(h, f[f"decode{2 * i - 1}"]))
             h = rec(f"d{2 * i}", _conv(h, f[f"decode{2 * i}"]))
         return jnp.stack([maxes[s] for s in sites])
@@ -320,7 +349,8 @@ def build_calibrator(variables, mode=None, dilation=1):
     return cal_fn
 
 
-def build_int8_apply(variables, mode=None, heads=None, dilation=1):
+def build_int8_apply(variables, mode=None, heads=None, dilation=1,
+                     attention=False):
     """Return ``(apply_fn, make_variables)``.
 
     ``make_variables(act_maxes)`` bakes the quantized weight buffers once
@@ -343,6 +373,14 @@ def build_int8_apply(variables, mode=None, heads=None, dilation=1):
                    else [f"output_layers_{n}" for n in heads])
     for lyr in ["encode1"] + head_layers:
         pack.float_layer(lyr, folded[lyr])
+    if attention:
+        # the gates stay float (skip × psi multiplies two traced
+        # activations — no w8a8 form); their BN-folded 1×1 convs pack into
+        # the f32 buffer like the output heads
+        for i in range(1, 5):
+            for sub in ("W_gate", "W_x", "psi"):
+                pack.float_layer(f"attention{i}.{sub}",
+                                 folded[f"attention{i}"][sub])
     conv_names = ([f"encode{i}" for i in range(2, 9)]
                   + (["conv_concat"] if mode == "concat" else [])
                   + ["middle_conv1", "middle_conv2"]
@@ -421,8 +459,24 @@ def build_int8_apply(variables, mode=None, heads=None, dilation=1):
                 zip((q8, q6, q4, q2), _SKIPS), start=1):
             s_cat = jnp.maximum(sa(f"up{i}"), sa(skip_site))
             u = qtconv(h, s_h, f"up{i}", s_cat)
-            skip = requant(skip_q.astype(jnp.float32) * sa(skip_site), s_cat)
-            h = jnp.concatenate([u, skip], axis=-1)
+            if attention:
+                # dequant around the float gate; |skip·psi| ≤ |skip| ≤
+                # s_cat·127, so the attended skip requants to s_cat exactly
+                # like the raw skip would. Attended-first concat order
+                # matches fastpath (attention_unet.py:89-106).
+                u_f = (u.astype(jnp.float32) * s_cat).astype(jnp.bfloat16)
+                skip_f = (skip_q.astype(jnp.float32)
+                          * sa(skip_site)).astype(jnp.bfloat16)
+                att = {sub: {"kernel": f32(f"attention{i}.{sub}.kernel"),
+                             "bias": f32(f"attention{i}.{sub}.bias")}
+                       for sub in ("W_gate", "W_x", "psi")}
+                a = requant(_attend_f(att, u_f, skip_f).astype(jnp.float32),
+                            s_cat)
+                h = jnp.concatenate([a, u], axis=-1)
+            else:
+                skip = requant(skip_q.astype(jnp.float32) * sa(skip_site),
+                               s_cat)
+                h = jnp.concatenate([u, skip], axis=-1)
             h = qconv(h, s_cat, f"decode{2 * i - 1}", sa(f"d{2 * i - 1}"))
             h = qconv(h, sa(f"d{2 * i - 1}"), f"decode{2 * i}",
                       sa(f"d{2 * i}"))

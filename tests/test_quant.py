@@ -108,24 +108,45 @@ def test_quantized_dilated_unet_close_to_bf16(rng, tmp_path):
     assert np.abs(ours - np.moveaxis(theirs, 1, -1)).max() < 2e-2
 
 
-def test_quantized_unsupported_model_warns_and_falls_back(rng, tmp_path):
-    import jax
-    import jax.numpy as jnp
+def test_quantized_attention_unet_close_to_bf16(rng, tmp_path):
+    """AttentionUnet quantizes its trunk with the four gates in float
+    (dequant → gate → requant per level — round-4 extension; previously an
+    unmeasured fallback).  Decision leg measured 1.331× end-to-end
+    (benchmarks/PROBE_ATTENTION_INT8.json); the accuracy contract here
+    matches the plain trunk's, on a BN-warmed reference checkpoint
+    (attention_unet.py:5-181)."""
+    import torch
 
-    from bio_image_unet_tpu import checkpoint
-    from bio_image_unet_tpu.models import AttentionUnet
+    torch.manual_seed(2)
+    spec = importlib.util.spec_from_file_location(
+        "ref_att_q", "/root/reference/bio_image_unet/unet/attention_unet.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    net = mod.AttentionUnet(n_filter=8)
+    for _ in range(5):
+        net(torch.rand(2, 1, 64, 64))
+    net.eval()
+    path = str(tmp_path / "att.pt")
+    torch.save({"state_dict": net.state_dict(), "model_name": "AttentionUnet",
+                "n_filter": 8}, path)
 
-    model = AttentionUnet(n_filter=4)
-    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))
-    ck = str(tmp_path / "att.ckpt")
-    checkpoint.save(ck, variables, {"model_name": "AttentionUnet",
-                                    "n_filter": 4})
-    movie = rng.integers(0, 255, (2, 64, 64), dtype=np.uint8)
-    kw = dict(resize_dim=(32, 32), show_progress=False, batch_size=8)
-    with pytest.warns(UserWarning, match="plain-trunk"):
-        q = Predict(movie, None, ck, quantized=True, **kw)
-    plain = Predict(movie, None, ck, **kw)
-    np.testing.assert_array_equal(q.result, plain.result)  # bf16 fallback
+    from bio_image_unet_tpu.predict.quant import int8_status
+    from bio_image_unet_tpu.interop import load_torch_checkpoint
+    from bio_image_unet_tpu.models import get_model
+
+    ckpt = load_torch_checkpoint(path)
+    model = get_model("AttentionUnet", **ckpt["hyperparams"])
+    assert int8_status(model) == "enabled"  # measurement-backed ship
+
+    movie = _blob_movie(rng)
+    kw = dict(resize_dim=(64, 64), show_progress=False, batch_size=8,
+              device_pipeline=True)
+    ref = Predict(movie, None, path, **kw).result
+    q = Predict(movie, None, path, quantized=True, **kw).result
+    d = np.abs(ref.astype(int) - q.astype(int))
+    assert d.max() <= 4, d.max()
+    assert d.mean() < 0.5, d.mean()
+    assert (d > 1).mean() < 0.01, (d > 1).mean()
 
 
 def test_quantized_host_path_warns(rng, warmed_unet_pt):

@@ -56,7 +56,12 @@ def test_int8_status_is_measurement_gated(monkeypatch):
 
     monkeypatch.delenv("BIU_INT8_EXPERIMENTAL", raising=False)
     assert int8_status(Unet(n_filter=8)) == "enabled"  # measured family
-    assert int8_status(Unet(n_filter=8, attention=True)) is None
+    # measured families (round 4): dilated trunk 1.405x, attention 1.331x
+    assert int8_status(Unet(n_filter=8, dilation=2)) == "enabled"
+    assert int8_status(Unet(n_filter=8, attention=True)) == "enabled"
+    from bio_image_unet_tpu.models import Siam_UNet
+
+    assert int8_status(Siam_UNet(n_filter=8, mode="corr")) is None
     for m in (MultiOutputNestedUNet(n_filter=4), UNet3D(n_filter=8),
               MultiOutputUnet3D(n_filter=8)):
         assert int8_status(m) == "experimental"
