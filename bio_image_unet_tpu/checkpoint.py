@@ -114,8 +114,14 @@ def peek(path) -> Dict[str, Any]:
                 "epoch": ckpt.get("epoch"),
                 "best_loss": ckpt.get("best_loss"),
             }
-        (n,) = struct.unpack("<I", fh.read(4))
-        return json.loads(fh.read(n))
+        raw = fh.read(4)
+        if len(raw) < 4:
+            raise ValueError(f"corrupt checkpoint {path!r}: truncated header")
+        (n,) = struct.unpack("<I", raw)
+        try:
+            return json.loads(fh.read(n))
+        except ValueError as err:
+            raise ValueError(f"corrupt checkpoint {path!r}: {err}") from err
 
 
 def load(path, opt_state_template=None) -> Dict[str, Any]:
@@ -140,11 +146,25 @@ def load(path, opt_state_template=None) -> Dict[str, Any]:
 
     from flax import serialization
 
-    with open(path, "rb") as fh:
-        fh.read(8)
-        (n,) = struct.unpack("<I", fh.read(4))
-        header = json.loads(fh.read(n))
-        payload = serialization.msgpack_restore(fh.read())
+    try:
+        with open(path, "rb") as fh:
+            fh.read(8)
+            raw = fh.read(4)
+            if len(raw) < 4:
+                raise ValueError(
+                    f"corrupt checkpoint {path!r}: truncated header")
+            (n,) = struct.unpack("<I", raw)
+            header = json.loads(fh.read(n))
+            payload = serialization.msgpack_restore(fh.read())
+        if not isinstance(payload, dict) or "variables" not in payload:
+            raise ValueError(
+                f"corrupt checkpoint {path!r}: missing 'variables' payload")
+    except ValueError:
+        raise
+    except Exception as err:
+        # msgpack/struct internals must not leak as TypeError etc. — a
+        # corrupt file is ONE error class for callers (fuzz-tested)
+        raise ValueError(f"corrupt checkpoint {path!r}: {err}") from err
 
     opt_state = payload.get("opt_state")
     if opt_state is not None and opt_state_template is not None:

@@ -150,6 +150,13 @@ def _rebuild_tensor_lazy(storage: _Storage, storage_offset, size, stride,
     return _LazyTensor(size, storage.dtype)
 
 
+class DisallowedGlobalError(pickle.UnpicklingError):
+    """A pickle global outside the torch-checkpoint allowlist — a deliberate
+    SECURITY refusal, not a parse failure.  Callers must never respond to
+    this by retrying with an unrestricted unpickler (torch.load
+    weights_only=False executes pickled code)."""
+
+
 class _RestrictedUnpickler(pickle.Unpickler):
     def __init__(self, data: bytes, reader: _ZipReader, lazy: bool = False):
         super().__init__(io.BytesIO(data))
@@ -163,7 +170,7 @@ class _RestrictedUnpickler(pickle.Unpickler):
         try:
             return self._globals[(module, name)]
         except KeyError:
-            raise pickle.UnpicklingError(
+            raise DisallowedGlobalError(
                 f"global '{module}.{name}' is not allowed in torch checkpoints "
                 "(torch-free restricted reader)"
             ) from None
@@ -181,15 +188,26 @@ class _RestrictedUnpickler(pickle.Unpickler):
 def read_pt(path) -> Dict[str, Any]:
     """Load a ``torch.save``'d object without torch.  Tensors come back as
     numpy arrays; everything else (dicts, scalars, strings) as plain Python.
-    Raises ``ValueError`` for the pre-1.6 legacy (non-zip) format."""
+    Raises ``ValueError`` for the pre-1.6 legacy (non-zip) format and for
+    corrupt archives; :class:`DisallowedGlobalError` for pickles outside
+    the allowlist (a security refusal — see the class docstring)."""
     if not zipfile.is_zipfile(path):
         raise ValueError(
             f"{path} is not a zip-serialized torch checkpoint (pre-torch-1.6 "
             "legacy format — re-save it with a modern torch, or install torch)"
         )
-    with zipfile.ZipFile(path) as zf:
-        reader = _ZipReader(zf)
-        return _RestrictedUnpickler(reader.read_record("data.pkl"), reader).load()
+    try:
+        with zipfile.ZipFile(path) as zf:
+            reader = _ZipReader(zf)
+            return _RestrictedUnpickler(reader.read_record("data.pkl"),
+                                        reader).load()
+    except (ValueError, pickle.UnpicklingError):
+        raise
+    except Exception as err:
+        # zipfile/pickle internals (BadZipFile, CRC RuntimeError, …) must
+        # not leak as their own types — a corrupt container is ONE error
+        # class for callers (fuzz-tested)
+        raise ValueError(f"corrupt torch checkpoint {path!r}: {err}") from err
 
 
 def read_pt_meta(path) -> Dict[str, Any]:
@@ -202,7 +220,12 @@ def read_pt_meta(path) -> Dict[str, Any]:
             f"{path} is not a zip-serialized torch checkpoint (pre-torch-1.6 "
             "legacy format — re-save it with a modern torch, or install torch)"
         )
-    with zipfile.ZipFile(path) as zf:
-        reader = _ZipReader(zf)
-        return _RestrictedUnpickler(reader.read_record("data.pkl"), reader,
-                                    lazy=True).load()
+    try:
+        with zipfile.ZipFile(path) as zf:
+            reader = _ZipReader(zf)
+            return _RestrictedUnpickler(reader.read_record("data.pkl"),
+                                        reader, lazy=True).load()
+    except (ValueError, pickle.UnpicklingError):
+        raise
+    except Exception as err:
+        raise ValueError(f"corrupt torch checkpoint {path!r}: {err}") from err

@@ -161,11 +161,42 @@ def load_torch_checkpoint(path) -> dict:
         ckpt = read_pt(path)
         state_dict = {k: np.asarray(v) for k, v in ckpt["state_dict"].items()}
     except Exception as torch_free_err:
+        from .pt_reader import DisallowedGlobalError
+
+        if isinstance(torch_free_err, DisallowedGlobalError):
+            # a SECURITY refusal, not a parse failure — falling back to an
+            # unrestricted unpickler here would execute exactly the pickled
+            # code the restricted reader just refused
+            raise
         try:
             import torch
         except ImportError:
             raise torch_free_err from None
-        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        try:
+            # torch's own safe unpickler first (tensors + containers only)
+            ckpt = torch.load(path, map_location="cpu", weights_only=True)
+        except Exception as safe_err:
+            import os as _os
+
+            if _os.environ.get("BIU_UNSAFE_TORCH_LOAD", "").strip().lower() \
+                    in ("1", "true", "yes", "on"):
+                # explicit opt-in for trusted legacy files only: this
+                # executes pickled code (the classic torch.load hazard)
+                ckpt = torch.load(path, map_location="cpu",
+                                  weights_only=False)
+            else:
+                raise ValueError(
+                    f"cannot read {path!r} as a torch checkpoint: the "
+                    f"torch-free restricted reader failed "
+                    f"({torch_free_err}) and torch.load(weights_only=True) "
+                    f"also failed ({safe_err}). If you trust this file, "
+                    "set BIU_UNSAFE_TORCH_LOAD=1 to allow the unrestricted "
+                    "legacy loader (it executes pickled code)."
+                ) from safe_err
+        if not isinstance(ckpt, dict) or "state_dict" not in ckpt:
+            raise ValueError(
+                f"{path!r} is not a reference checkpoint dict "
+                "(missing 'state_dict')")
         state_dict = {k: v.detach().cpu().numpy() for k, v in ckpt["state_dict"].items()}
     hyperparams = {
         k: v for k, v in ckpt.items() if k not in ("state_dict", "optimizer_state_dict")

@@ -70,6 +70,82 @@ def test_read_pt_refuses_arbitrary_globals(tmp_path):
         read_pt(path)
 
 
+def test_malicious_pickle_never_reaches_unrestricted_torch_load(tmp_path):
+    """SECURITY: a pickle the restricted reader refuses for a disallowed
+    global must NOT be retried with torch.load(weights_only=False) — that
+    fallback would execute exactly the code the allowlist refused (fuzz
+    finding, round 4). The refusal surfaces as DisallowedGlobalError and
+    the payload must not run."""
+    import zipfile
+
+    from bio_image_unet_tpu import checkpoint
+    from bio_image_unet_tpu.interop.pt_reader import DisallowedGlobalError
+
+    marker = tmp_path / "pwned"
+
+    class Evil:
+        def __reduce__(self):
+            import os as _os
+
+            return (_os.system, (f"touch {marker}",))
+
+    payload = pickle.dumps({"state_dict": Evil()})
+    path = str(tmp_path / "evil.pt")
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("archive/data.pkl", payload)
+        zf.writestr("archive/version", "3")
+    with pytest.raises(DisallowedGlobalError, match="not allowed"):
+        checkpoint.load(path)
+    assert not marker.exists(), "malicious pickle payload was EXECUTED"
+
+
+def test_corrupt_files_raise_value_error(tmp_path):
+    """Corrupt containers are ONE error class (ValueError) for callers of
+    checkpoint.load/peek and read_pt — zipfile/msgpack/struct internals
+    must not leak (fuzz-tested: 1500 seeded truncation/flip cases)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bio_image_unet_tpu import checkpoint
+    from bio_image_unet_tpu.models import Unet
+
+    v = Unet(n_filter=4).init(jax.random.PRNGKey(0),
+                              jnp.zeros((1, 32, 32, 1)))
+    good = tmp_path / "good.ckpt"
+    checkpoint.save(str(good), v, {"model_name": "Unet", "n_filter": 4})
+    data = good.read_bytes()
+
+    for case in [data[:9], data[:40], data[:200],
+                 data[:30] + bytes([255]) * 8 + data[38:]]:
+        bad = tmp_path / "bad.ckpt"
+        bad.write_bytes(case)
+        for op in (checkpoint.load, checkpoint.peek):
+            try:
+                op(str(bad))
+            except ValueError:
+                pass  # the one acceptable failure type
+
+    # corrupt torch zip: flip bytes inside a valid .pt (CRC breaks)
+    net = _ref_unet()
+    pt = tmp_path / "m.pt"
+    torch.save({"state_dict": net.state_dict(), "n_filter": 4}, str(pt))
+    raw = bytearray(pt.read_bytes())
+    raw[len(raw) // 2] ^= 0xFF
+    bad_pt = tmp_path / "bad.pt"
+    bad_pt.write_bytes(bytes(raw))
+    try:
+        read_pt(str(bad_pt))
+    except ValueError:
+        pass
+    # the high-level loader names the explicit unsafe opt-in
+    from bio_image_unet_tpu.interop import load_torch_checkpoint
+
+    try:
+        load_torch_checkpoint(str(bad_pt))
+    except ValueError as err:
+        assert "BIU_UNSAFE_TORCH_LOAD" in str(err) or "corrupt" in str(err)
+
+
 def test_checkpoint_load_pt_without_torch(tmp_path, monkeypatch):
     """checkpoint.load('.pt') end-to-end with torch uninstalled (simulated):
     the network must rebuild and run from the imported variables."""
