@@ -288,9 +288,22 @@ class TiffReader:
             (first,) = struct.unpack(self._bo + "Q", self._fh.read(8))
         else:
             raise TiffFormatError(f"bad TIFF magic {magic}")
+        pos = self._fh.tell()
+        self._fh.seek(0, 2)
+        self._size = self._fh.tell()
+        self._fh.seek(pos)
         self._ifd_offsets: List[int] = []
         self._next_ifd = first
         self._scan_all_ifds()
+
+    def _seek_checked(self, pos: int, what: str) -> None:
+        """Seek bounded by the file size: a corrupt 64-bit offset/count must
+        raise the codec's own error, not the OS-level \"cannot fit 'int'
+        into an offset-sized integer\" ValueError."""
+        if not 0 <= pos <= self._size:
+            raise TiffFormatError(
+                f"{what} offset {pos} outside file (size {self._size})")
+        self._fh.seek(pos)
 
     # (count size, entry size, next-pointer format) per container flavor
     @property
@@ -305,12 +318,13 @@ class TiffReader:
         while offset and offset not in seen:
             seen.add(offset)
             self._ifd_offsets.append(offset)
-            self._fh.seek(offset)
+            self._seek_checked(offset, "IFD")
             raw = self._fh.read(cnt_size)
             if len(raw) < cnt_size:
                 raise TiffFormatError("truncated IFD (entry count past EOF)")
             (n,) = struct.unpack(self._bo + cnt_fmt, raw)
-            self._fh.seek(offset + cnt_size + entry_size * n)
+            self._seek_checked(offset + cnt_size + entry_size * n,
+                               "IFD next-pointer")
             nxt_size = struct.calcsize(next_fmt)
             raw = self._fh.read(nxt_size)
             if len(raw) < nxt_size:
@@ -332,7 +346,7 @@ class TiffReader:
 
     def _read_tags(self, ifd_offset: int) -> dict:
         fh = self._fh
-        fh.seek(ifd_offset)
+        self._seek_checked(ifd_offset, "IFD")
         cnt_size, entry_size, off_fmt = self._ifd_layout
         cnt_raw = fh.read(cnt_size)
         if len(cnt_raw) < cnt_size:
@@ -360,8 +374,8 @@ class TiffReader:
             else:
                 (value_offset,) = struct.unpack(
                     self._bo + off_fmt, raw[value_pos : value_pos + inline])
-                fh.seek(value_offset)
-                payload = fh.read(size)
+                self._seek_checked(value_offset, f"tag {tag} value")
+                payload = fh.read(min(size, self._size - value_offset))
             if typ in type_fmt:
                 if len(payload) != size:
                     # out-of-bounds value area — also bounds `count` by the
@@ -428,8 +442,8 @@ class TiffReader:
         chunks = []
         got = 0
         for off, cnt in zip(offsets, counts):
-            self._fh.seek(off)
-            buf = self._fh.read(cnt)
+            self._seek_checked(off, "strip")
+            buf = self._fh.read(min(cnt, self._size - off))
             if comp in (COMPRESSION_DEFLATE, COMPRESSION_DEFLATE_OLD):
                 try:
                     # cap inflation at the bytes the page can actually use:

@@ -163,27 +163,35 @@ def load_torch_checkpoint(path) -> dict:
     except Exception as torch_free_err:
         from .pt_reader import DisallowedGlobalError
 
-        if isinstance(torch_free_err, DisallowedGlobalError):
-            # a SECURITY refusal, not a parse failure — falling back to an
-            # unrestricted unpickler here would execute exactly the pickled
-            # code the restricted reader just refused
-            raise
         try:
             import torch
         except ImportError:
             raise torch_free_err from None
         try:
-            # torch's own safe unpickler first (tensors + containers only)
+            # torch's own safe unpickler next — it executes NO pickled
+            # code, so it is safe to try even after a DisallowedGlobalError
+            # (e.g. a benign argparse.Namespace in the hyperparams that our
+            # allowlist refuses)
             ckpt = torch.load(path, map_location="cpu", weights_only=True)
         except Exception as safe_err:
             import os as _os
 
             if _os.environ.get("BIU_UNSAFE_TORCH_LOAD", "").strip().lower() \
                     in ("1", "true", "yes", "on"):
-                # explicit opt-in for trusted legacy files only: this
-                # executes pickled code (the classic torch.load hazard)
+                # explicit opt-in for trusted files only: this executes
+                # pickled code (the classic torch.load hazard)
                 ckpt = torch.load(path, map_location="cpu",
                                   weights_only=False)
+            elif isinstance(torch_free_err, DisallowedGlobalError):
+                # a SECURITY refusal by BOTH safe readers — never silently
+                # fall back to an unrestricted unpickler, which would
+                # execute exactly the pickled code they refused
+                raise DisallowedGlobalError(
+                    f"{torch_free_err} — torch.load(weights_only=True) "
+                    f"also refused it ({safe_err}). Set "
+                    "BIU_UNSAFE_TORCH_LOAD=1 ONLY if you fully trust this "
+                    "file: the unrestricted legacy loader executes pickled "
+                    "code.") from torch_free_err
             else:
                 raise ValueError(
                     f"cannot read {path!r} as a torch checkpoint: the "

@@ -26,6 +26,14 @@ from ..ops.blocks import AttentionBlock, ConvBlock, ConvTranspose, he_normal_lea
 from ..ops.functional import depthwise_xcorr, max_pool
 
 
+def normalize_dilation(dilation) -> int:
+    """The multi_output reference spells "no dilation" as False
+    (multi_output_unet/train.py:22); flax ctors may also see None/True —
+    all mean 1.  Single source of truth for the model, the BN-folded
+    fastpath forward and the int8 graph."""
+    return 1 if dilation in (False, None, True) else int(dilation)
+
+
 def apply_activation(x, activation: Optional[str]):
     """Per-head activation (reference multi_output_unet.py:82-89)."""
     if activation == "sigmoid":
@@ -62,9 +70,7 @@ class UNet2DBase(nn.Module):
 
     def setup(self):
         nf = self.n_filter
-        # the multi_output reference spells "no dilation" as False
-        # (multi_output_unet/train.py:22); normalize to 1
-        d = 1 if self.dilation in (False, None, True) else self.dilation
+        d = normalize_dilation(self.dilation)
         dt = self.dtype
         # encoder (reference unet/unet.py:20-31)
         self.encode1 = ConvBlock(nf, dilation=d, dtype=dt)

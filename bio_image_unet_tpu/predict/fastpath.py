@@ -57,6 +57,16 @@ def _conv(x, p, dilation: int = 1, activation: str = "leaky"):
     return jax.nn.relu(y) if activation == "relu" else jax.nn.leaky_relu(y, 0.1)
 
 
+def attend(p, gate, skip):
+    """Additive attention gate on BN-folded 1×1 convs
+    (attention_unet.py:112-181) — shared by the bf16 fast forward and the
+    int8 graph (predict/quant.py keeps the gate float)."""
+    g1 = _conv1x1(gate, p["W_gate"])
+    x1 = _conv1x1(skip, p["W_x"])
+    psi = jax.nn.sigmoid(_conv1x1(jax.nn.relu(g1 + x1), p["psi"]))
+    return skip * psi
+
+
 def _conv1x1(x, p):
     nsp = x.ndim - 2
     dt = x.dtype
@@ -157,20 +167,14 @@ def build_fast_apply(model, variables, dtype: Optional[jnp.dtype]):
         return _build_fast_legacy(model, variables)
     if not isinstance(model, UNet2DBase):
         return None
-    from ..models.unet2d import apply_activation
+    from ..models.unet2d import apply_activation, normalize_dilation
 
     folded_tree = fold_unet2d(variables)
     packed, unpack = pack_tree(folded_tree)
-    d = 1 if model.dilation in (False, None, True) else int(model.dilation)
+    d = normalize_dilation(model.dilation)
     mode = model.mode
     attention = model.attention
     heads = model.heads
-
-    def attend(p, gate, skip):
-        g1 = _conv1x1(gate, p["W_gate"])
-        x1 = _conv1x1(skip, p["W_x"])
-        psi = jax.nn.sigmoid(_conv1x1(jax.nn.relu(g1 + x1), p["psi"]))
-        return skip * psi
 
     def encode(f, x):
         e1 = _conv(x, f["encode1"], d)

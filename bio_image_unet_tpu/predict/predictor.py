@@ -389,15 +389,19 @@ class _Engine:
                         "int8 anyway — running the bf16 path instead",
                         stacklevel=3)
                 else:
+                    name = type(self.model).__name__
+                    reason = (
+                        "the 'corr' join has no int8 formulation (the "
+                        "correlation's kernel is a traced activation, not "
+                        "a weight)"
+                        if getattr(self.model, "mode", None) == "corr"
+                        else f"{name} has no int8 formulation")
                     warnings.warn(
-                        "quantized=True is only supported for the 2D fast "
-                        "paths (Unet incl. dilation, AttentionUnet, "
-                        "Siam_UNet max/control/concat joins, "
-                        "MultiOutputUnet), UNet++ and the 3D trunks — not "
-                        "the 'corr' join (no int8 formulation: the "
-                        "correlation's kernel is a traced activation, not a "
-                        "weight); running the bf16 path instead",
-                        stacklevel=3)
+                        f"quantized=True declined: {reason}. int8 covers "
+                        "Unet (incl. dilation), AttentionUnet, Siam_UNet "
+                        "max/control/concat joins, MultiOutputUnet, and — "
+                        "measurement-gated — UNet++ and the 3D trunks; "
+                        "running the bf16 path instead", stacklevel=3)
         # volatile training-progress fields must NOT enter the program cache
         # key: scheduler_state changes nearly every epoch, and a per-epoch
         # cache miss means minutes of recompilation per test prediction on a
@@ -777,15 +781,16 @@ class _Engine:
         if (np.issubdtype(sample.dtype, np.floating)
                 and np.isnan(sample).any()):
             # same gate as the Predict entry points: the device percentile
-            # search sorts NaNs above +inf and would corrupt the upper clip
-            # bound (and, under quantized=True, the calibrated activation
-            # scales). The e2e path falls back to host nanpercentile; a
-            # bench accessor has no host path, so refuse loudly.
+            # search sorts NaNs above +inf and corrupts the upper clip
+            # bound; with fixed_bounds the search is skipped but NaNs still
+            # poison the normalized tiles (NaN→uint8 cast is undefined) and,
+            # under quantized=True, the calibrated activation scales. The
+            # e2e path falls back to host nanpercentile; a bench accessor
+            # has no host path, so refuse loudly in every configuration.
             raise ValueError(
-                "sample_frames contains NaNs — the fused device percentile "
-                "search cannot screen them (Predict falls back to the host "
-                "nanpercentile path for such movies); pass NaN-free frames "
-                "or use fixed_bounds")
+                "sample_frames contains NaNs — the fused device programs "
+                "cannot screen them (Predict falls back to the host "
+                "nanpercentile path for such movies); pass NaN-free frames")
         xs = tuple(int(v) for v in xs)
         ys = tuple(int(v) for v in ys)
         if self._quant is not None and not self._quant_ready:

@@ -54,7 +54,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from .fastpath import _conv, _conv1x1, fold_unet2d
+from .fastpath import _conv, _conv1x1, attend, fold_unet2d
 
 _DN = ("NHWC", "HWIO", "NHWC")
 
@@ -174,7 +174,9 @@ def int8_builders(model, variables):
     family = _int8_family(model)
     if family in ("unet2d", "attention2d"):
         mode = model.mode
-        d = 1 if model.dilation in (False, None, True) else int(model.dilation)
+        from ..models.unet2d import normalize_dilation
+
+        d = normalize_dilation(model.dilation)
         att = family == "attention2d"
         return (build_calibrator(variables, mode, dilation=d, attention=att),
                 *build_int8_apply(variables, mode,
@@ -265,16 +267,6 @@ def _maxpool_f(x):
                              (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
 
 
-def _attend_f(p, gate, skip):
-    """Float attention gate (fastpath.attend): the gate multiplies two
-    traced activations (skip × psi), so it has no w8a8 form — the int8
-    graph dequantizes around it, like the float output heads."""
-    g1 = _conv1x1(gate, p["W_gate"])
-    x1 = _conv1x1(skip, p["W_x"])
-    psi = jax.nn.sigmoid(_conv1x1(jax.nn.relu(g1 + x1), p["psi"]))
-    return skip * psi
-
-
 def build_calibrator(variables, mode=None, dilation=1, attention=False):
     """One-dispatch instrumented bf16 forward: returns
     ``cal_fn(x_norm[, prev_norm]) -> (len(_sites(mode)),) f32`` of per-site
@@ -338,7 +330,7 @@ def build_calibrator(variables, mode=None, dilation=1, attention=False):
             if attention:
                 # gates in float; |skip·psi| ≤ |skip|, so the attended skip
                 # reuses the skip site's scale — no extra calibration site
-                a = _attend_f(f[f"attention{i}"], u, skip)
+                a = attend(f[f"attention{i}"], u, skip)
                 h = jnp.concatenate([a, u], axis=-1)
             else:
                 h = jnp.concatenate([u, skip], axis=-1)
@@ -470,7 +462,7 @@ def build_int8_apply(variables, mode=None, heads=None, dilation=1,
                 att = {sub: {"kernel": f32(f"attention{i}.{sub}.kernel"),
                              "bias": f32(f"attention{i}.{sub}.bias")}
                        for sub in ("W_gate", "W_x", "psi")}
-                a = requant(_attend_f(att, u_f, skip_f).astype(jnp.float32),
+                a = requant(attend(att, u_f, skip_f).astype(jnp.float32),
                             s_cat)
                 h = jnp.concatenate([a, u], axis=-1)
             else:

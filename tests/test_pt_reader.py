@@ -99,6 +99,34 @@ def test_malicious_pickle_never_reaches_unrestricted_torch_load(tmp_path):
     assert not marker.exists(), "malicious pickle payload was EXECUTED"
 
 
+def test_unsafe_opt_in_reachable_for_trusted_legacy_checkpoints(
+        tmp_path, monkeypatch):
+    """A trusted checkpoint with a benign non-allowlisted global in its
+    hyperparams (e.g. argparse.Namespace saved by a training script) must
+    be loadable via the explicit BIU_UNSAFE_TORCH_LOAD=1 opt-in — review
+    finding: the opt-in used to be unreachable because DisallowedGlobalError
+    aborted before the env check. Without the opt-in, the refusal must
+    name it."""
+    import argparse
+
+    from bio_image_unet_tpu.interop import load_torch_checkpoint
+    from bio_image_unet_tpu.interop.pt_reader import DisallowedGlobalError
+
+    net = _ref_unet()
+    path = str(tmp_path / "ns.pt")
+    torch.save({"state_dict": net.state_dict(), "n_filter": 4,
+                "args": argparse.Namespace(lr=1e-4)}, path)
+
+    monkeypatch.delenv("BIU_UNSAFE_TORCH_LOAD", raising=False)
+    with pytest.raises(DisallowedGlobalError, match="BIU_UNSAFE_TORCH_LOAD"):
+        load_torch_checkpoint(path)
+
+    monkeypatch.setenv("BIU_UNSAFE_TORCH_LOAD", "1")
+    out = load_torch_checkpoint(path)
+    assert out["hyperparams"]["n_filter"] == 4
+    assert out["hyperparams"]["args"].lr == 1e-4
+
+
 def test_corrupt_files_raise_value_error(tmp_path):
     """Corrupt containers are ONE error class (ValueError) for callers of
     checkpoint.load/peek and read_pt — zipfile/msgpack/struct internals

@@ -100,6 +100,45 @@ def test_implausible_page_size_refused(tmp_path, valid_bytes):
             tr.read_page(0)
 
 
+def test_bigtiff_huge_count_and_offsets_are_codec_errors(tmp_path):
+    """A corrupt 64-bit BigTIFF IFD entry count (e.g. 2**62) must raise
+    TiffFormatError — not the OS-level \"cannot fit 'int' into an
+    offset-sized integer\" ValueError from seek() (review finding: that
+    bare ValueError escaped imread's (TiffFormatError, struct.error)
+    fallback filter)."""
+    rng = np.random.default_rng(3)
+    buf = io.BytesIO()
+    tiff.imwrite(buf, rng.integers(0, 255, (16, 16)).astype(np.uint8),
+                 bigtiff=True)
+    base = buf.getvalue()
+    # BigTIFF LE header: bytes 8..16 = first IFD offset (Q)
+    (ifd,) = struct.unpack("<Q", base[8:16])
+
+    # corrupt the 8-byte entry count at the IFD
+    data = bytearray(base)
+    struct.pack_into("<Q", data, ifd, 1 << 62)
+    path = _write(tmp_path, bytes(data))
+    with pytest.raises(TiffFormatError):
+        tiff.TiffReader(path)
+
+    # corrupt a tag's 64-bit value offset into the stratosphere
+    data = bytearray(base)
+    (n,) = struct.unpack("<Q", data[ifd:ifd + 8])
+    for i in range(n):
+        b = ifd + 8 + i * 20
+        tag, typ = struct.unpack_from("<HH", data, b)
+        (count,) = struct.unpack_from("<Q", data, b + 4)
+        from bio_image_unet_tpu.data.tiff import TiffReader  # type sizes
+        if count * 2 > 8:  # out-of-line value area — repoint it
+            struct.pack_into("<Q", data, b + 12, 1 << 61)
+    path = _write(tmp_path, bytes(data))
+    try:
+        with tiff.TiffReader(path) as tr:
+            tr.read_page(0)
+    except TiffFormatError:
+        pass  # the one acceptable failure type
+
+
 def test_decompression_bomb_capped(tmp_path):
     """A deflate strip expanding far past the declared page size must be
     truncated at the page's byte budget, not inflated in full."""
