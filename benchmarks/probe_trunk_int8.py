@@ -6,13 +6,13 @@ ship-decision numbers stay comparable):
 - ``dilated``  — dilation=2 Unet rides the plain int8 graph via
   ``rhs_dilation`` (identical FLOPs/requant traffic to the measured plain
   trunk, but dilated-conv MXU behavior is an empirical question).
-  Writes PROBE_DILATED_INT8.json.  Measured: **1.405×** (233.9→328.7 MP/s).
+  Writes PROBE_DILATED_INT8.json.  Measured: **1.333×** (247.4→329.7 MP/s).
 - ``attention`` — AttentionUnet quantizes its trunk with the four gates in
   FLOAT (the gate multiplies two traced activations — skip × psi — so w8a8
   does not apply to it; the graph dequantizes around each gate).  The open
   question was whether per-level dequant→gate→requant dilutes the trunk win
   below the ~1.15× bar (UNet++'s denser per-cell version measured 0.62×).
-  Writes PROBE_ATTENTION_INT8.json.  Measured: **1.331×** (213.9→284.8).
+  Writes PROBE_ATTENTION_INT8.json.  Measured: **1.338×** (217.6→291.2).
 
 End-to-end A/B at the headline shapes (64×1024² uint8, 256² tiles, nf32),
 device-resident, best-of-3.  Usage: ``python probe_trunk_int8.py

@@ -68,9 +68,9 @@ _DN = ("NHWC", "HWIO", "NHWC")
 # gain; forward-level 1.18x diluted by pipeline overhead) — so they stay
 # opt-in via BIU_INT8_EXPERIMENTAL=1 and otherwise warn + fall back to bf16.
 # The exclusion list is 100% measurement-backed.  'attention2d' (int8 trunk,
-# float gates) measured 1.331x end-to-end at the headline shapes
+# float gates) measured 1.338x end-to-end at the headline shapes
 # (benchmarks/PROBE_ATTENTION_INT8.json) and ships; dilated trunks measured
-# 1.405x (PROBE_DILATED_INT8.json) and ride 'unet2d'.
+# 1.333x (PROBE_DILATED_INT8.json) and ride 'unet2d'.
 _MEASURED_INT8 = frozenset({"unet2d", "attention2d"})
 
 # measured end-to-end int8/bf16 ratios per family (benchmarks/INT8_r04.json,
@@ -78,7 +78,7 @@ _MEASURED_INT8 = frozenset({"unet2d", "attention2d"})
 # Siam 1.249x and MultiOutput 1.745x share the trunk), quoted in the
 # fallback warning so a declined quantized=True explains itself with the
 # number that decided it
-_INT8_MEASURED_RATIO = {"unet2d": 1.257, "attention2d": 1.331,
+_INT8_MEASURED_RATIO = {"unet2d": 1.257, "attention2d": 1.338,
                         "nested": 0.895, "unet3d": 1.127}
 
 def _sites(mode):
@@ -128,7 +128,7 @@ def _int8_family(model):
             # any integer dilation rides the same int8 graph (rhs_dilation
             # on the encoder/middle convs — identical FLOPs/requant traffic
             # to the measured plain trunk; own on-chip decision leg measured
-            # 1.405x end-to-end, benchmarks/PROBE_DILATED_INT8.json).
+            # 1.333x end-to-end, benchmarks/PROBE_DILATED_INT8.json).
             # Attention gates stay float inside the int8 graph (dequant →
             # gate → requant per level) — a separate family key so the ship
             # decision is its own measurement.

@@ -111,7 +111,7 @@ def test_quantized_dilated_unet_close_to_bf16(rng, tmp_path):
 def test_quantized_attention_unet_close_to_bf16(rng, tmp_path):
     """AttentionUnet quantizes its trunk with the four gates in float
     (dequant → gate → requant per level — round-4 extension; previously an
-    unmeasured fallback).  Decision leg measured 1.331× end-to-end
+    unmeasured fallback).  Decision leg measured 1.338× end-to-end
     (benchmarks/PROBE_ATTENTION_INT8.json); the accuracy contract here
     matches the plain trunk's, on a BN-warmed reference checkpoint
     (attention_unet.py:5-181)."""

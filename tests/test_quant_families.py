@@ -56,7 +56,7 @@ def test_int8_status_is_measurement_gated(monkeypatch):
 
     monkeypatch.delenv("BIU_INT8_EXPERIMENTAL", raising=False)
     assert int8_status(Unet(n_filter=8)) == "enabled"  # measured family
-    # measured families (round 4): dilated trunk 1.405x, attention 1.331x
+    # measured families (round 4): dilated trunk 1.333x, attention 1.338x
     assert int8_status(Unet(n_filter=8, dilation=2)) == "enabled"
     assert int8_status(Unet(n_filter=8, attention=True)) == "enabled"
     from bio_image_unet_tpu.models import Siam_UNet
