@@ -110,6 +110,23 @@ def available() -> bool:
     return get_lib() is not None
 
 
+def _plausible(path, n, h, w, c, itemsize) -> bool:
+    """Bound the probe-reported dimensions BEFORE allocating the output
+    array: a corrupt header must not drive np.empty to a ~256 GB request
+    (ASan-fuzz finding).  The decoded payload of a real TIFF cannot exceed
+    ~1200× the file size (deflate's hard ~1032:1 inflation limit, the only
+    supported compression) — anything above is corrupt-header fiction.
+    Returning False falls back to the Python codec, which raises its clean
+    TiffFormatError."""
+    if min(n, h, w, c) <= 0:
+        return False
+    try:
+        fsize = os.path.getsize(path)
+    except OSError:
+        return False
+    return n * h * w * c * itemsize <= 1200 * fsize + (1 << 20)
+
+
 def imread(path) -> Optional[np.ndarray]:
     """Native read of a (multipage) TIFF → (N,H,W[,C]) / (H,W[,C]) array,
     or None when the native path can't handle the file."""
@@ -123,6 +140,8 @@ def imread(path) -> Optional[np.ndarray]:
         return None
     np_dtype = np.dtype(_DTYPES[dtype.value])
     n, h, w, c = (int(shape[i]) for i in range(4))
+    if not _plausible(path, n, h, w, c, np_dtype.itemsize):
+        return None
     out = np.empty(n * h * w * c, dtype=np_dtype)
     rc = lib.biotiff_read(str(path).encode(),
                           out.ctypes.data_as(ctypes.c_void_p),
@@ -150,6 +169,8 @@ def imread_batch(paths: List[str], n_threads: int = 0) -> Optional[np.ndarray]:
         return None
     np_dtype = np.dtype(_DTYPES[dtype.value])
     n, h, w, c = (int(shape[i]) for i in range(4))
+    if not _plausible(paths[0], n, h, w, c, np_dtype.itemsize):
+        return None
     item_bytes = n * h * w * c * np_dtype.itemsize
     out = np.empty(len(paths) * n * h * w * c, dtype=np_dtype)
     c_paths = (ctypes.c_char_p * len(paths))(*[str(p).encode() for p in paths])

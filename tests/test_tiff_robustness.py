@@ -193,6 +193,37 @@ def test_imread_garbage_raises_tiff_format_error(tmp_path):
         tiff.imread(path)
 
 
+def test_native_probe_dims_bounded_before_allocation(tmp_path):
+    """A corrupt header whose probe-reported dimensions imply a payload far
+    beyond what the file could decode to (deflate tops out ~1032:1) must
+    make the native wrapper return None BEFORE any np.empty — an ASan-fuzz
+    case drove a ~258 GiB allocation request through the old unguarded
+    path."""
+    from bio_image_unet_tpu import native
+
+    if not native.available():
+        pytest.skip("native codec not built")
+
+    rng = np.random.default_rng(4)
+    buf = io.BytesIO()
+    tiff.imwrite(buf, rng.integers(0, 65535, (3, 32, 48)).astype(np.uint16))
+    data = bytearray(buf.getvalue())
+    (ifd,) = struct.unpack("<I", data[4:8])
+    (n,) = struct.unpack("<H", data[ifd:ifd + 2])
+    for i in range(n):
+        base = ifd + 2 + i * 12
+        tag, _ = struct.unpack_from("<HH", data, base)
+        if tag in (256, 257):  # claim a ~4-gigapixel page
+            struct.pack_into("<I", data, base + 8, 1 << 16)
+    path = _write(tmp_path, bytes(data))
+    assert native.imread(path) is None  # refused pre-allocation
+    assert native.imread_batch([path]) is None
+    # ... and the full imread chain still yields ONE clean codec error
+    with pytest.raises(TiffFormatError):
+        with tiff.TiffReader(path) as tr:
+            tr.read_page(0)
+
+
 @pytest.mark.parametrize("mode", ["py", "native"])
 def test_seeded_fuzz_sweep(tmp_path, mode):
     """Seeded mutation sweep (truncate / flip bytes / corrupt the header
