@@ -173,6 +173,30 @@ def test_quantized_mesh_matches_single_device(rng, warmed_unet_pt):
     np.testing.assert_array_equal(sharded, single)
 
 
+def test_quantized_attention_mesh_matches_single_device(rng, tmp_path):
+    """The attention2d int8 family (mixed int8 trunk + bf16 gates) under
+    the frame shard_map must equal single-chip exactly — each frame's
+    forward is independent, bf16 included."""
+    import jax
+    import jax.numpy as jnp
+
+    from bio_image_unet_tpu import checkpoint
+    from bio_image_unet_tpu.models import AttentionUnet
+    from bio_image_unet_tpu.parallel import get_mesh
+
+    model = AttentionUnet(n_filter=8)
+    variables = model.init(jax.random.PRNGKey(4), jnp.zeros((1, 64, 64, 1)))
+    ck = str(tmp_path / "att_mesh.ckpt")
+    checkpoint.save(ck, variables, {"model_name": "AttentionUnet",
+                                    "n_filter": 8})
+    movie = _blob_movie(rng, n=3)
+    kw = dict(resize_dim=(64, 64), show_progress=False, batch_size=8,
+              device_pipeline=True, quantized=True)
+    single = Predict(movie, None, ck, **kw).result
+    sharded = Predict(movie, None, ck, mesh=get_mesh(), **kw).result
+    np.testing.assert_array_equal(sharded, single)
+
+
 def _siam_ckpt(tmp_path, mode):
     import torch
 
