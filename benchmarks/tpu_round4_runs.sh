@@ -19,5 +19,9 @@ run 2400 python benchmarks/int8_bench.py
 run 900 python benchmarks/probe_epilogue_bf16.py
 run 600 python benchmarks/probe_nested_int8.py
 run 600 python benchmarks/probe3d_int8.py
+run 900 python benchmarks/probe_trunk_int8.py
 echo "done at $(date -u +%H:%M:%S)" | tee -a "$LOG"
 tail -5 "$LOG"
+# NB: re-running regenerates the PINNED artifacts this log and
+# INT8_r04.json/PROBE_*.json represent — doc quotes (README/PARITY/NOTES)
+# must be re-synced to the fresh numbers afterward (artifact-quoting rule).
