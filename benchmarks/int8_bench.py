@@ -142,11 +142,17 @@ def bench_multi_output():
         out = eng.fused_predict_heads(imgs, xs, ys, (ph, ph), (0.0, 99.98),
                                       factors)
         _sync(out["mask"])
+        # device-resident input like every other leg (bench_nested comment):
+        # the r04 run timed this leg with a host array, paying the tunnel
+        # upload inside every iteration — benchmarks/PROBE_HEADS_BREAKDOWN
+        # quantifies the split
+        imgs_dev = jnp.asarray(imgs)
 
         def one():
-            return eng.fused_predict_heads(imgs, xs, ys, (ph, ph),
+            return eng.fused_predict_heads(imgs_dev, xs, ys, (ph, ph),
                                            (0.0, 99.98), factors)["mask"]
 
+        one(); _sync(one())  # settle
         return frames * h * w / 1e6 / _best(one)
 
     return run(False), run(True)
