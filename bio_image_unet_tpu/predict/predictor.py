@@ -11,6 +11,7 @@ compiles once per (patch shape, batch size) signature.
 from __future__ import annotations
 
 import os
+import warnings
 from typing import Optional
 
 import jax
@@ -268,6 +269,16 @@ def _replicate_if_mesh(x, mesh):
     from ..parallel import replicated
 
     return jax.device_put(np.asarray(x), replicated(mesh))
+
+
+def _is_oom_error(exc: Exception) -> bool:
+    """True when an exception is a device out-of-memory, either at compile
+    time (this runtime's AOT helper raises INTERNAL with XLA's 'Ran out of
+    memory in memory space hbm' report) or at execution (PJRT raises
+    RESOURCE_EXHAUSTED)."""
+    msg = str(exc).lower()
+    return ("resource_exhausted" in msg or "ran out of memory" in msg
+            or "out of memory" in msg)
 
 
 def _resolve_device_pipeline(device_pipeline, blocker) -> bool:
@@ -1011,7 +1022,8 @@ class _Engine:
 
     def fused_predict_heads(self, imgs_raw: np.ndarray, xs, ys, patch_size,
                             clip_threshold, factors,
-                            fixed_bounds: Optional[np.ndarray] = None):
+                            fixed_bounds: Optional[np.ndarray] = None,
+                            _bs: Optional[int] = None):
         """Fused multi-head predict (≙ multi_output_unet/predict.py:102-285):
         raw uint8/uint16 frames go up in ONE transfer (2–4× less link traffic
         than the round-2 float32 patch upload) and one program normalizes
@@ -1021,7 +1033,8 @@ class _Engine:
         — the dense weight stack is never materialized or uploaded).
         Returns {head: (N, out_h, out_w, c) float16 device array} — the
         reference's own result-patch dtype, halving the D2H transfer;
-        callers cast to float32."""
+        callers cast to float32.  ``_bs`` is the OOM-backoff override (see
+        :func:`_dispatch_with_oom_backoff`)."""
         if self._quant is not None and not self._quant_ready:
             self._calibrate_int8(imgs_raw, xs, ys, patch_size,
                                  clip_threshold, False,
@@ -1035,7 +1048,19 @@ class _Engine:
         per = len(xs) * len(ys)
         n = n_frames * per
         mesh = self.mesh
-        bs = max(1, min(n, (1 << 22) // (ph * pw)))
+        # 16M tile pixels per map step like the plain-2D chunk path (same
+        # single trunk; the per-head 1x1 convs are negligible): the MXU only
+        # saturates near ~8-16M px/dispatch — the old 4M cap ran 512^2 tiles
+        # at bs=16 = 94 MP/s vs 177 at bs=64 (benchmarks/
+        # PROBE_HEADS_BREAKDOWN.json batch sweep).  The dense-grid UNet++
+        # keeps every x_{i,j} column alive (~4× the plain trunk's live
+        # activations: 32×512² of it OOM'd a 16G chip — four 2G
+        # bf16[32,512,512,64] temps), so it keeps the proven 4M cap.
+        from ..models.nested_unet import MultiOutputNestedUNet
+
+        cap = ((1 << 22) if isinstance(self.model, MultiOutputNestedUNet)
+               else (1 << 24))
+        bs = _bs if _bs is not None else max(1, min(n, cap // (ph * pw)))
         if mesh is not None:
             bs = _round_up(bs, mesh.shape["data"])
         fixed = fixed_bounds is not None
@@ -1111,10 +1136,36 @@ class _Engine:
             self._cache_put(_Engine._FUSED_CACHE, key, jax.jit(pipeline))
         fn = self._cache_get(_Engine._FUSED_CACHE, key)
         imgs_dev = _replicate_if_mesh(imgs_raw, mesh)
-        if fixed:
-            return fn(self.variables, imgs_dev,
-                      jnp.asarray(np.asarray(fixed_bounds, np.float32)))
-        return fn(self.variables, imgs_dev)
+        args = ((self.variables, imgs_dev,
+                 jnp.asarray(np.asarray(fixed_bounds, np.float32)))
+                if fixed else (self.variables, imgs_dev))
+        return self._dispatch_with_oom_backoff(
+            fn, args, bs,
+            lambda smaller: self.fused_predict_heads(
+                imgs_raw, xs, ys, patch_size, clip_threshold, factors,
+                fixed_bounds=fixed_bounds, _bs=smaller))
+
+    def _dispatch_with_oom_backoff(self, fn, args, bs: int, retry):
+        """Dispatch a fused program; if the chip runs out of HBM (compile- or
+        run-time), halve the map-step batch and rebuild via ``retry`` — the
+        raised batch caps saturate the MXU for the common models, and odd
+        model/tile combinations degrade to a smaller batch instead of
+        failing (the dense UNet++ at 32×512² tiles needs ~16 G of temps)."""
+        try:
+            return fn(*args)
+        except Exception as exc:  # jaxlib error types vary by runtime
+            floor = self.mesh.shape["data"] if self.mesh is not None else 1
+            if not _is_oom_error(exc) or bs <= floor:
+                raise
+            smaller = max(floor, bs // 2)
+            if self.mesh is not None:
+                smaller = _round_up(smaller, floor)
+            warnings.warn(
+                f"fused program ran out of device memory at map batch {bs}; "
+                f"retrying with batch {smaller} (larger batches saturate the "
+                "MXU — see benchmarks/PROBE_HEADS_BREAKDOWN.json)",
+                stacklevel=3)
+            return retry(smaller)
 
     def fused_predict_volume(self, vol_raw: np.ndarray, zs, xs, ys,
                              resize_dim, clip_threshold, invert: bool):
@@ -1197,7 +1248,8 @@ class _Engine:
         return fn(self.variables, _replicate_if_mesh(vol_raw, mesh))
 
     def fused_predict_heads_3d(self, vols_raw: np.ndarray, zs, xs, ys,
-                               tile, clip_threshold, factors):
+                               tile, clip_threshold, factors,
+                               _bs: Optional[int] = None):
         """Fused multi-head 3D predict (≙ multi_output_unet3d/predict.py:
         90-307): raw integer volumes up in one transfer, per-volume
         normalization to [0, 1] on device, overlap-stride tiling, multi-head
@@ -1217,7 +1269,13 @@ class _Engine:
         per = len(zs) * len(xs) * len(ys)
         n = n_vol * per
         mesh = self.mesh
-        bs = max(1, min(n, (1 << 22) // (tz * tx * ty)))
+        # 8M tile voxels per map step like the plain fused_predict_volume
+        # (same 3D trunk, deep activations cap it below the 2D paths); the
+        # old 4M cap under-filled the MXU (see PROBE_HEADS_BREAKDOWN.json
+        # batch sweep for the 2D analog); OOM-backoff halves on odd
+        # model/tile combinations
+        bs = (_bs if _bs is not None
+              else max(1, min(n, (1 << 23) // (tz * tx * ty))))
         if mesh is not None:
             bs = _round_up(bs, mesh.shape["data"])
         key = self._cache_key + ("fused_heads_3d", n_vol, d, h, w, tz, tx, ty,
@@ -1283,7 +1341,11 @@ class _Engine:
 
             self._cache_put(_Engine._FUSED_CACHE, key, jax.jit(pipeline))
         fn = self._cache_get(_Engine._FUSED_CACHE, key)
-        return fn(self.variables, _replicate_if_mesh(vols_raw, mesh))
+        return self._dispatch_with_oom_backoff(
+            fn, (self.variables, _replicate_if_mesh(vols_raw, mesh)), bs,
+            lambda smaller: self.fused_predict_heads_3d(
+                vols_raw, zs, xs, ys, tile, clip_threshold, factors,
+                _bs=smaller))
 
     @staticmethod
     def _pad_to(arr: np.ndarray, n_pad: int) -> np.ndarray:

@@ -956,3 +956,98 @@ def test_fused_heads_accepts_device_resident_input(rng, mo_ckpt):
     for key in a:
         np.testing.assert_array_equal(np.asarray(a[key]), np.asarray(b[key]),
                                       err_msg=key)
+
+
+def test_is_oom_error_classification():
+    from bio_image_unet_tpu.predict.predictor import _is_oom_error
+
+    assert _is_oom_error(RuntimeError(
+        "INTERNAL: ... XLA:TPU compile permanent error. Ran out of memory "
+        "in memory space hbm. Used 16.02G of 15.75G hbm."))
+    assert _is_oom_error(RuntimeError("RESOURCE_EXHAUSTED: allocation"))
+    assert not _is_oom_error(ValueError("shape mismatch"))
+    assert not _is_oom_error(RuntimeError("UNAVAILABLE: backend down"))
+
+
+def _boom_once_cache_get(monkeypatch, msg):
+    """Patch _Engine._cache_get so the FIRST fetched program raises ``msg``
+    and later fetches are genuine — simulating a compile/run OOM the
+    backoff must recover from."""
+    from bio_image_unet_tpu.predict import predictor
+
+    orig = predictor._Engine._cache_get  # bound classmethod
+    state = {"armed": True}
+
+    def fake(cache, key):
+        fn = orig(cache, key)
+        if state["armed"]:
+            state["armed"] = False
+
+            def boom(*a, **k):
+                raise RuntimeError(msg)
+
+            return boom
+        return fn
+
+    monkeypatch.setattr(predictor._Engine, "_cache_get", staticmethod(fake))
+    return state
+
+
+def test_fused_heads_oom_backoff_halves_batch(rng, mo_ckpt, monkeypatch):
+    """A device OOM (compile- or run-time) on the fused heads program must
+    degrade to a halved map batch with a warning — not fail — and produce
+    the same heads (map batching never changes per-patch math)."""
+    from bio_image_unet_tpu.predict.predictor import _Engine
+    from bio_image_unet_tpu.predict.tiling import _margin_factors, grid_starts
+
+    imgs = rng.integers(0, 255, (2, 48, 48), dtype=np.uint8)
+    xs, ys = grid_starts(48, 32, 0), grid_starts(48, 32, 0)
+    factors = _margin_factors((len(xs), len(ys)), (32, 32), 4)
+    want = _Engine(mo_ckpt, None, batch_size=4).fused_predict_heads(
+        imgs, xs, ys, (32, 32), (0.2, 99.8), factors)
+
+    _boom_once_cache_get(
+        monkeypatch, "RESOURCE_EXHAUSTED: Ran out of memory in memory "
+        "space hbm. Used 16.02G of 15.75G hbm.")
+    with pytest.warns(UserWarning, match="out of device memory"):
+        got = _Engine(mo_ckpt, None, batch_size=4).fused_predict_heads(
+            imgs, xs, ys, (32, 32), (0.2, 99.8), factors)
+    for key in want:
+        np.testing.assert_array_equal(np.asarray(want[key]),
+                                      np.asarray(got[key]), err_msg=key)
+
+
+def test_fused_heads_non_oom_error_propagates(rng, mo_ckpt, monkeypatch):
+    from bio_image_unet_tpu.predict.predictor import _Engine
+    from bio_image_unet_tpu.predict.tiling import _margin_factors, grid_starts
+
+    imgs = rng.integers(0, 255, (1, 32, 32), dtype=np.uint8)
+    xs = ys = grid_starts(32, 32, 0)
+    factors = _margin_factors((1, 1), (32, 32), 4)
+    _boom_once_cache_get(monkeypatch, "UNAVAILABLE: backend went away")
+    with pytest.raises(RuntimeError, match="UNAVAILABLE"):
+        _Engine(mo_ckpt, None, batch_size=4).fused_predict_heads(
+            imgs, xs, ys, (32, 32), (0.2, 99.8), factors)
+
+
+def test_fused_heads_3d_oom_backoff(rng, mo3d_ckpt, monkeypatch):
+    """Same backoff contract on the 3D heads path (separate retry wiring)."""
+    from bio_image_unet_tpu.predict.predictor import _Engine
+    from bio_image_unet_tpu.predict.tiling import _blend_factors, grid_starts
+
+    vols = rng.integers(0, 255, (1, 8, 16, 16), dtype=np.uint8)[None][0]
+    vols = vols.reshape(1, 8, 16, 16)
+    zs = grid_starts(8, 8, 0)
+    xs, ys = grid_starts(16, 8, 0), grid_starts(16, 8, 0)
+    factors = _blend_factors((len(zs), len(xs), len(ys)), (8, 8, 8), 2)
+    want = _Engine(mo3d_ckpt, None, batch_size=4).fused_predict_heads_3d(
+        vols, zs, xs, ys, (8, 8, 8), (0.0, 99.8), factors)
+
+    _boom_once_cache_get(monkeypatch,
+                         "RESOURCE_EXHAUSTED: out of memory: hbm")
+    with pytest.warns(UserWarning, match="out of device memory"):
+        got = _Engine(mo3d_ckpt, None, batch_size=4).fused_predict_heads_3d(
+            vols, zs, xs, ys, (8, 8, 8), (0.0, 99.8), factors)
+    for key in want:
+        np.testing.assert_array_equal(np.asarray(want[key]),
+                                      np.asarray(got[key]), err_msg=key)
