@@ -25,13 +25,13 @@ float.  Family-specific pieces:
   2D decoder.
 
 Measurement verdict (round 4, benchmarks/INT8_r04.json): the end-to-end
-fused volume pipeline measured **1.127×** (58.5 → 65.9 Mvox/s, device-
+fused volume pipeline measured **1.109×** (58.1 → 64.4 Mvox/s, device-
 resident) — a real gain, but below the ~1.15× ship bar; the forward-level
-probe (benchmarks/PROBE3D_INT8.json) measured 1.179×, diluted to 1.127× by
+probe (benchmarks/PROBE3D_INT8.json) measured 1.179×, diluted to 1.109× by
 the pipeline's non-conv work, consistent with the round-3 conv-level range
 of 1.10–1.22× (benchmarks/probe3d.py).  The family therefore stays OUT of
 quant._MEASURED_INT8 by default — ``quantized=True`` warns and runs bf16;
-BIU_INT8_EXPERIMENTAL=1 opts into the +13% for users who accept the
+BIU_INT8_EXPERIMENTAL=1 opts into the +11% for users who accept the
 ~few-level PTQ accuracy cost.  Accuracy is platform-independent and
 CPU-tested (tests/test_quant_families.py).
 """

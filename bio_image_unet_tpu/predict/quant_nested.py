@@ -22,8 +22,8 @@ float.  The parts specific to the dense skip grid:
   convs via ``rhs_dilation`` with the fastpath's explicit padding geometry.
 
 Measurement verdict (round 4, benchmarks/INT8_r04.json): int8 UNet++
-measured **0.895× — SLOWER than bf16** end-to-end on the target chip
-(17.5 → 15.6 MP/s on the fused heads pipeline, device-resident), and the
+measured **0.892× — SLOWER than bf16** end-to-end on the target chip
+(17.4 → 15.5 MP/s on the fused heads pipeline, device-resident), and the
 cell-level probe (benchmarks/probe_nested_int8.py) confirmed the mechanism
 at 0.62×: every dense-grid cell pays dequant→bilinear→requant plus
 per-partner concat rescales at full resolution, epilogue traffic that
