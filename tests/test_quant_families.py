@@ -85,8 +85,15 @@ def test_quantized_3d_without_env_warns_and_runs_bf16(rng, tmp_path,
     kw = dict(resize_dim=(16, 32, 32), show_progress=False,
               device_pipeline=True)
     ref = Predict3D(vol, None, ck, **kw).result
-    # the warning must cite the measured ratio that made the decision
-    with pytest.warns(UserWarning, match=r"1\.13x.*BIU_INT8_EXPERIMENTAL"):
+    # the warning must cite the measured ratio that made the decision —
+    # derived from the registry the warning itself formats (re-syncing the
+    # ratio to a regenerated INT8 artifact must not break this test)
+    import re
+
+    from bio_image_unet_tpu.predict import quant
+
+    ratio = re.escape(f"{quant._INT8_MEASURED_RATIO['unet3d']:.2f}x")
+    with pytest.warns(UserWarning, match=ratio + ".*BIU_INT8_EXPERIMENTAL"):
         q = Predict3D(vol, None, ck, quantized=True, **kw)
     assert np.array_equal(ref, q.result)  # identical — it really ran bf16
 
