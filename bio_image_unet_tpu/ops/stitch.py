@@ -164,9 +164,11 @@ def _stitch_factored_xla(patches, axis_factors, grid_idx, starts, out_spatial):
     """Weighted scatter-add where patch p's weight plane is the outer MIN of
     per-axis factor rows: ``w[p] = min_a axis_factors[a][grid_idx[p, a]]``.
 
-    Both reference weight schemes factor this way — the 2D safe-margin mask
+    Both weight schemes used here factor this way — the 2D safe-margin mask
     (binary, multi_output_unet/predict.py:259-270) and the 3D linear blend
-    ramp (multi_output_unet3d/predict.py:249-273 takes np.minimum per axis) —
+    ramp (tiling._blend_weights — the sane min-combined rewrite of
+    multi_output_unet3d/predict.py:249-273, whose own loops clobber axes and
+    never ramp the trailing edge; see _blend_weights' divergence note) —
     so the (N, *tile) weight stack (hundreds of MB for 3D grids of 256³
     tiles) is never materialized or transferred: each scan step rebuilds its
     patch's weights from O(n_a·t_a) factor tables."""

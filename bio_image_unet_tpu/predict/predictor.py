@@ -584,22 +584,32 @@ class _Engine:
     _QUANT_CAL_TILES_3D = 8
 
     def _calibrate_int8_3d(self, vols, zs, xs, ys, tile, clip_threshold,
-                           invert=False):
+                           invert=False, fixed_bounds=None):
         """3D analog of :meth:`_calibrate_int8`: sub-volumes sampled across
         the tiling grid of (up to two) volumes spanning the stack, normalized
-        the way the fused 3D programs do (per-volume bounds — 'single'/
-        'first'/'all' coincide on one-volume stacks, fused_predict_volume /
-        fused_predict_heads_3d), one instrumented bf16 dispatch
-        (predict/quant3d.py), then the int8 apply + packed weights swap in."""
+        the way the fused 3D programs do (per-volume bounds for 'single';
+        with ``fixed_bounds`` the caller's stack-global 'first'/'all' bounds,
+        so the calibration sees the SAME input distribution inference will —
+        the round-3 advisor finding the 2D path already fixes), one
+        instrumented bf16 dispatch (predict/quant3d.py), then the int8 apply
+        + packed weights swap in."""
         cal_fn = self._quant[0]
         tz, tx, ty = tile
         vols = np.asarray(vols)
         if vols.ndim == 3:
             vols = vols[None]
         vidx = np.unique(np.linspace(0, len(vols) - 1, 2).round().astype(int))
-        norm = _normalize_stack(
-            vols[vidx].reshape(len(vidx), -1), "single", clip_threshold,
-            invert).reshape((len(vidx),) + vols.shape[1:]) / 255.0
+        if fixed_bounds is not None:
+            # mirror _normalize_clip with the caller's global bounds
+            lo, hi, gmin, gmax = (float(v) for v in fixed_bounds)
+            f = np.clip(vols[vidx].astype(np.float32), lo, hi)
+            f = ((f - gmin) / (gmax - gmin)
+                 if gmax > gmin else np.zeros_like(f))
+            norm = (1.0 - f) if invert else f
+        else:
+            norm = _normalize_stack(
+                vols[vidx].reshape(len(vidx), -1), "single", clip_threshold,
+                invert).reshape((len(vidx),) + vols.shape[1:]) / 255.0
         pads = [(0, max(0, t - s)) for t, s in zip(tile, norm.shape[1:])]
         if any(p[1] for p in pads):
             norm = np.pad(norm, [(0, 0)] + pads, mode="reflect")
@@ -1249,6 +1259,7 @@ class _Engine:
 
     def fused_predict_heads_3d(self, vols_raw: np.ndarray, zs, xs, ys,
                                tile, clip_threshold, factors,
+                               fixed_bounds: Optional[np.ndarray] = None,
                                _bs: Optional[int] = None):
         """Fused multi-head 3D predict (≙ multi_output_unet3d/predict.py:
         90-307): raw integer volumes up in one transfer, per-volume
@@ -1256,10 +1267,17 @@ class _Engine:
         forward and linear-blend stitch (per-axis ``factors`` tables — the
         dense blend-weight stack, hundreds of MB for big 3D grids, is never
         built).  Returns {head: (V, D, H, W, c) float16 device array} (the
-        reference's result-patch dtype; callers cast to float32)."""
+        reference's result-patch dtype; callers cast to float32).
+
+        ``fixed_bounds`` — (lo, hi, gmin, gmax) float32 — switches from
+        per-volume ('single') normalization to stack-global bounds: the
+        'first'/'all' modes of multi_output_unet3d/predict.py:114-121, whose
+        percentiles are computed ONCE on host and threaded in as *traced*
+        scalars (the 2D ``fused_predict_heads`` mechanism)."""
         if self._quant is not None and not self._quant_ready:
             self._calibrate_int8_3d(vols_raw, zs, xs, ys, tile,
-                                    clip_threshold)
+                                    clip_threshold,
+                                    fixed_bounds=fixed_bounds)
         n_vol, d, h, w = vols_raw.shape
         tz, tx, ty = tile
         zs = tuple(int(v) for v in zs)
@@ -1278,9 +1296,10 @@ class _Engine:
               else max(1, min(n, (1 << 23) // (tz * tx * ty))))
         if mesh is not None:
             bs = _round_up(bs, mesh.shape["data"])
+        fixed = fixed_bounds is not None
         key = self._cache_key + ("fused_heads_3d", n_vol, d, h, w, tz, tx, ty,
                                  zs, xs, ys, tuple(clip_threshold), bs,
-                                 str(src_dtype),
+                                 str(src_dtype), fixed,
                                  tuple(np.asarray(f, np.float32).tobytes()
                                        for f in factors)) + _mesh_key(mesh)
         if key not in _Engine._FUSED_CACHE:
@@ -1300,14 +1319,19 @@ class _Engine:
             grid_idx = np.stack([g.ravel() for g in gidx], axis=1).astype(np.int32)
             facs = tuple(jnp.asarray(f) for f in factors)
 
-            def pipeline(variables, vols):
-                # per-VOLUME bounds: _normalize_stack over a 1-volume stack
-                # makes 'single'/'first'/'all' coincide (the host path
-                # normalizes volume by volume)
-                lo, hi, fmin, fmax = (
-                    v[:, None, None, None]
-                    for v in _device_frame_bounds(vols.reshape(n_vol, -1),
-                                                  clip_threshold, n_bits))
+            def pipeline(variables, vols, bounds=None):
+                if bounds is not None:
+                    # stack-global 'first'/'all' bounds as traced scalars
+                    # (≙ multi_output_unet3d/predict.py:114-121)
+                    lo, hi, fmin, fmax = (bounds[i] for i in range(4))
+                else:
+                    # per-VOLUME bounds — the reference's 'single' mode
+                    # (multi_output_unet3d/predict.py:105-112 normalizes
+                    # volume by volume)
+                    lo, hi, fmin, fmax = (
+                        v[:, None, None, None]
+                        for v in _device_frame_bounds(vols.reshape(n_vol, -1),
+                                                      clip_threshold, n_bits))
                 f = _normalize_clip(vols.astype(jnp.float32), lo, hi,
                                     fmin, fmax, invert=False, scale=1.0)
                 patches = _extract_tiles_3d(f, nz, nx, ny, tz, tx, ty,
@@ -1341,11 +1365,15 @@ class _Engine:
 
             self._cache_put(_Engine._FUSED_CACHE, key, jax.jit(pipeline))
         fn = self._cache_get(_Engine._FUSED_CACHE, key)
+        vols_dev = _replicate_if_mesh(vols_raw, mesh)
+        args = ((self.variables, vols_dev,
+                 jnp.asarray(np.asarray(fixed_bounds, np.float32)))
+                if fixed else (self.variables, vols_dev))
         return self._dispatch_with_oom_backoff(
-            fn, (self.variables, _replicate_if_mesh(vols_raw, mesh)), bs,
+            fn, args, bs,
             lambda smaller: self.fused_predict_heads_3d(
                 vols_raw, zs, xs, ys, tile, clip_threshold, factors,
-                _bs=smaller))
+                fixed_bounds=fixed_bounds, _bs=smaller))
 
     @staticmethod
     def _pad_to(arr: np.ndarray, n_pad: int) -> np.ndarray:
@@ -1807,8 +1835,15 @@ class PredictSiam:
                     # current frame is reused as this frame's prev
                     current = read_page(i)
                     if i == 0:
-                        prev = (current if n_frames == 1
-                                else read_page(1))
+                        if n_frames == 1:
+                            prev = current
+                        else:
+                            prev = np.asarray(read_page(1))
+                            # keep the decode: iteration i==1 pops it as its
+                            # 'current' instead of decoding page 1 again
+                            # (mirrors the fused branch at the
+                            # frames_per_chunk=1 boundary)
+                            page_cache[1] = prev
                     else:
                         # chunks iterate contiguously from 0, so the
                         # previous iteration's current frame is always here
@@ -1863,16 +1898,23 @@ class PredictSiam:
 class Predict3D:
     """Tiled 3D prediction (reference unet3d/predict.py:12-195): 3-axis
     linspace grid over a (Z, X, Y) volume, whole-volume normalization,
-    mean-overlap stitching."""
+    mean-overlap stitching.
+
+    ``normalization_mode`` is accepted in the reference's position for
+    drop-in signature parity and — like the reference itself — has no effect:
+    unet3d/predict.py:53 takes the kwarg but its ``__preprocess``
+    (:110-117) normalizes with the WHOLE volume's percentiles regardless of
+    the mode, and so does this class (on device, in the fused path)."""
 
     def __init__(self, vol, result_name, model_params, network="UNet3D",
-                 resize_dim=(64, 128, 128), invert=False, clip_threshold=(0.0, 99.8),
+                 resize_dim=(64, 128, 128), invert=False,
+                 normalization_mode="single", clip_threshold=(0.0, 99.8),
                  add_patch=0, normalize_result=False, show_progress=True,
                  batch_size: int = 4, half_precision=False, mesh=None, device=None,
                  device_pipeline: Optional[bool] = None,
                  quantized: bool = False,
                  progress_notifier: ProgressNotifier = None):
-        del device
+        del device, normalization_mode  # accepted-and-ignored ≙ reference
         if isinstance(vol, (str, os.PathLike)):
             vol = tiff.imread(vol)
         vol = np.asarray(vol)  # raw dtype kept: the fused path uploads ints
@@ -1882,7 +1924,14 @@ class Predict3D:
         engine = _Engine(model_params, network, batch_size, half_precision,
                          mesh=mesh, quantized=quantized)
 
-        zs = grid_starts(self.vol_shape[0], self.resize_dim[0], 0)
+        # add_patch adds ONE extra grid row per axis, z included (the
+        # reference intends the same — unet3d/predict.py:121 computes
+        # N_z = ceil + add_patch — but its :122-126 then accumulate
+        # add_patch into N_x up to three times, once under a condition that
+        # reads N_z; documented divergence: we apply it exactly once per
+        # axis, the unet/predict.py:154-172 semantics every other grid here
+        # follows)
+        zs = grid_starts(self.vol_shape[0], self.resize_dim[0], add_patch)
         xs = grid_starts(self.vol_shape[1], self.resize_dim[1], add_patch)
         ys = grid_starts(self.vol_shape[2], self.resize_dim[2], add_patch)
         n_vox = (len(zs) * len(xs) * len(ys)
@@ -1996,6 +2045,13 @@ class PredictMultiOutput:
         self.patch_size = (ph, pw)
         out_h = max(ph, self.imgs_shape[1])
         out_w = max(pw, self.imgs_shape[2])
+        # documented divergence: patches are EXTRACTED at the same linspace
+        # starts they are stitched back to.  The reference extracts with
+        # sliding_window_view strided by X_start[1] (multi_output_unet/
+        # predict.py:180-181) but stitches at the full linspace X_start —
+        # for truncated linspace grids (non-uniform integer spacing, e.g.
+        # add_tile > 0 with N >= 3) its patch contents and stitch positions
+        # disagree by pixels; here both use the identical start vectors
         xs = grid_starts(out_h, ph, add_tile)
         ys = grid_starts(out_w, pw, add_tile)
         n_px = self.imgs_shape[0] * len(xs) * len(ys) * ph * pw
@@ -2125,8 +2181,6 @@ class PredictMultiOutput3D:
         self.target_keys = list(heads)
 
         if normalization_mode not in ("single", "first", "all"):
-            # per-volume stacks make the three modes coincide, but an invalid
-            # name must still raise like the host path's _normalize_stack
             raise ValueError(f"normalization_mode {normalization_mode} not valid!")
         n_vol, d, h, w = imgs.shape
         tile = tuple(min(s, m) for s, m in zip((d, h, w), max_patch_size))
@@ -2160,19 +2214,36 @@ class PredictMultiOutput3D:
             if (np.issubdtype(imgs.dtype, np.floating)
                     and imgs.dtype != np.float32):
                 imgs = imgs.astype(np.float32)  # device-normalized in f32
+            fixed_bounds = None
+            if normalization_mode in ("first", "all"):
+                # stack-global bounds (≙ multi_output_unet3d/predict.py:
+                # 114-121: volume-0's or the whole stack's percentiles apply
+                # to EVERY volume), computed once on host and threaded into
+                # the fused program as traced scalars.  Post-clip stack
+                # extremes are provably (lo, hi): stack min <= ref min <= lo
+                # and stack max >= ref max >= hi (same argument as the 2D
+                # fused paths)
+                ref = imgs[0] if normalization_mode == "first" else imgs
+                lo = _percentile(ref, clip_threshold[0])
+                hi = _percentile(ref, clip_threshold[1])
+                fixed_bounds = np.array([lo, hi, lo, hi], np.float32)
             from .tiling import _blend_factors
 
             factors = _blend_factors((len(zs), len(xs), len(ys)), tile,
                                      blend_margin)
             for _ in _single_tick(progress_notifier, show_progress):
                 preds = engine.fused_predict_heads_3d(
-                    imgs, zs, xs, ys, tile, clip_threshold, factors)
+                    imgs, zs, xs, ys, tile, clip_threshold, factors,
+                    fixed_bounds=fixed_bounds)
                 preds = {k: np.asarray(v) for k, v in preds.items()}
         else:
-            imgs = imgs.astype(np.float32)
-            for v in range(imgs.shape[0]):
-                imgs[v] = _normalize_stack(imgs[v][None], normalization_mode,
-                                           clip_threshold, scale=1.0)[0]
+            # reference normalization semantics over the (N, D, H, W) stack
+            # (multi_output_unet3d/predict.py:104-125): 'single' per volume,
+            # 'first'/'all' with stack-global bounds — _normalize_stack's
+            # axis-0 elements ARE the volumes here
+            imgs = _normalize_stack(imgs.astype(np.float32),
+                                    normalization_mode, clip_threshold,
+                                    scale=1.0)
 
             patches = []
             for v in range(n_vol):

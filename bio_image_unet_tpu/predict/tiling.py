@@ -146,8 +146,20 @@ def stitch_margin(patches: np.ndarray, starts_per_axis: Sequence[np.ndarray],
 
 def _blend_weights(grid_shape: Sequence[int], tile: Sequence[int],
                    margin: int) -> np.ndarray:
-    """Linear 0→1 ramp over ``margin`` voxels on overlapping sides
-    (multi_output_unet3d/predict.py:249-273)."""
+    """Linear 0→1 ramp over ``margin`` voxels on overlapping sides.
+
+    Documented divergence — the reference's weight construction
+    (multi_output_unet3d/predict.py:249-273) is implemented sanely here,
+    not reproduced: the reference (a) ASSIGNS each axis's ramp
+    (``patch_weight[...] = i/blend_margin``), so the last-written axis
+    clobbers the others at corners instead of combining; (b) ramps its
+    trailing edges with ``max(-(i + 1), 0)``, which is 0 for every ``i`` —
+    the back edge keeps weight 1 while the FRONT plane is overwritten with
+    ``(m-1)/margin``; and (c) sizes the z ramp with ``min(blend_margin,
+    self.N_z)`` — the patch COUNT, not the tile depth.  This rebuild uses a
+    symmetric per-axis ramp combined with ``np.minimum`` (leading and
+    trailing edges treated alike), which is what the reference's comments
+    say it intends ('smooth transitions at borders')."""
     weights = []
     for idx in np.ndindex(*grid_shape):
         w = np.ones(tuple(tile) + (1,), dtype=np.float32)

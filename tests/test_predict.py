@@ -1051,3 +1051,140 @@ def test_fused_heads_3d_oom_backoff(rng, mo3d_ckpt, monkeypatch):
     for key in want:
         np.testing.assert_array_equal(np.asarray(want[key]),
                                       np.asarray(got[key]), err_msg=key)
+
+
+# ----------------------------------------------------------------------
+# round-4 review findings: multi-volume 3D normalization modes, Predict3D
+# signature/grid parity, streaming page decode economy
+# ----------------------------------------------------------------------
+
+
+def test_predict_multi_output_3d_stack_global_modes(rng, mo3d_ckpt):
+    """'first'/'all' on a multi-volume stack must use STACK-GLOBAL bounds
+    (reference multi_output_unet3d/predict.py:114-121), not per-volume ones
+    (the round-4 review found both paths silently ran 'single' for every
+    mode).  Signature: volume 1 = affine(volume 0), so 'single' normalizes
+    both volumes to the IDENTICAL tensor (min-max normalization is
+    affine-invariant) while 'first' clips volume 1 with volume 0's bounds —
+    equal results under 'first' would mean the mode is still per-volume."""
+    v0 = rng.integers(5, 100, (8, 16, 16), dtype=np.uint8)
+    v1 = (v0.astype(np.int32) * 2 + 10).astype(np.uint8)  # affine, in range
+    stack = np.stack([v0, v1])
+    kw = dict(max_patch_size=(8, 16, 16), overlap_factor=0.0,
+              show_progress=False, batch_size=2, blend_margin=2,
+              device_pipeline=False)
+    single = PredictMultiOutput3D(stack, mo3d_ckpt,
+                                  normalization_mode="single", **kw).result
+    first = PredictMultiOutput3D(stack, mo3d_ckpt,
+                                 normalization_mode="first", **kw).result
+    for key in single:
+        # affine invariance: identical normalized volumes → identical heads
+        np.testing.assert_allclose(single[key][0], single[key][1], atol=1e-4,
+                                   rtol=0, err_msg=f"single affine {key}")
+        # volume 0 is its own reference → 'first' == 'single' for volume 0
+        np.testing.assert_allclose(first[key][0], single[key][0], atol=1e-4,
+                                   rtol=0, err_msg=f"first vol0 {key}")
+    # volume 1 under volume-0 bounds is heavily clipped → materially
+    # different input, materially different head output
+    assert max(float(np.abs(first[k][1].astype(np.float32)
+                            - single[k][1].astype(np.float32)).max())
+               for k in single) > 1e-3
+
+
+@pytest.mark.parametrize("mode", ["first", "all"])
+@pytest.mark.parametrize("dtype", [np.uint8, np.float32])
+def test_predict_multi_output_3d_stack_modes_fused_matches_host(
+        rng, mo3d_ckpt, mode, dtype):
+    """The fused 3D heads program with stack-global fixed bounds (traced
+    scalars) matches the host-staged reference-semantics path on a
+    2-volume stack with different brightness per volume."""
+    if dtype == np.float32:
+        v0 = (rng.random((12, 24, 24)) * 80 + 5).astype(np.float32)
+        v1 = (rng.random((12, 24, 24)) * 500 - 100).astype(np.float32)
+    else:
+        v0 = rng.integers(5, 90, (12, 24, 24), dtype=np.uint8)
+        v1 = rng.integers(40, 250, (12, 24, 24), dtype=np.uint8)
+    stack = np.stack([v0, v1])
+    kw = dict(max_patch_size=(8, 16, 16), overlap_factor=0.25,
+              show_progress=False, batch_size=2, blend_margin=4,
+              normalization_mode=mode)
+    fused = PredictMultiOutput3D(stack, mo3d_ckpt, device_pipeline=True, **kw)
+    host = PredictMultiOutput3D(stack, mo3d_ckpt, device_pipeline=False, **kw)
+    for key in fused.result:
+        a, b = fused.result[key], host.result[key]
+        assert a.shape == b.shape, key
+        np.testing.assert_allclose(a, b, atol=2e-3, rtol=0,
+                                   err_msg=f"{key} {mode} {dtype}")
+
+
+def test_predict3d_accepts_normalization_mode(rng, unet3d_ckpt):
+    """Drop-in signature parity: the reference Predict3D takes
+    normalization_mode between invert and clip_threshold
+    (unet3d/predict.py:53) and ignores it in __preprocess (:110-117 uses
+    whole-volume percentiles regardless); ours must accept it in the same
+    position with the same no-op semantics."""
+    vol = rng.integers(0, 255, (12, 24, 24), dtype=np.uint8)
+    base = Predict3D(vol, None, unet3d_ckpt, resize_dim=(8, 16, 16),
+                     show_progress=False).result
+    # keyword form, every mode → identical output
+    for mode in ("single", "first", "all", "anything-goes-like-the-ref"):
+        got = Predict3D(vol, None, unet3d_ckpt, resize_dim=(8, 16, 16),
+                        normalization_mode=mode, show_progress=False).result
+        np.testing.assert_array_equal(got, base, err_msg=mode)
+    # positional form in the reference's order:
+    # (vol, result, params, network, resize_dim, invert, normalization_mode,
+    #  clip_threshold, add_patch)
+    got = Predict3D(vol, None, unet3d_ckpt, "UNet3D", (8, 16, 16), False,
+                    "all", (0.0, 99.8), 0, show_progress=False).result
+    np.testing.assert_array_equal(got, base)
+
+
+def test_predict3d_add_patch_extends_every_axis(rng, unet3d_ckpt, monkeypatch):
+    """add_patch adds one grid row per axis INCLUDING z (the reference
+    intends N_z = ceil + add_patch, unet3d/predict.py:121; the round-4
+    review found ours passed 0 for z) — and the fused path still matches
+    the host-staged stitch on the denser grid."""
+    from bio_image_unet_tpu.predict import predictor
+
+    calls = []
+    orig = predictor.grid_starts
+
+    def spy(extent, tile, add=0):
+        calls.append((extent, tile, add))
+        return orig(extent, tile, add)
+
+    monkeypatch.setattr(predictor, "grid_starts", spy)
+    vol = rng.integers(0, 255, (12, 24, 24), dtype=np.uint8)
+    kw = dict(resize_dim=(8, 16, 16), add_patch=1, show_progress=False)
+    fused = Predict3D(vol, None, unet3d_ckpt, device_pipeline=True, **kw)
+    assert (12, 8, 1) in calls, calls  # the z axis got add_patch
+    host = Predict3D(vol, None, unet3d_ckpt, device_pipeline=False, **kw)
+    diff = np.abs(fused.result.astype(int) - host.result.astype(int))
+    assert np.mean(diff > 1) < 0.01, (diff.max(), np.mean(diff > 1))
+
+
+def test_siam_host_path_decodes_each_page_once(tmp_path, rng, siam_ckpt,
+                                               monkeypatch):
+    """The host-staged streaming path must decode every TIFF page exactly
+    once (the per-frame host decode is this path's dominant cost; the
+    round-4 review found page 1 decoded twice — once as frame 0's prev,
+    once as frame 1's current)."""
+    from collections import Counter
+
+    movie_path = str(tmp_path / "movie.tif")
+    movie = rng.integers(0, 255, (5, 48, 48), dtype=np.uint8)
+    tiff.imwrite(movie_path, movie)
+
+    counts = Counter()
+    orig = tiff.TiffReader.read_page
+
+    def counting(self, i):
+        counts[i] += 1
+        return orig(self, i)
+
+    monkeypatch.setattr(tiff.TiffReader, "read_page", counting)
+    out = str(tmp_path / "out.tif")
+    PredictSiam(movie_path, out, siam_ckpt, resize_dim=(32, 32),
+                device_pipeline=False, show_progress=False,
+                frames_per_chunk=2)
+    assert counts and max(counts.values()) == 1, dict(counts)

@@ -127,3 +127,31 @@ def test_mesh_cache_key_distinguishes_axis_topology():
     k_combo = _mesh_key(get_mesh(n_data=4, n_spatial=2))
     assert k_data != k_combo
     assert k_data == _mesh_key(get_mesh(n_data=8))
+
+
+def test_mesh_fused_heads_3d_fixed_bounds_match_single_device(rng, tmp_path):
+    """The stack-global ('first'/'all') 3D heads program threads its fixed
+    bounds as traced scalars — under a mesh it must reproduce the
+    single-chip fused result exactly (round-4 review fix: these modes were
+    silently per-volume before)."""
+    from bio_image_unet_tpu import checkpoint
+    from bio_image_unet_tpu.models import MultiOutputUnet3D
+    from bio_image_unet_tpu.predict import PredictMultiOutput3D
+
+    heads = {"mask": {"channels": 1, "activation": "sigmoid"}}
+    m = MultiOutputUnet3D(n_filter=4, output_heads=heads)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 16, 16, 1)))
+    ck = str(tmp_path / "mo3d.ckpt")
+    checkpoint.save(ck, v, {"model_name": "MultiOutputUnet3D", "n_filter": 4,
+                            "output_heads": heads})
+    stack = np.stack([
+        rng.integers(5, 90, (8, 32, 32), dtype=np.uint8),
+        rng.integers(40, 250, (8, 32, 32), dtype=np.uint8),
+    ])
+    kw = dict(max_patch_size=(8, 16, 16), overlap_factor=0.25,
+              show_progress=False, batch_size=8, blend_margin=4,
+              normalization_mode="all", device_pipeline=True)
+    single = PredictMultiOutput3D(stack, ck, **kw)
+    sharded = PredictMultiOutput3D(stack, ck, mesh=get_mesh(), **kw)
+    np.testing.assert_array_equal(sharded.result["mask"],
+                                  single.result["mask"])

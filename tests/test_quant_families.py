@@ -276,3 +276,33 @@ def test_quantized_3d_host_path_warns(rng, tmp_path, monkeypatch):
         Predict3D(_blob_volume(rng), None, ck, quantized=True,
                   resize_dim=(16, 32, 32), show_progress=False,
                   device_pipeline=False)
+
+
+def test_quantized_mo3d_stack_mode_calibrates_with_global_bounds(
+        rng, tmp_path, monkeypatch):
+    """int8 calibration under 'first'/'all' must normalize its sample
+    sub-volumes with the CALLER's stack-global bounds (the round-3 advisor
+    finding, extended to 3D with the round-4 stack-mode fix): a stack whose
+    second volume is far brighter than volume 0 would otherwise calibrate
+    per-volume scales the real (clipped-to-vol0) activations never see."""
+    from bio_image_unet_tpu.models import MultiOutputUnet3D
+
+    monkeypatch.setenv("BIU_INT8_EXPERIMENTAL", "1")
+    ck = _warmed_ckpt(
+        tmp_path, MultiOutputUnet3D(n_filter=8, output_heads=HEADS),
+        {"model_name": "MultiOutputUnet3D", "n_filter": 8,
+         "output_heads": HEADS}, (1, 16, 32, 32, 1))
+    stack = np.stack([
+        _blob_volume(rng, 16, 32, 32) // 3,           # dark opening volume
+        np.clip(_blob_volume(rng, 16, 32, 32).astype(np.int32) * 2,
+                0, 255).astype(np.uint8),             # bright second volume
+    ])
+    kw = dict(max_patch_size=(16, 32, 32), show_progress=False,
+              device_pipeline=True, normalization_mode="first")
+    ref = PredictMultiOutput3D(stack, ck, **kw).result
+    q = PredictMultiOutput3D(stack, ck, quantized=True, **kw).result
+    for head in ref:
+        rg = max(float(ref[head].max() - ref[head].min()), 0.5)
+        d = np.abs(ref[head].astype(np.float32) - q[head].astype(np.float32))
+        assert d.max() / rg < 0.15, (head, d.max(), rg)
+        assert d.mean() / rg < 0.03, (head, d.mean(), rg)
