@@ -434,7 +434,14 @@ class ShotNoise(Transform):
 def rotate_array(x: np.ndarray, angle: float, order: int = 1) -> np.ndarray:
     """Arbitrary-angle rotation with grid-wrap border, preserving NaN regions
     and the [0,1] range of probability masks (reference
-    multi_output_unet/data.py:213-242, scipy.ndimage.rotate based)."""
+    multi_output_unet/data.py:213-242, scipy.ndimage.rotate based).
+
+    Documented divergence for CHW (3-D) targets: the reference calls
+    ``scipy.ndimage.rotate`` with the default ``axes=(1, 0)``, which for a
+    channels-first target rotates the (C, H) plane — mixing CHANNELS into
+    rows.  Here a channels-first array rotates in its (H, W) image plane,
+    which is what the reference's own docstring and its 2-D usage intend;
+    multichannel rotated targets therefore differ from the reference."""
     if x.dtype == bool:
         x = x.astype(np.float32)
         xmin, xmax = 0.0, 1.0

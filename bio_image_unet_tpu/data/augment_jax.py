@@ -84,37 +84,48 @@ def random_brightness_contrast(key, image, brightness: float = 0.25,
 
 
 def random_multiplicative_noise(key, image, multiplier: Tuple[float, float] = (0.5, 1.2),
-                                p: float = 0.3, max_value: float = 1.0):
+                                p: float = 0.3, max_value: float = 1.0,
+                                apply_key=None):
     """Per-pixel uniform multiplier (≙ MultiplicativeNoise(elementwise=True),
-    unet/data.py:224)."""
+    unet/data.py:224).  ``apply_key`` overrides the Bernoulli gate's key so
+    two calls (e.g. a siamese frame pair) can share the per-sample apply
+    decision while drawing independent noise fields."""
     b = image.shape[0]
     k_apply, k_m = jax.random.split(key)
+    if apply_key is not None:
+        k_apply = apply_key
     apply = jax.random.bernoulli(k_apply, p, (b,) + (1,) * (image.ndim - 1))
     m = jax.random.uniform(k_m, image.shape, minval=multiplier[0], maxval=multiplier[1])
     return jnp.where(apply, jnp.clip(image * m, 0.0, max_value), image)
 
 
 def random_gauss_noise(key, image, sigma: float = 0.04, p: float = 0.3,
-                       max_value: float = 1.0):
+                       max_value: float = 1.0, apply_key=None):
     """Additive Gaussian noise (≙ GaussNoise, siam_unet/data.py:239;
-    sigma in units of max_value)."""
+    sigma in units of max_value).  ``apply_key`` — see
+    :func:`random_multiplicative_noise`."""
     b = image.shape[0]
     k_apply, k_n = jax.random.split(key)
+    if apply_key is not None:
+        k_apply = apply_key
     apply = jax.random.bernoulli(k_apply, p, (b,) + (1,) * (image.ndim - 1))
     noise = sigma * max_value * jax.random.normal(k_n, image.shape)
     return jnp.where(apply, jnp.clip(image + noise, 0.0, max_value), image)
 
 
 def _intensity(img, k_bc, k_mult, k_gauss, brightness_contrast, noise_mult,
-               gauss_sigma):
+               gauss_sigma, apply_keys=(None, None)):
     """The shared image-only intensity stage (brightness/contrast,
     multiplicative noise, Gaussian noise — each gated on its own
-    probability)."""
+    probability).  ``apply_keys`` optionally pins the two noise ops'
+    apply-gate keys (siamese pairs share gates, draw independent fields)."""
     out = random_brightness_contrast(k_bc, img, *brightness_contrast)
     if noise_mult is not None:
-        out = random_multiplicative_noise(k_mult, out, noise_mult)
+        out = random_multiplicative_noise(k_mult, out, noise_mult,
+                                          apply_key=apply_keys[0])
     if gauss_sigma is not None:
-        out = random_gauss_noise(k_gauss, out, gauss_sigma)
+        out = random_gauss_noise(k_gauss, out, gauss_sigma,
+                                 apply_key=apply_keys[1])
     return out
 
 
@@ -128,7 +139,8 @@ def augment_batch(key, image, mask, prev_image=None,
     all spatial targets, then intensity ops on the image(s) only.  The whole
     pipeline applies with probability ``p_pipeline`` per sample.  3D volumes
     ((B, Z, X, Y, C)) rotate in the (X, Y) plane."""
-    k_gate, k_spatial, k_bc, k_mult, k_gauss, k_bc2 = jax.random.split(key, 6)
+    (k_gate, k_spatial, k_bc, k_mult, k_gauss,
+     k_mult2, k_gauss2, k_am, k_ag) = jax.random.split(key, 9)
     b = image.shape[0]
     gate = jax.random.bernoulli(k_gate, p_pipeline, (b,) + (1,) * (image.ndim - 1))
 
@@ -136,17 +148,25 @@ def augment_batch(key, image, mask, prev_image=None,
     targets = (image, mask) if prev_image is None else (image, mask, prev_image)
     spatial = random_rot90_flip(k_spatial, *targets, spatial_axes=spatial_axes)
 
-    def intensity(img, k_bc_i):
-        return _intensity(img, k_bc_i, k_mult, k_gauss, brightness_contrast,
-                          noise_mult, gauss_sigma)
-
-    aug_image = intensity(spatial[0], k_bc)
+    aug_image = _intensity(spatial[0], k_bc, k_mult, k_gauss,
+                           brightness_contrast, noise_mult, gauss_sigma,
+                           apply_keys=(k_am, k_ag))
     aug_mask = spatial[1]
     out_image = jnp.where(gate, aug_image, image)
     out_mask = jnp.where(gate, aug_mask, mask)
     if prev_image is None:
         return out_image, out_mask
-    aug_prev = intensity(spatial[2], k_bc2)
+    # siamese pair semantics ≙ the offline pipeline, which stacks
+    # (image, prev) as channels of ONE albumentations image
+    # (pipelines.py:488, siam_unet/data.py:254-258): brightness/contrast is
+    # one scalar draw for the pair (same k_bc), the noise apply-gates are
+    # shared (k_am/k_ag — the op hits both frames or neither), and the
+    # per-pixel noise FIELDS are independent per frame (fresh k_mult2/
+    # k_gauss2).  The round-4 review found the previous wiring inverted:
+    # identical noise fields, independent brightness.
+    aug_prev = _intensity(spatial[2], k_bc, k_mult2, k_gauss2,
+                          brightness_contrast, noise_mult, gauss_sigma,
+                          apply_keys=(k_am, k_ag))
     return out_image, out_mask, jnp.where(gate, aug_prev, prev_image)
 
 

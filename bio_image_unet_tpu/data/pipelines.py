@@ -172,6 +172,17 @@ def _read_hwc(path: str) -> np.ndarray:
     return np.moveaxis(arr, 0, -1)
 
 
+def _read_split_hwc(path: str) -> np.ndarray:
+    """Read a SPLIT tile and return float32 HWC in [0,1].  Split tiles are
+    written as (H, W, C) slices, which ``tiff.imwrite`` stores as one
+    multi-sample HWC page for C<=8 — so no axis move: ``imread`` hands back
+    (H, W[, C]) directly.  (The augmented tiles are written channels-first
+    and need :func:`_read_hwc`'s transpose; using that reader here scrambled
+    multichannel non-augmented tiles to (W, C, H) — round-4 review
+    finding.)"""
+    return np.atleast_3d(tiff.imread(path).astype(np.float32) / 255.0)
+
+
 # ---------------------------------------------------------------------------
 # 2D single-frame pipeline (unet)
 # ---------------------------------------------------------------------------
@@ -324,17 +335,20 @@ class DataProcess2D(_TileDataset):
 
     def __len__(self):
         path = self.aug_image_path if self.aug_factor is not None else self.split_image_path
-        return len(os.listdir(path))
+        # count only the numbered .tif tiles: a stray editor/OS file
+        # (.DS_Store, Thumbs.db) in a persisted data dir must not shift
+        # the dense {idx}.tif index range (round-4 review finding)
+        return len(_tif_files(path))
 
     def _load_item(self, idx):
         if self.aug_factor is not None:
             image = _read_hwc(os.path.join(self.aug_image_path, f"{idx}.tif"))
             mask = _read_hwc(os.path.join(self.aug_mask_path, f"{idx}.tif"))
         else:
-            image = _read_hwc(os.path.join(self.split_image_path, f"{idx}.tif"))
+            image = _read_split_hwc(os.path.join(self.split_image_path, f"{idx}.tif"))
             # divergence: the reference reads the *image* dir for the mask here
             # (unet/data.py:259-261) — we read the mask dir
-            mask = _read_hwc(os.path.join(self.split_mask_path, f"{idx}.tif"))
+            mask = _read_split_hwc(os.path.join(self.split_mask_path, f"{idx}.tif"))
         return {"image": image, "mask": mask}
 
 
@@ -496,7 +510,10 @@ class DataProcessSiam(_TileDataset):
 
     def __len__(self):
         path = self.aug_image_path if self.aug_factor is not None else self.split_image_path
-        return len(os.listdir(path))
+        # count only the numbered .tif tiles: a stray editor/OS file
+        # (.DS_Store, Thumbs.db) in a persisted data dir must not shift
+        # the dense {idx}.tif index range (round-4 review finding)
+        return len(_tif_files(path))
 
     def _load_item(self, idx):
         if self.aug_factor is not None:
@@ -504,9 +521,12 @@ class DataProcessSiam(_TileDataset):
             mask = _read_hwc(os.path.join(self.aug_mask_path, f"{idx}.tif"))
             prev = _read_hwc(os.path.join(self.aug_prev_image_path, f"{idx}.tif"))
         else:
-            image = _read_hwc(os.path.join(self.split_image_path, f"{idx}.tif"))
-            mask = _read_hwc(os.path.join(self.split_mask_path, f"{idx}.tif"))
-            prev = _read_hwc(os.path.join(self.split_prev_image_path, f"{idx}.tif"))
+            # split tiles are HWC-on-disk (here single-channel (H, W) —
+            # both readers agree — but keep the split reader for layout
+            # consistency with DataProcess2D)
+            image = _read_split_hwc(os.path.join(self.split_image_path, f"{idx}.tif"))
+            mask = _read_split_hwc(os.path.join(self.split_mask_path, f"{idx}.tif"))
+            prev = _read_split_hwc(os.path.join(self.split_prev_image_path, f"{idx}.tif"))
         return {"image": image, "mask": mask, "prev_image": prev}
 
 
@@ -641,7 +661,10 @@ class DataProcess3D(_TileDataset):
 
     def __len__(self):
         path = self.aug_volume_path if self.aug_factor is not None else self.split_volume_path
-        return len(os.listdir(path))
+        # count only the numbered .tif tiles: a stray editor/OS file
+        # (.DS_Store, Thumbs.db) in a persisted data dir must not shift
+        # the dense {idx}.tif index range (round-4 review finding)
+        return len(_tif_files(path))
 
     def _load_item(self, idx):
         if self.aug_factor is not None:
@@ -701,9 +724,7 @@ class DataProcessMultiOutput(_TileDataset):
         self.mode = "train"
 
         if create:
-            if os.path.exists(self.data_dir):
-                shutil.rmtree(self.data_dir, ignore_errors=True)
-            os.makedirs(self.data_dir, exist_ok=True)
+            _fresh_dirs(self.data_dir, [""], wipe=True)  # one dir-lifecycle impl
             rng = np.random.default_rng(seed)
             self._read_and_edit()
             self._augment(rng)
@@ -864,9 +885,7 @@ class DataProcessMultiOutput3D(_TileDataset):
         self.mode = "train"
 
         if create:
-            if os.path.exists(self.data_dir):
-                shutil.rmtree(self.data_dir, ignore_errors=True)
-            os.makedirs(self.data_dir, exist_ok=True)
+            _fresh_dirs(self.data_dir, [""], wipe=True)  # one dir-lifecycle impl
             rng = np.random.default_rng(seed)
             self._read_and_edit()
             if self.aug_factor is not None:

@@ -356,8 +356,12 @@ class Trainer:
 
             self.writer = SummaryWriter(log_dir=os.path.join(save_dir, "logs"))
         self.metrics_path = os.path.join(save_dir, "metrics.csv")
-        with open(self.metrics_path, "w", newline="") as fh:
-            csv.writer(fh).writerow(["epoch", "train_loss", "val_loss", "lr", "seconds"])
+        # a resume (load_weights) APPENDS to the metric history — truncating
+        # here erased every prior epoch's row, defeating the state the
+        # trainer carefully restores (round-4 review finding)
+        if not load_weights or not os.path.exists(self.metrics_path):
+            with open(self.metrics_path, "w", newline="") as fh:
+                csv.writer(fh).writerow(["epoch", "train_loss", "val_loss", "lr", "seconds"])
 
         self._jit_train_step = jax.jit(self._train_step, donate_argnums=(0,))
         self._jit_eval_step = jax.jit(self._eval_step)

@@ -197,3 +197,35 @@ def test_float_intensity_ops_clip_to_unit(rng):
     bc = RandomBrightnessContrast(0.9, 0.9, p=1.0)
     out2 = bc.apply(img, bc.sample(np.random.default_rng(1), img.shape))
     assert out2.min() >= 0.0 and out2.max() <= 1.0
+
+
+def test_augment_batch_siam_noise_semantics(rng):
+    """Siamese pair intensity semantics ≙ the offline pipeline (which stacks
+    image+prev as channels of ONE albumentations image): shared scalar
+    brightness draw, shared noise apply-gates, INDEPENDENT per-pixel noise
+    fields.  The round-4 review found the wiring inverted (identical noise
+    fields, independent brightness)."""
+    b = 64
+    const = jnp.full((b, 8, 8, 1), 0.5, jnp.float32)
+    mask = jnp.zeros((b, 8, 8, 1), jnp.float32)
+    key = jax.random.PRNGKey(7)
+
+    # brightness only: equal inputs must give EQUAL outputs (one scalar
+    # draw + gate for the pair)
+    img_b, _, prev_b = augment_batch(key, const, mask, const,
+                                     noise_mult=None, gauss_sigma=None,
+                                     p_pipeline=1.0)
+    np.testing.assert_array_equal(np.asarray(img_b), np.asarray(prev_b))
+
+    # multiplicative noise only (brightness off): gates shared, fields free
+    img_n, _, prev_n = augment_batch(key, const, mask, const,
+                                     brightness_contrast=(0.0, 0.0),
+                                     noise_mult=(0.5, 1.2), gauss_sigma=None,
+                                     p_pipeline=1.0)
+    applied_i = np.any(np.asarray(img_n) != 0.5, axis=(1, 2, 3))
+    applied_p = np.any(np.asarray(prev_n) != 0.5, axis=(1, 2, 3))
+    np.testing.assert_array_equal(applied_i, applied_p)  # shared gate
+    assert applied_i.any()  # p=0.3 over 64 samples: some applied
+    both = applied_i & applied_p
+    # independent fields: the noisy frames must NOT be bit-identical
+    assert not np.array_equal(np.asarray(img_n)[both], np.asarray(prev_n)[both])

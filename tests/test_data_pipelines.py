@@ -221,3 +221,45 @@ def test_3d_split_add_patch_every_tiled_axis(tmp_path, rng):
     # z tiled (2 tiles) now gets the extra patch too
     assert len(tile_starts(16, 8, 1)) == 3
     assert len(tile_starts(8, 8, 1)) == 1  # single tile never padded
+
+
+def test_dataprocess2d_no_aug_multichannel_mask_layout(tmp_path, rng):
+    """Non-augmented split tiles are stored as HWC pages; the loader must
+    return (H, W, C) with channel content intact (the round-4 review found
+    the CHW reader scrambling multichannel split tiles to (W, C, H))."""
+    img_dir = str(tmp_path / "image") + "/"
+    mask_dir = str(tmp_path / "label") + "/"
+    os.makedirs(img_dir), os.makedirs(mask_dir)
+    img = rng.integers(0, 255, (64, 64), dtype=np.uint8)
+    mask = (rng.random((2, 64, 64)) > 0.5).astype(np.uint8) * 255  # (C,H,W)
+    tiff.imwrite(os.path.join(img_dir, "a.tif"), img)
+    tiff.imwrite(os.path.join(mask_dir, "a.tif"), mask)
+    data = DataProcess2D((img_dir, mask_dir), dim_out=(64, 64),
+                         aug_factor=None, out_channels=2,
+                         data_path=str(tmp_path / "data"), seed=0)
+    item = data[0]
+    assert item["image"].shape == (64, 64, 1)
+    assert item["mask"].shape == (64, 64, 2)
+    # single 64² tile of a 64² source → channel content round-trips exactly
+    for c in range(2):
+        np.testing.assert_array_equal(item["mask"][..., c],
+                                      mask[c].astype(np.float32) / 255.0,
+                                      err_msg=f"channel {c}")
+
+
+def test_dataprocess_len_ignores_stray_files(tmp_path, rng):
+    """A stray OS/editor file in a persisted tile dir must not shift the
+    dense {idx}.tif index range (len counted os.listdir before round 4)."""
+    img_dir = _write_random_tifs(tmp_path / "image", 2, (64, 64), rng=rng)
+    mask_dir = _write_random_tifs(tmp_path / "label", 2, (64, 64), mask=True,
+                                  rng=rng)
+    data = DataProcess2D((img_dir, mask_dir), dim_out=(64, 64), aug_factor=2,
+                         data_path=str(tmp_path / "data"), seed=0)
+    n = len(data)
+    for stray in (".DS_Store", "Thumbs.db", "notes.txt"):
+        with open(os.path.join(data.aug_image_path, stray), "w") as fh:
+            fh.write("junk")
+    assert len(data) == n
+    data[n - 1]  # every dense index still loads
+    with pytest.raises(IndexError):
+        data[n]

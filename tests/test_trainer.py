@@ -73,6 +73,13 @@ def test_trainer_resume(tmp_path, rng):
     t2.start()
     meta = checkpoint.peek(os.path.join(out, "model.ckpt"))
     assert meta["has_opt_state"]
+    # the resume APPENDED to the metric history instead of truncating it
+    # (round-4 review finding): one header + both runs' epoch rows
+    lines = [ln for ln in
+             (tmp_path / "out" / "metrics.csv").read_text().splitlines() if ln]
+    assert lines[0].startswith("epoch")
+    assert sum(ln.startswith("epoch") for ln in lines) == 1
+    assert len(lines) == 3, lines
 
 
 def test_trainer_siam(tmp_path, rng):
