@@ -75,15 +75,46 @@ class _Storage:
 def _rebuild_tensor_v2(storage: _Storage, storage_offset, size, stride,
                        requires_grad=False, backward_hooks=None,
                        metadata=None) -> np.ndarray:
-    """``torch._utils._rebuild_tensor_v2`` equivalent → contiguous ndarray."""
+    """``torch._utils._rebuild_tensor_v2`` equivalent → contiguous ndarray.
+
+    ``size``/``stride``/``storage_offset`` come from the (untrusted) pickle,
+    and ``np.lib.stride_tricks.as_strided`` does **no** bounds checking — so
+    every element the strided view could touch is validated against the
+    storage extent first; a crafted checkpoint must not read out-of-bounds
+    process memory."""
     flat = storage.as_array()
+    storage_offset = int(storage_offset)
+    size = tuple(int(s) for s in size)
+    stride = tuple(int(s) for s in stride)
+    if storage_offset < 0 or len(stride) != len(size) or any(s < 0 for s in size):
+        raise ValueError(
+            f"corrupt tensor metadata: offset={storage_offset} size={size} "
+            f"stride={stride}")
     if not size:  # 0-d tensor
+        if storage_offset >= flat.size:
+            raise ValueError("corrupt tensor metadata: storage_offset beyond "
+                             f"storage ({storage_offset} >= {flat.size})")
         return flat[storage_offset].copy()
+    if 0 in size:  # empty tensor: no storage is touched
+        return np.empty(size, dtype=flat.dtype)
+    # extreme flat indices the view can reach (torch checkpoints only ever
+    # hold non-negative strides, but bound both directions anyway)
+    lo = hi = storage_offset
+    for n, st in zip(size, stride):
+        span = (n - 1) * st
+        if span >= 0:
+            hi += span
+        else:
+            lo += span
+    if lo < 0 or hi >= flat.size:
+        raise ValueError(
+            "corrupt or malicious tensor metadata: strided view spans flat "
+            f"indices [{lo}, {hi}] outside storage of {flat.size} elements")
     itemsize = flat.dtype.itemsize
     view = np.lib.stride_tricks.as_strided(
         flat[storage_offset:],
-        shape=tuple(int(s) for s in size),
-        strides=tuple(int(s) * itemsize for s in stride),
+        shape=size,
+        strides=tuple(s * itemsize for s in stride),
     )
     return np.ascontiguousarray(view)
 

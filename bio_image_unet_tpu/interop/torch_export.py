@@ -65,7 +65,11 @@ def variables_to_torch_state_dict(variables: dict, final_sequential: bool = True
             sd[f"output_layers.{name}.{leaf}"] = (
                 _kernel_to_torch(arr) if leaf == "weight" else arr
             )
-        elif block.startswith("up") and path[-1] in ("kernel", "bias"):
+        elif block.startswith("up") and len(path) == 2 and path[-1] in ("kernel", "bias"):
+            # Bare ConvTranspose blocks only (path == (block, leaf)).  The
+            # interpolation variants' ``up*_conv`` are ConvBlocks
+            # (multi_output_unet3d.py:68-70 → Sequential ``up1_conv.0.*``/
+            # ``.1.*``) and must fall through to the generic conv/bn mapping.
             leaf = "weight" if path[-1] == "kernel" else "bias"
             sd[f"{block}.{leaf}"] = (
                 _convt_kernel_to_torch(arr) if leaf == "weight" else arr

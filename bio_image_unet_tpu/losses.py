@@ -297,6 +297,28 @@ class BCEDiceLossProb(_Loss):
         )
 
 
+class BCEDiceLossProb3D(_Loss):
+    """Probability-space BCE+Dice with the 3D multi-output family's
+    parameterization: α/β weights 1/1 ('BCEDiceLoss') or 0/1 ('DiceLoss'),
+    per-sample dice, smooth 1.0 (reference multi_output_unet3d/train.py:150-153
+    → losses.py:81-116).
+
+    Documented divergence: the reference applies its logits-space losses to
+    outputs the model has already sigmoided (multi_output_unet3d.py:97-99,168)
+    — a double sigmoid.  Here the loss runs in probability space once, keeping
+    the intended formulation without the bug (see README, documented
+    divergences)."""
+
+    def __init__(self, alpha: float = 1.0, beta: float = 1.0):
+        self.alpha, self.beta = alpha, beta
+
+    def __call__(self, inputs, targets):
+        return bce_dice_loss(
+            inputs, targets, self.alpha, self.beta,
+            from_logits=False, smooth=1.0, per_sample=True,
+        )
+
+
 class logcoshDiceLoss(_Loss):
     def __init__(self, from_logits: bool = True):
         self.from_logits = from_logits
@@ -429,15 +451,29 @@ HEAD_LOSS_REGISTRY = {
     "BCEDiceTemporalLoss": lambda: BCEDiceTemporalLoss(from_logits=False),
 }
 
+# The 3D multi-output reference parameterizes its seg losses differently
+# (multi_output_unet3d/train.py:150-153): BCEDiceLoss(1,1)/DiceLoss=(0,1)
+# with per-sample dice and smooth 1.0, vs the 2D family's 0.5/0.5 global
+# dice with smooth 1e-5.  Everything else resolves identically (the
+# Tversky defaults match, and BCEDiceTemporalLoss already carries the 3D
+# formulation).
+HEAD_LOSS_REGISTRY_3D = {
+    **HEAD_LOSS_REGISTRY,
+    "BCEDiceLoss": lambda: BCEDiceLossProb3D(),
+    "DiceLoss": lambda: BCEDiceLossProb3D(alpha=0.0, beta=1.0),
+}
 
-def get_head_loss(name: str):
+
+def get_head_loss(name: str, family: str = "2d"):
     """Instantiate a per-head loss by its ``output_heads`` config name
-    (reference multi_output_unet/train.py:107-130)."""
+    (reference multi_output_unet/train.py:107-130; ``family='3d'`` applies
+    the multi_output_unet3d parameterization, train.py:150-153)."""
     if callable(name) and not isinstance(name, str):
         return name
-    if name not in HEAD_LOSS_REGISTRY:
-        raise ValueError(f'Loss "{name}" not defined! Available: {sorted(HEAD_LOSS_REGISTRY)}')
-    return HEAD_LOSS_REGISTRY[name]()
+    registry = HEAD_LOSS_REGISTRY_3D if family == "3d" else HEAD_LOSS_REGISTRY
+    if name not in registry:
+        raise ValueError(f'Loss "{name}" not defined! Available: {sorted(registry)}')
+    return registry[name]()
 
 
 def get_loss(name: str, **kwargs):

@@ -14,7 +14,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.blocks import ConvBlock, ConvTranspose, he_normal_leaky
+from ..ops.blocks import (ConvBlock, ConvTranspose, _torch_bias_uniform,
+                          he_normal_leaky)
 from ..ops.functional import max_pool
 
 
@@ -53,7 +54,12 @@ class Unet_v0(nn.Module):
         self.decode7 = _relu_block(nf)
         self.decode8 = _relu_block(nf)
         self.decode9 = _relu_block(1)
-        self.final = nn.Conv(1, (1, 1), padding="VALID", kernel_init=he_normal_leaky)
+        # fan_in 1: the last decode block narrows to a single channel; torch
+        # keeps its default U(±1/√fan_in) bias (init_weights re-inits weights
+        # only, utils/utils.py:76-78)
+        self.final = nn.Conv(1, (1, 1), padding="VALID",
+                             kernel_init=he_normal_leaky,
+                             bias_init=_torch_bias_uniform(1))
 
     def __call__(self, x, train: bool = False):
         e1 = self.encode1(x, train)
@@ -113,7 +119,12 @@ class BabyUnet(nn.Module):
         self.decode5 = _relu_block(nf)
         self.decode6 = _relu_block(nf)
         self.decode7 = _relu_block(1)
-        self.final = nn.Conv(1, (1, 1), padding="VALID", kernel_init=he_normal_leaky)
+        # fan_in 1: the last decode block narrows to a single channel; torch
+        # keeps its default U(±1/√fan_in) bias (init_weights re-inits weights
+        # only, utils/utils.py:76-78)
+        self.final = nn.Conv(1, (1, 1), padding="VALID",
+                             kernel_init=he_normal_leaky,
+                             bias_init=_torch_bias_uniform(1))
 
     def __call__(self, x, train: bool = False):
         e1 = self.encode1(x, train)

@@ -18,13 +18,17 @@ from typing import Dict, Optional, Tuple, Union
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.blocks import VGGBlock, he_normal_leaky
+from ..ops.blocks import VGGBlock, _torch_bias_uniform, he_normal_leaky
 from ..ops.functional import max_pool, upsample_linear
 from .unet2d import apply_activation
 
 
-def _head_conv(channels: int) -> nn.Conv:
-    return nn.Conv(channels, (1, 1), padding="VALID", kernel_init=he_normal_leaky)
+def _head_conv(channels: int, in_ch: int) -> nn.Conv:
+    # torch keeps its default U(±1/√fan_in) bias on the 1×1 heads (the
+    # reference's init_weights re-inits weights only, utils/utils.py:76-78)
+    return nn.Conv(channels, (1, 1), padding="VALID",
+                   kernel_init=he_normal_leaky,
+                   bias_init=_torch_bias_uniform(in_ch))
 
 
 class MultiOutputNestedUNet(nn.Module):
@@ -73,10 +77,10 @@ class MultiOutputNestedUNet(nn.Module):
         if self.deep_supervision:
             for name, cfg in self.heads.items():
                 for level in range(1, L + 1):
-                    heads[f"{name}_{level}"] = _head_conv(cfg["channels"])
+                    heads[f"{name}_{level}"] = _head_conv(cfg["channels"], nb[0])
         else:
             for name, cfg in self.heads.items():
-                heads[name] = _head_conv(cfg["channels"])
+                heads[name] = _head_conv(cfg["channels"], nb[0])
         self.output_layers = heads
 
     def __call__(self, x, train: bool = False):

@@ -22,7 +22,8 @@ from typing import Dict, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.blocks import AttentionBlock, ConvBlock, ConvTranspose, he_normal_leaky
+from ..ops.blocks import (AttentionBlock, ConvBlock, ConvTranspose,
+                          _torch_bias_uniform, he_normal_leaky)
 from ..ops.functional import depthwise_xcorr, max_pool
 
 
@@ -106,16 +107,21 @@ class UNet2DBase(nn.Module):
             self.attention2 = AttentionBlock(2 * nf)
             self.attention3 = AttentionBlock(nf)
             self.attention4 = AttentionBlock(max(nf // 2, 1))
-        # output: single final 1×1 conv or per-head 1×1 convs
+        # output: single final 1×1 conv or per-head 1×1 convs.  torch keeps
+        # its default U(±1/√fan_in) bias here (the reference's init_weights
+        # re-inits weights only, utils/utils.py:76-78); fan_in = nf (d8 width)
         if self.heads is None:
             self.final = nn.Conv(
                 self.out_channels, (1, 1), padding="VALID",
-                kernel_init=he_normal_leaky, name="final",
+                kernel_init=he_normal_leaky,
+                bias_init=_torch_bias_uniform(nf), name="final",
             )
         else:
             self.output_layers = {
                 name: nn.Conv(
-                    cfg["channels"], (1, 1), padding="VALID", kernel_init=he_normal_leaky
+                    cfg["channels"], (1, 1), padding="VALID",
+                    kernel_init=he_normal_leaky,
+                    bias_init=_torch_bias_uniform(nf),
                 )
                 for name, cfg in self.heads.items()
             }

@@ -21,7 +21,8 @@ from typing import Dict, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.blocks import ConvBlock, ConvTranspose, he_normal_leaky
+from ..ops.blocks import (ConvBlock, ConvTranspose, _torch_bias_uniform,
+                          he_normal_leaky)
 from ..ops.functional import downsample_nearest, max_pool, upsample_linear, upsample_nearest
 from .unet2d import apply_activation
 
@@ -56,8 +57,12 @@ class UNet3D(nn.Module):
         self.decode4 = ConvBlock(2 * nf, dtype=self.dtype)
         self.decode5 = ConvBlock(nf, dtype=self.dtype)
         self.decode6 = ConvBlock(nf // 2, dtype=self.dtype)
+        # torch keeps its default U(±1/√fan_in) bias on the final 1×1×1
+        # (init_weights re-inits weights only); fan_in = nf//2 (decode6 width)
         self.final = nn.Conv(
-            self.out_channels, (1, 1, 1), padding="VALID", kernel_init=he_normal_leaky
+            self.out_channels, (1, 1, 1), padding="VALID",
+            kernel_init=he_normal_leaky,
+            bias_init=_torch_bias_uniform(nf // 2),
         )
 
     def __call__(self, x, train: bool = False):
@@ -127,7 +132,9 @@ class MultiOutputUnet3D(nn.Module):
         self.decode6 = ConvBlock(nf // 2, dtype=self.dtype)
         self.output_layers = {
             name: nn.Conv(
-                cfg["channels"], (1, 1, 1), padding="VALID", kernel_init=he_normal_leaky
+                cfg["channels"], (1, 1, 1), padding="VALID",
+                kernel_init=he_normal_leaky,
+                bias_init=_torch_bias_uniform(nf // 2),
             )
             for name, cfg in self.heads.items()
         }

@@ -74,6 +74,14 @@ class TorchBatchNorm(nn.Module):
             var = jnp.mean(jnp.square(x), axis=reduction_axes) - jnp.square(mean)
             if not self.is_initializing():
                 n = x.size / features
+                if n <= 1:
+                    # torch raises "Expected more than 1 value per channel
+                    # when training" — the unbiased update below would write
+                    # inf/NaN into the running stats silently
+                    raise ValueError(
+                        "TorchBatchNorm requires more than 1 value per "
+                        f"channel in training mode, got {int(n)} "
+                        f"(input shape {x.shape})")
                 m = self.momentum
                 ra_mean.value = (1 - m) * ra_mean.value + m * mean
                 ra_var.value = (1 - m) * ra_var.value + m * var * (n / (n - 1))
@@ -210,18 +218,23 @@ class AttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, gate, skip_connection, train: bool = False):
-        def conv1x1(features, name):
+        def conv1x1(features, name, in_ch):
+            # torch's Conv2d keeps its default U(±1/√fan_in) bias here —
+            # the reference's init_weights re-inits only weights
+            # (utils/utils.py:76-78), so bias parity needs the uniform init
             return nn.Conv(
                 features, (1, 1), padding="VALID",
-                kernel_init=he_normal_leaky, name=name,
+                kernel_init=he_normal_leaky,
+                bias_init=_torch_bias_uniform(in_ch), name=name,
             )
 
-        g1 = conv1x1(self.n_coefficients, "W_gate_conv")(gate)
+        g1 = conv1x1(self.n_coefficients, "W_gate_conv", gate.shape[-1])(gate)
         g1 = TorchBatchNorm(name="W_gate_bn")(g1, use_running_average=not train)
-        x1 = conv1x1(self.n_coefficients, "W_x_conv")(skip_connection)
+        x1 = conv1x1(self.n_coefficients, "W_x_conv",
+                     skip_connection.shape[-1])(skip_connection)
         x1 = TorchBatchNorm(name="W_x_bn")(x1, use_running_average=not train)
         psi = nn.relu(g1 + x1)
-        psi = conv1x1(1, "psi_conv")(psi)
+        psi = conv1x1(1, "psi_conv", self.n_coefficients)(psi)
         psi = TorchBatchNorm(name="psi_bn")(psi, use_running_average=not train)
         psi = nn.sigmoid(psi)
         return skip_connection * psi

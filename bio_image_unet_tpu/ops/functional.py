@@ -104,8 +104,9 @@ def depthwise_xcorr(embed_curr, embed_prev, precision=None):
     feature_group_count=B·C, which XLA maps onto the MXU.
 
     Both inputs are (B, H, W, C) channels-last; output is (B, H, W, C).
-    Note torch 'same' padding for even kernels puts the extra pad *low*
-    ((k-1)//2 before, k//2 after) — matched here.
+    Note torch 'same' padding for even kernels puts the extra pad *after*
+    ((k-1)//2 before, k//2 after) — matched here, and verified against
+    F.conv2d(padding='same') in tests/test_ops_parity.py.
     """
     b, h, w, c = embed_curr.shape
     kb, kh, kw, kc = embed_prev.shape

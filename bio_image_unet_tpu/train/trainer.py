@@ -227,8 +227,15 @@ class Trainer:
 
         # --- losses ---
         if self.multi_output:
+            # the 3D multi-output reference parameterizes 'BCEDiceLoss'/
+            # 'DiceLoss' differently from the 2D family
+            # (multi_output_unet3d/train.py:150-153) — pick by model family
+            from ..models.unet3d import MultiOutputUnet3D as _MO3D
+
+            head_family = "3d" if isinstance(self.model, _MO3D) else "2d"
             self.head_losses = {
-                name: get_head_loss(cfg["loss"]) for name, cfg in self.output_heads.items()
+                name: get_head_loss(cfg["loss"], family=head_family)
+                for name, cfg in self.output_heads.items()
             }
             self.head_weights = {
                 name: cfg.get("weight", 1.0) for name, cfg in self.output_heads.items()

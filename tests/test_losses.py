@@ -164,6 +164,58 @@ def test_smooth_l1(rng):
     close(L.smooth_l1_loss(j(a), j(b)), torch.nn.SmoothL1Loss()(t(a), t(b)))
 
 
+def test_head_loss_3d_family(rng):
+    """The 3D multi-output reference parameterizes 'BCEDiceLoss'/'DiceLoss'
+    as BCEDiceLoss(1,1)/(0,1) with per-sample dice and smooth 1.0
+    (multi_output_unet3d/train.py:150-153), unlike the 2D family's 0.5/0.5
+    global-dice smooth-1e-5 convention.  Golden: the reference 3D loss on
+    logits whose sigmoid equals our probabilities (the reference's
+    double-sigmoid is the documented divergence — see MIGRATION.md)."""
+    ref_3d = load_ref_module("multi_output_unet3d/losses.py", "ref_mo3d_losses")
+    probs = rng.random((2, 1, 4, 8, 8)).astype(np.float32) * 0.98 + 0.01
+    tg = (rng.random((2, 1, 4, 8, 8)) > 0.5).astype(np.float32)
+    logits = np.log(probs / (1.0 - probs))  # sigmoid(logits) == probs
+    for name, ref_loss in [("BCEDiceLoss", ref_3d.BCEDiceLoss(1, 1)),
+                           ("DiceLoss", ref_3d.BCEDiceLoss(0, 1))]:
+        ours = L.get_head_loss(name, family="3d")
+        assert isinstance(ours, L.BCEDiceLossProb3D)
+        close(ours(j(probs), j(tg)), ref_loss(t(logits), t(tg)), rtol=1e-4)
+    # the 2D family keeps the multi_output convention
+    assert isinstance(L.get_head_loss("BCEDiceLoss"), L.BCEDiceLossProb)
+    assert isinstance(L.get_head_loss("BCEDiceLoss", family="3d"),
+                      L.BCEDiceLossProb3D)
+
+
+def test_trainer_binds_3d_head_loss_family(tmp_path):
+    """Trainer resolves head losses with the 3D parameterization for
+    MultiOutputUnet3D and the 2D one for MultiOutputUnet."""
+    from bio_image_unet_tpu.train.trainer import Trainer
+
+    def _ds(shape):
+        class _DS:
+            dim_out = None
+
+            def __len__(self):
+                return 4
+
+            def __getitem__(self, i):
+                img = np.zeros(shape, np.float32)
+                return {"image": img, "seg": np.zeros(shape, np.float32)}
+
+        return _DS()
+
+    heads = {"seg": {"channels": 1, "activation": "sigmoid",
+                     "loss": "BCEDiceLoss"}}
+    tr3d = Trainer(_ds((8, 16, 16, 1)), num_epochs=1, network="MultiOutputUnet3D",
+                   output_heads=heads, n_filter=4, batch_size=1,
+                   val_split=0.0, save_dir=str(tmp_path))
+    assert isinstance(tr3d.head_losses["seg"], L.BCEDiceLossProb3D)
+    tr2d = Trainer(_ds((16, 16, 1)), num_epochs=1, network="MultiOutputUnet",
+                   output_heads=heads, n_filter=4, batch_size=1,
+                   val_split=0.0, save_dir=str(tmp_path))
+    assert isinstance(tr2d.head_losses["seg"], L.BCEDiceLossProb)
+
+
 def test_registry():
     loss = L.get_loss("BCEDice", alpha=1.0, beta=1.0)
     assert isinstance(loss, L.BCEDiceLoss)

@@ -161,6 +161,47 @@ def test_batchnorm_torch_semantics(rng):
     np.testing.assert_allclose(np.asarray(out_eval), ref_eval, rtol=1e-4, atol=1e-5)
 
 
+def test_batchnorm_single_value_per_channel_raises(rng):
+    """torch raises 'Expected more than 1 value per channel when training';
+    the unbiased n/(n-1) update would otherwise write inf into the running
+    var silently (regression)."""
+    module = TorchBatchNorm()
+    x = jnp.asarray(rng.standard_normal((1, 1, 1, 5)).astype(np.float32))
+    variables = module.init(jax.random.PRNGKey(0), x, use_running_average=False)
+    with pytest.raises(ValueError, match="more than 1 value per channel"):
+        module.apply(variables, x, use_running_average=False,
+                     mutable=["batch_stats"])
+
+
+def test_torch_default_bias_init_on_gates_and_heads():
+    """The reference's init_weights re-inits conv *weights* only
+    (utils/utils.py:76-78), so torch's default U(±1/√fan_in) biases survive —
+    attention-gate 1×1 convs and the final/head 1×1 convs must not start at
+    flax's zero default (regression: fresh-training init parity)."""
+    from bio_image_unet_tpu.models import AttentionUnet, MultiOutputUnet3D
+    from bio_image_unet_tpu.ops.blocks import AttentionBlock
+
+    blk = AttentionBlock(n_coefficients=8)
+    v = blk.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 16)),
+                 jnp.zeros((1, 8, 8, 16)))
+    for name, fan_in in [("W_gate_conv", 16), ("W_x_conv", 16), ("psi_conv", 8)]:
+        b = np.asarray(v["params"][name]["bias"])
+        bound = 1.0 / np.sqrt(fan_in)
+        assert np.any(b != 0.0), f"{name} bias is zero-initialized"
+        assert np.all(np.abs(b) <= bound + 1e-7), name
+
+    m = AttentionUnet(n_filter=8)
+    v = m.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 1)))
+    b = np.asarray(v["params"]["final"]["bias"])
+    assert np.any(b != 0.0) and np.all(np.abs(b) <= 1.0 / np.sqrt(8) + 1e-7)
+
+    heads = {"seg": {"channels": 1, "activation": "sigmoid"}}
+    m3 = MultiOutputUnet3D(n_filter=8, output_heads=heads)
+    v3 = m3.init(jax.random.PRNGKey(2), jnp.zeros((1, 8, 16, 16, 1)))
+    b3 = np.asarray(v3["params"]["output_layers_seg"]["bias"])
+    assert np.any(b3 != 0.0) and np.all(np.abs(b3) <= 1.0 / np.sqrt(4) + 1e-7)
+
+
 def test_conv_block_vs_torch_sequential(rng):
     """Full block: Conv(k3,pad=dil,dil) + BN + LeakyReLU(0.1), eval mode."""
     for dilation in (1, 2):

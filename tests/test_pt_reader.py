@@ -3,6 +3,7 @@ safety, and end-to-end checkpoint.load('.pt') with torch blocked."""
 
 import builtins
 import importlib.util
+import io
 import pickle
 
 import numpy as np
@@ -97,6 +98,63 @@ def test_malicious_pickle_never_reaches_unrestricted_torch_load(tmp_path):
     with pytest.raises(DisallowedGlobalError, match="not allowed"):
         checkpoint.load(path)
     assert not marker.exists(), "malicious pickle payload was EXECUTED"
+
+
+def test_oob_tensor_metadata_rejected(tmp_path):
+    """SECURITY: a crafted checkpoint whose tensor size/stride/offset span
+    more elements than its storage holds must be rejected, not silently
+    materialized — as_strided does no bounds checking, so unvalidated
+    metadata reads out-of-bounds process memory."""
+    import zipfile
+
+    import torch
+
+    class EvilTensor:
+        def __init__(self, size, stride, offset=0):
+            self.size, self.stride, self.offset = size, stride, offset
+
+        def __reduce__(self):
+            return (torch._utils._rebuild_tensor_v2,
+                    (_StorageRef(), self.offset, self.size, self.stride,
+                     False, None))
+
+    class _StorageRef:
+        pass
+
+    class _Pickler(pickle.Pickler):
+        def persistent_id(self, obj):
+            if isinstance(obj, _StorageRef):
+                # 4-element float32 storage; the view claims far more
+                return ("storage", torch.FloatStorage, "0", "cpu", 4)
+            return None
+
+    for size, stride, offset in [
+        ((10**6,), (1,), 0),        # shape alone exceeds storage
+        ((2, 2), (100, 1), 0),      # stride walks past the end
+        ((4,), (1,), 2),            # offset + extent exceeds storage
+        ((2,), (-3,), 0),           # negative stride walks below the start
+        ((), (), 4),                # 0-d offset beyond storage
+    ]:
+        buf = io.BytesIO()
+        _Pickler(buf).dump({"w": EvilTensor(size, stride, offset)})
+        path = str(tmp_path / "oob.pt")
+        with zipfile.ZipFile(path, "w") as zf:
+            zf.writestr("archive/data.pkl", buf.getvalue())
+            zf.writestr("archive/data/0", b"\x00" * 16)  # 4 float32s
+            zf.writestr("archive/version", "3")
+        with pytest.raises(ValueError, match="corrupt|bounds|beyond"):
+            read_pt(path)
+
+    # sanity: in-bounds metadata through the same writer still loads
+    buf = io.BytesIO()
+    _Pickler(buf).dump({"w": EvilTensor((2, 2), (2, 1), 0)})
+    path = str(tmp_path / "ok.pt")
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("archive/data.pkl", buf.getvalue())
+        zf.writestr("archive/data/0", np.arange(4, dtype=np.float32).tobytes())
+        zf.writestr("archive/version", "3")
+    out = read_pt(path)
+    np.testing.assert_array_equal(out["w"], [[0.0, 1.0], [2.0, 3.0]])
 
 
 def test_unsafe_opt_in_reachable_for_trusted_legacy_checkpoints(

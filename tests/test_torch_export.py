@@ -89,6 +89,48 @@ def test_export_unet3d_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(ours, np.moveaxis(theirs, 1, -1), atol=2e-5)
 
 
+def test_export_multi_output_unet3d_interpolation_roundtrip(tmp_path, rng):
+    """The interpolation variant's ``up{1,2,3}_conv`` are conv+BN Sequentials
+    (reference multi_output_unet3d.py:68-70), NOT bare ConvTransposes — the
+    exporter must emit ``up1_conv.0.*``/``up1_conv.1.*`` keys (regression:
+    the bare-ConvTranspose branch used to catch them, emitting
+    ``up1_conv.weight`` with the BN beta clobbering the conv bias)."""
+    import torch
+
+    from bio_image_unet_tpu.models import MultiOutputUnet3D
+
+    heads = {
+        "mask": {"channels": 1, "activation": "sigmoid"},
+        "flow": {"channels": 2, "activation": None},
+    }
+    model = MultiOutputUnet3D(n_filter=4, output_heads=heads,
+                              use_interpolation=True)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 16, 16, 1)))
+    sd = variables_to_torch_state_dict(variables)
+    assert "up1_conv.0.weight" in sd and "up1_conv.1.weight" in sd
+    assert "up1_conv.weight" not in sd
+
+    mod = _ref("multi_output_unet3d/multi_output_unet3d.py", "MultiOutputUnet3D")
+    net = mod.MultiOutputUnet3D(in_channels=1, output_heads=heads, n_filter=4,
+                                use_interpolation=True)
+    missing, unexpected = net.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=True,
+    )
+    assert not missing and not unexpected
+    net.eval()
+    x = rng.random((1, 8, 16, 16, 1)).astype(np.float32)
+    ours = model.apply(variables, jnp.asarray(x))
+    with torch.no_grad():
+        theirs = net(torch.from_numpy(np.moveaxis(x, -1, 1)))
+    for name in heads:
+        np.testing.assert_allclose(
+            np.asarray(ours[name]),
+            np.moveaxis(theirs[name].numpy(), 1, -1),
+            atol=2e-5,
+        )
+
+
 def test_export_siam_roundtrip(tmp_path, rng):
     import torch
 
