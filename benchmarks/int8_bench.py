@@ -7,7 +7,7 @@ ship/no-ship decision measurements for quant._MEASURED_INT8 (~1.15x rule,
 VERDICT r3 ask #2): set BIU_INT8_EXPERIMENTAL in-process so their engines
 build the int8 path regardless of the gate.
 
-Writes benchmarks/INT8_r04.json and prints one JSON line per family.  Each
+Writes benchmarks/INT8_r05.json and prints one JSON line per family.  Each
 leg times the SAME fused program path with `quantized=` toggled, device-
 resident inputs, forced sync (`jax.device_get` of one element — this
 runtime's `block_until_ready` does not reliably block).
@@ -34,7 +34,7 @@ from bio_image_unet_tpu.predict.predictor import _Engine
 from bio_image_unet_tpu.predict.tiling import _margin_factors, grid_starts
 
 NF = 32
-OUT = os.path.join(ROOT, "benchmarks", "INT8_r04.json")
+OUT = os.path.join(ROOT, "benchmarks", "INT8_r05.json")
 
 
 def _sync(t):

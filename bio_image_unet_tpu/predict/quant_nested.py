@@ -8,16 +8,19 @@ calibrated from the movie being predicted and passed as TRACED arguments,
 first conv (grid block (0,0) stage 1) and the 1×1 output heads kept in
 float.  The parts specific to the dense skip grid:
 
-- **Concats**: block x_{k,j} consumes j same-level predecessors plus one
-  upsampled deeper tensor, each carrying its own calibrated scale.  All
-  inputs are requantized to the shared concat scale max(s_1..s_{j+1})
-  before concatenation (exact int8→int8 rescale, same as the 2D decoder's
-  skip handling).
+- **Concats** (round-5 scale-folded formulation): block x_{k,j} consumes j
+  same-level predecessors plus one upsampled deeper tensor, each at its own
+  calibrated scale.  The per-partner scales are folded into the consuming
+  conv's kernel slices at ``make_variables`` time (calibration maxes are
+  concrete there), so partners concatenate as RAW int8 with no
+  full-resolution rescale passes.  (The round-4 shared-concat-scale
+  formulation requantized every partner to max(s_1..s_{j+1}) per cell and
+  measured 0.62× at cell level.)
 - **Bilinear upsampling** (align_corners=True, reference :73): linear
-  interpolation has no useful int8 formulation — the deeper tensor is
-  dequantized to f32, upsampled, and requantized at the concat scale.
-  Convex combinations cannot exceed the input's range, so the calibrated
-  deeper-site scale still bounds the upsampled values.
+  interpolation commutes with the scale (``up(q)·s = up(q·s)``), so the
+  deeper tensor is upsampled directly on its int8 VALUES in f32 and
+  rounded/clipped back at the SAME scale — convex combinations cannot
+  exceed the input's range.
 - **Backbone dilation** (per-level ``dilations``): carried through the int8
   convs via ``rhs_dilation`` with the fastpath's explicit padding geometry.
 
@@ -112,7 +115,21 @@ def build_int8_apply_nested(model, variables):
     """Return ``(apply_fn, make_variables)`` with the fastpath nested output
     contract: ``apply_fn(vars_tuple, x_norm) -> {head: activated}`` (eval
     mode emits only the deepest level under deep supervision, reference
-    multi_output_nested_unet.py:136-154)."""
+    multi_output_nested_unet.py:136-154).
+
+    Scale-folded formulation (round 5): weight quantization is DEFERRED to
+    ``make_variables`` — calibration maxes are concrete there — so each
+    conv's per-input-channel activation scales are folded into its float
+    kernel before per-output-channel int8 quantization
+    (``k'[..., c, o] = k[..., c, o] * s_in(c)``).  Consequences on the
+    dense grid: partner tensors concatenate as RAW int8 (no per-partner
+    full-resolution requant to a shared concat scale), the bilinear
+    upsample runs directly on the int8 values (linearity: ``up(q)*s =
+    up(q*s)``; convex combinations stay in-range, so the round/clip back
+    to the SAME scale is the only epilogue), and every dequant multiplier
+    collapses to the per-output-channel ``sw`` — this removes exactly the
+    per-cell requant/rescale traffic the round-4 probe blamed for 0.62×.
+    """
     folded = jax.tree_util.tree_map(np.asarray, fold_unet2d(variables))
     L = model.levels
     dil = model.dilations
@@ -122,25 +139,61 @@ def build_int8_apply_nested(model, variables):
     site_idx = {name: i for i, name in enumerate(sites)}
     order = _grid_order(L)
 
-    pack = _WeightPack()
-    for i, j in order:
-        blk = folded[f"grid_conv{i}_{j}"]
-        if (i, j) == (0, 0):
+    # per-cell output width (stage-2 kernel's out-channel count)
+    width = {(i, j): folded[f"grid_conv{i}_{j}"]["stage2"]["kernel"].shape[-1]
+             for i, j in order}
+
+    # conv specs: name -> (kernel, bias, [(site, n_channels), ...]) — the
+    # input-scale layout folded into the kernel at make_variables time
+    conv_specs = {}
+    for k, j in order:
+        blk = folded[f"grid_conv{k}_{j}"]
+        if (k, j) == (0, 0):
             # stage 1 of the input block stays float (same policy as the 2D
-            # path's encode1: <1% of FLOPs, avoids re-quantizing the input)
-            pack.float_layer("g0_0s1", blk["stage1"])
+            # path's encode1: <1% of FLOPs, avoids re-quantizing the
+            # normalized input)
+            pass
+        elif j == 0:
+            conv_specs[f"g{k}_0s1"] = (
+                blk["stage1"], [(f"g{k - 1}_0b", width[(k - 1, 0)])])
         else:
-            pack.quant_conv(f"g{i}_{j}s1", blk["stage1"])
-        pack.quant_conv(f"g{i}_{j}s2", blk["stage2"])
+            spec = [(f"g{k}_{jj}b", width[(k, jj)]) for jj in range(j)]
+            spec.append((f"g{k + 1}_{j - 1}b", width[(k + 1, j - 1)]))
+            conv_specs[f"g{k}_{j}s1"] = (blk["stage1"], spec)
+        conv_specs[f"g{k}_{j}s2"] = (
+            blk["stage2"], [(f"g{k}_{j}a", blk["stage2"]["kernel"].shape[-2])])
+
     head_layers = {name: (f"output_layers_{name}_{L}" if deep
                           else f"output_layers_{name}")
                    for name in heads}
-    for name, layer in head_layers.items():
-        pack.float_layer(layer, folded[layer])
-    i8_buf, f32_buf, lookups = pack.finish()
+
+    def _build_pack(scales):
+        """Quantize all kernels with input scales folded in (deterministic
+        insertion order ⇒ identical slot layout on every call)."""
+        pack = _WeightPack()
+        pack.float_layer("g0_0s1", folded["grid_conv0_0"]["stage1"])
+        for i, j in order:
+            for stage in ("s1", "s2"):
+                name = f"g{i}_{j}{stage}"
+                if name not in conv_specs:
+                    continue
+                kern, spec = conv_specs[name]
+                s_in = np.concatenate([
+                    np.full(n, scales[site_idx[site]], np.float32)
+                    for site, n in spec])
+                pack.quant_conv(name, {
+                    "kernel": np.asarray(kern["kernel"], np.float32)
+                    * s_in[:, None],
+                    "bias": kern["bias"]})
+        for name, layer in head_layers.items():
+            pack.float_layer(layer, folded[layer])
+        return pack.finish()
+
+    _, _, lookups = _build_pack(np.ones(len(sites), np.float32))
 
     def make_variables(act_maxes) -> tuple:
         scales = np.maximum(np.asarray(act_maxes, np.float32), 1e-8) / 127.0
+        i8_buf, f32_buf, _ = _build_pack(scales)
         return (i8_buf, f32_buf, jnp.asarray(scales))
 
     def apply_fn(vars_tuple, x):
@@ -152,48 +205,42 @@ def build_int8_apply_nested(model, variables):
         def sa(site):
             return s[site_idx[site]]
 
-        def qconv(x_q, s_in, name, s_out, d=1):
+        def qconv(x_q, name, s_out, d=1):
             y = lax.conv_general_dilated(
                 x_q, w8(name), (1, 1), [(d, d)] * 2, rhs_dilation=(d, d),
                 dimension_numbers=_DN, preferred_element_type=jnp.int32)
-            a = y.astype(jnp.float32) * (s_in * f32(f"{name}.sw")) \
+            a = y.astype(jnp.float32) * f32(f"{name}.sw") \
                 + f32(f"{name}.bias")
             return _requant(jax.nn.leaky_relu(a, 0.1), s_out)
 
-        def qvgg(x_q, s_in, i, j, d=1):
-            a = qconv(x_q, s_in, f"g{i}_{j}s1", sa(f"g{i}_{j}a"), d)
-            return qconv(a, sa(f"g{i}_{j}a"), f"g{i}_{j}s2",
-                         sa(f"g{i}_{j}b"), d)
+        def qvgg(x_q, i, j, d=1):
+            a = qconv(x_q, f"g{i}_{j}s1", sa(f"g{i}_{j}a"), d)
+            return qconv(a, f"g{i}_{j}s2", sa(f"g{i}_{j}b"), d)
 
-        # col[k][j] = (int8 tensor, its site scale)
+        # col[k][j] = int8 tensor at site scale g{k}_{j}b
         a = _conv(x.astype(jnp.bfloat16),
                   {"kernel": f32("g0_0s1.kernel"),
                    "bias": f32("g0_0s1.bias")}, dil[0])
         q = _requant(a.astype(jnp.float32), sa("g0_0a"))
-        q = qconv(q, sa("g0_0a"), "g0_0s2", sa("g0_0b"), dil[0])
-        col = {0: {0: (q, sa("g0_0b"))}}
+        col = {0: {0: qconv(q, "g0_0s2", sa("g0_0b"), dil[0])}}
         for i in range(1, L + 1):
             col.setdefault(i, {})
-            prev_q, _ = col[i - 1][0]
-            col[i][0] = (qvgg(_maxpool_i8(prev_q), col[i - 1][0][1],
-                              i, 0, dil[i]), sa(f"g{i}_0b"))
+            col[i][0] = qvgg(_maxpool_i8(col[i - 1][0]), i, 0, dil[i])
             for k in range(i - 1, -1, -1):
                 j = i - k
-                ins = [col[k][jj] for jj in range(j)]
-                up_q, up_s = col[k + 1][j - 1]
-                s_cat = up_s
-                for _, sc in ins:
-                    s_cat = jnp.maximum(s_cat, sc)
-                parts = [_requant(t.astype(jnp.float32) * sc, s_cat)
-                         for t, sc in ins]
-                upf = upsample_linear(up_q.astype(jnp.float32) * up_s, 2,
-                                      align_corners=True)
-                parts.append(_requant(upf, s_cat))
-                col[k][j] = (qvgg(jnp.concatenate(parts, axis=-1), s_cat,
-                                  k, j), sa(f"g{k}_{j}b"))
+                # raw int8 concat: each partner's scale is folded into the
+                # consuming conv's kernel slice; the upsample is linear, so
+                # interpolating the int8 VALUES and rounding back at the
+                # same scale is exact up to the 0.5-level rounding
+                upf = upsample_linear(
+                    col[k + 1][j - 1].astype(jnp.float32), 2,
+                    align_corners=True)
+                up_q = jnp.clip(jnp.round(upf), -127, 127).astype(jnp.int8)
+                parts = [col[k][jj] for jj in range(j)] + [up_q]
+                col[k][j] = qvgg(jnp.concatenate(parts, axis=-1), k, j)
 
-        qL, sL = col[0][L]
-        hd = (qL.astype(jnp.float32) * sL).astype(jnp.bfloat16)
+        hd = (col[0][L].astype(jnp.float32)
+              * sa(f"g0_{L}b")).astype(jnp.bfloat16)
         return {
             name: apply_activation(
                 _conv1x1(hd, {"kernel": f32(f"{head_layers[name]}.kernel"),

@@ -4,9 +4,11 @@ reproduce the single-device result (8-device virtual CPU mesh).
 Float compute compiled as a shard_map program and as a plain jit program may
 differ by 1 ULP (different batch shapes pick different conv schedules, so
 FMA ordering differs); at the final uint8 quantization a half-level boundary
-pixel can then round differently. `assert_mesh_parity` therefore allows at
-most ONE output level on <=0.1% of pixels for the float paths. int8 mesh
-parity stays bitwise-exact (integer math) — see tests/test_quant*.py."""
+pixel can then round differently. The canonical contract lives in
+`bio_image_unet_tpu.testing.assert_mesh_parity` (shared with
+`__graft_entry__.dryrun_multichip`): at most ONE output level on <=0.1% of
+pixels for the float paths. int8 mesh parity stays bitwise-exact (integer
+math) — see tests/test_quant*.py."""
 
 import numpy as np
 import pytest
@@ -18,26 +20,7 @@ from bio_image_unet_tpu import checkpoint
 from bio_image_unet_tpu.models import Unet
 from bio_image_unet_tpu.parallel import get_mesh
 from bio_image_unet_tpu.predict import Predict
-
-
-def assert_mesh_parity(sharded, single):
-    """Near-exact mesh-vs-single-chip equality for float-compute outputs.
-
-    Integer outputs: <=1 level difference on <=0.1% of pixels (a 1-ULP
-    float divergence crossing the quantization boundary). Float outputs:
-    <=2e-3 absolute (one fp16 ULP near 1.0) on <=0.1% of pixels.
-    """
-    sharded, single = np.asarray(sharded), np.asarray(single)
-    assert sharded.shape == single.shape and sharded.dtype == single.dtype
-    if np.issubdtype(single.dtype, np.integer):
-        diff = np.abs(sharded.astype(np.int64) - single.astype(np.int64))
-        tol = 1
-    else:
-        diff = np.abs(sharded.astype(np.float64) - single.astype(np.float64))
-        tol = 2e-3
-    assert diff.max() <= tol, f"max mesh divergence {diff.max()} > {tol}"
-    frac = np.mean(diff > 0)
-    assert frac <= 1e-3, f"{frac:.2%} of pixels diverge (allowed 0.1%)"
+from bio_image_unet_tpu.testing import assert_mesh_parity
 
 
 @pytest.fixture(scope="module")
