@@ -388,7 +388,7 @@ class _Engine:
                     from .quant import _INT8_MEASURED_RATIO, _int8_family
 
                     ratio = _INT8_MEASURED_RATIO[_int8_family(self.model)]
-                    verdict = ("measured SLOWER than bf16"
+                    verdict = (f"measured SLOWER than bf16 ({ratio:.2f}x)"
                                if ratio < 1.0 else
                                f"measured only {ratio:.2f}x over bf16, "
                                "below the ~1.15x ship bar")
@@ -396,7 +396,8 @@ class _Engine:
                         "quantized=True for this family has a full int8 "
                         f"implementation but its end-to-end pipeline "
                         f"{verdict} on the target chip (benchmarks/"
-                        "INT8_r04.json); set BIU_INT8_EXPERIMENTAL=1 to run "
+                        "INT8_r04.json, PROBE_NESTED_INT8.json); set "
+                        "BIU_INT8_EXPERIMENTAL=1 to run "
                         "int8 anyway — running the bf16 path instead",
                         stacklevel=3)
                 else:

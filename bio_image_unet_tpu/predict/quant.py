@@ -62,9 +62,10 @@ _DN = ("NHWC", "HWIO", "NHWC")
 # target chip (the ship rule, benchmarks/NOTES.md): these quantize whenever
 # the user passes quantized=True.  The round-4 decision legs
 # (benchmarks/INT8_r04.json, same-session fused-pipeline A/Bs) measured the
-# two remaining families BELOW the bar — UNet++ 0.892x (slower: the dense
-# grid's per-cell dequant/requant + rescale traffic outweighs the narrow-conv
-# MXU gain; cell probe 0.62x) and the 3D trunks 1.109x (a real but sub-bar
+# two remaining families BELOW the bar — UNet++ 0.892x (round-4 formulation;
+# the round-5 scale-folded rewrite removed the blamed requant traffic and
+# still measured 0.935x, benchmarks/PROBE_NESTED_INT8.json — the exclusion
+# is formulation-limited) and the 3D trunks 1.109x (a real but sub-bar
 # gain; forward-level 1.18x diluted by pipeline overhead) — so they stay
 # opt-in via BIU_INT8_EXPERIMENTAL=1 and otherwise warn + fall back to bf16.
 # The exclusion list is 100% measurement-backed.  'attention2d' (int8 trunk,
@@ -74,12 +75,13 @@ _DN = ("NHWC", "HWIO", "NHWC")
 _MEASURED_INT8 = frozenset({"unet2d", "attention2d"})
 
 # measured end-to-end int8/bf16 ratios per family (benchmarks/INT8_r04.json,
-# PROBE_ATTENTION_INT8.json; the 'unet2d' trunk ratio is the plain-2D leg —
-# Siam 1.353x and MultiOutput 1.252x share the trunk), quoted in the
-# fallback warning so a declined quantized=True explains itself with the
-# number that decided it
+# PROBE_ATTENTION_INT8.json, PROBE_NESTED_INT8.json — the nested ratio is
+# the round-5 scale-folded formulation's, its best; the 'unet2d' trunk
+# ratio is the plain-2D leg — Siam 1.353x and MultiOutput 1.252x share the
+# trunk), quoted in the fallback warning so a declined quantized=True
+# explains itself with the number that decided it
 _INT8_MEASURED_RATIO = {"unet2d": 1.257, "attention2d": 1.338,
-                        "nested": 0.892, "unet3d": 1.109}
+                        "nested": 0.935, "unet3d": 1.109}
 
 def _sites(mode):
     """Activation-scale sites in calibration-vector order.  Siamese 'concat'

@@ -24,16 +24,24 @@ float.  The parts specific to the dense skip grid:
 - **Backbone dilation** (per-level ``dilations``): carried through the int8
   convs via ``rhs_dilation`` with the fastpath's explicit padding geometry.
 
-Measurement verdict (round 4, benchmarks/INT8_r04.json): int8 UNet++
-measured **0.892× — SLOWER than bf16** end-to-end on the target chip
-(17.4 → 15.5 MP/s on the fused heads pipeline, device-resident), and the
-cell-level probe (benchmarks/probe_nested_int8.py) confirmed the mechanism
-at 0.62×: every dense-grid cell pays dequant→bilinear→requant plus
-per-partner concat rescales at full resolution, epilogue traffic that
-outweighs the narrow-conv MXU gain (1.37× at conv level).  The family
-therefore stays OUT of quant._MEASURED_INT8 — ``quantized=True`` warns and
-runs bf16; BIU_INT8_EXPERIMENTAL=1 forces int8 anyway (A/B reproduction,
-accuracy tests).
+Measurement verdict — FORMULATION-LIMITED, stays excluded:
+
+- Round 4 (shared-concat-scale formulation, benchmarks/INT8_r04.json):
+  **0.892×** end-to-end (17.4 → 15.5 MP/s on the fused heads pipeline,
+  device-resident); the cell probe (benchmarks/probe_nested_int8.py)
+  blamed the per-cell dequant→bilinear→requant + per-partner concat
+  rescales at 0.62× cell level.
+- Round 5 (THIS scale-folded formulation, with the blamed mechanism
+  removed — raw-int8 concats, same-scale upsample, zero full-res requant
+  passes; benchmarks/PROBE_NESTED_INT8.json): **0.935×** — still slower.
+  With the requant traffic gone, what remains is the architecture itself:
+  the dense x_{i,j} grid is dominated by nf=32-scale convs whose int8 MXU
+  gain (1.37× at conv level) cannot pay for the int8↔f32 boundary work at
+  the float first-conv/heads and the f32 epilogues.
+
+The family therefore stays OUT of quant._MEASURED_INT8 —
+``quantized=True`` warns and runs bf16; BIU_INT8_EXPERIMENTAL=1 forces
+int8 anyway (A/B reproduction, accuracy tests).
 
 Accuracy is platform-independent (integer math) and CPU-tested:
 tests/test_quant_families.py bounds int8-vs-bf16 head outputs.

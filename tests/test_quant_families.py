@@ -2,7 +2,8 @@
 predict/quant3d.py): UNet++ and the 3D trunks have full w8a8 implementations
 whose ACCURACY is platform-independent and tested here on CPU.  The round-4
 on-chip decision legs (benchmarks/INT8_r04.json) measured both BELOW the
-~1.15x end-to-end ship bar — UNet++ 0.892x (slower), 3D 1.109x — so they
+~1.15x end-to-end ship bar — UNet++ 0.935x at best (round-5 scale-folded
+formulation, PROBE_NESTED_INT8.json), 3D 1.109x — so they
 stay opt-in via BIU_INT8_EXPERIMENTAL=1 and warn otherwise, with the
 measured ratio quoted in the warning (the exclusion list is 100%
 measurement-backed, VERDICT r3 ask #2)."""
@@ -111,7 +112,8 @@ def test_quantized_nested_without_env_warns_and_runs_bf16(rng, tmp_path,
     kw = dict(max_patch_size=(48, 48), show_progress=False,
               device_pipeline=True)
     ref = PredictMultiOutput(movie, ck, **kw).result
-    # UNet++ int8 measured SLOWER (0.892x, INT8_r04.json) — the warning says so
+    # UNet++ int8 measured SLOWER (0.935x, PROBE_NESTED_INT8.json) — the
+    # warning says so
     with pytest.warns(UserWarning, match="SLOWER.*BIU_INT8_EXPERIMENTAL"):
         q = PredictMultiOutput(movie, ck, quantized=True, **kw)
     for head in ref:
