@@ -9,8 +9,9 @@ inference (config 5 ≙ unet3d/train.py, unet3d/predict.py:119-195).
 Each measurement pairs OUR number with the PyTorch reference run in place on
 this host's CPU at the SAME model/patch/batch configuration (the reference
 publishes no numbers — BASELINE.md).  Baselines are measured once and cached
-in FAMILY_BASELINE.json; results land in FAMILY_r04.json and are printed as
-one JSON line per config.
+in FAMILY_BASELINE.json; results land in FAMILY_r05.json (the round-4
+record stays pinned in FAMILY_r04.json) and are printed as one JSON line
+per config.
 
 Like bench.py, inference reports BOTH a device-resident number (movie/volume
 already in HBM, one-element sync — the chip's steady-state framework
@@ -35,7 +36,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 BASELINE_CACHE = os.path.join(ROOT, "benchmarks", "FAMILY_BASELINE.json")
-RESULTS = os.path.join(ROOT, "benchmarks", "FAMILY_r04.json")
+RESULTS = os.path.join(ROOT, "benchmarks", "FAMILY_r05.json")
 
 NF = 32  # all families at n_filter=32 (the reference's GPU-sizing guidance)
 

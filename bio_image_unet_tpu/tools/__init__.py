@@ -20,13 +20,26 @@ from .imageops import (
     generate_plain_image,
     threshold_images,
 )
-from .movie import extract_frames, tif_to_mp4
+from .movie import (
+    compare_videos_vstack,
+    create_zoomed_in_comparison,
+    crop_zoom,
+    extract_frames,
+    tif_to_mp4,
+)
 from .siam_inputs import (
     generate_coupled_image,
     generate_coupled_image_from_self,
     utilize_search_result,
 )
-from .sysinfo import cpu_count, device_test, get_info_file_header, md5sum, write_info_file
+from .sysinfo import (
+    cpu_count,
+    device_test,
+    get_info_file_header,
+    md5sum,
+    md5sum_folder,
+    write_info_file,
+)
 
 __all__ = [
     "ImageAnnotator",
@@ -41,6 +54,9 @@ __all__ = [
     "mse",
     "tif_to_mp4",
     "extract_frames",
+    "compare_videos_vstack",
+    "create_zoomed_in_comparison",
+    "crop_zoom",
     "average_tifs",
     "threshold_images",
     "generate_plain_image",
@@ -48,6 +64,7 @@ __all__ = [
     "device_test",
     "cpu_count",
     "md5sum",
+    "md5sum_folder",
     "get_info_file_header",
     "write_info_file",
 ]

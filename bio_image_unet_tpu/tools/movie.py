@@ -94,11 +94,29 @@ def compare_videos_vstack(inputs: Sequence[str], output: str) -> None:
     subprocess.run(cmd, check=True, capture_output=True)
 
 
-def crop_zoom(input_video, output_video, w: str, h: str, x: str, y: str) -> None:
-    """ffmpeg crop+scale-back zoom (reference util.py:39-43)."""
+def crop_zoom(input_video, output_video, w: str, h: str,
+              x: str = None, y: str = None) -> None:
+    """ffmpeg crop+scale-back zoom (reference util.py:39-43); ``x``/``y``
+    omitted crops centered, like the reference's ``zoom_in``."""
     ffmpeg = _require_ffmpeg()
+    crop = (f"crop={w}:{h}" if x is None or y is None
+            else f"crop={w}:{h}:{x}:{y}")
     subprocess.run(
         [ffmpeg, "-y", "-i", str(input_video), "-vf",
-         f"crop={w}:{h}:{x}:{y},scale=iw:ih", str(output_video)],
+         f"{crop},scale=iw:ih", str(output_video)],
         check=True, capture_output=True,
     )
+
+
+def create_zoomed_in_comparison(video1, video2, w: str, h: str,
+                                x: str = None, y: str = None,
+                                output: str = "compare.mp4") -> None:
+    """Crop the same region out of two videos and stack them vertically
+    (reference util.py:45-52, which wrote ``temp_*`` files into the CWD and
+    ``rm``'d them via the shell — here a private temp dir)."""
+    with tempfile.TemporaryDirectory() as td:
+        t1 = os.path.join(td, "zoom1.mp4")
+        t2 = os.path.join(td, "zoom2.mp4")
+        crop_zoom(video1, t1, w, h, x, y)
+        crop_zoom(video2, t2, w, h, x, y)
+        compare_videos_vstack([t1, t2], output)

@@ -43,6 +43,25 @@ def md5sum(path, chunk_size: int = 1 << 20) -> str:
     return h.hexdigest()
 
 
+def md5sum_folder(path) -> str:
+    """One digest for a whole directory tree (reference __md5sum__.py:16-21
+    pipes ``tar -cf - <dir> | md5sum``). Documented divergence: tar output
+    embeds mtimes/uids/ordering, so the reference's digest changes across
+    hosts for identical content — here the digest hashes the sorted relative
+    paths plus file contents, so equal trees always hash equal."""
+    h = hashlib.md5()
+    root = os.path.abspath(path)
+    entries = []
+    for dirpath, _dirnames, filenames in os.walk(root):
+        for name in filenames:
+            full = os.path.join(dirpath, name)
+            entries.append((os.path.relpath(full, root), full))
+    for rel, full in sorted(entries):
+        h.update(rel.encode("utf-8") + b"\0")
+        h.update(md5sum(full).encode("ascii") + b"\0")
+    return h.hexdigest()
+
+
 def get_info_file_header(job_name: str = "") -> str:
     """Experiment provenance header: host, time, scheduler job info if any
     (reference util.py:22-31 reads SLURM env vars)."""

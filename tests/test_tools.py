@@ -119,6 +119,18 @@ def test_sysinfo(tmp_path):
     p = tmp_path / "f.bin"
     p.write_bytes(b"hello")
     assert md5sum(str(p)) == "5d41402abc4b2a76b9719d911017c592"
+    # folder digest (reference __md5sum__.py:16-21): deterministic on
+    # content — equal trees hash equal, any content change flips it
+    from bio_image_unet_tpu.tools import md5sum_folder
+
+    d1, d2 = tmp_path / "d1", tmp_path / "d2"
+    for d in (d1, d2):
+        (d / "sub").mkdir(parents=True)
+        (d / "a.txt").write_bytes(b"alpha")
+        (d / "sub" / "b.txt").write_bytes(b"beta")
+    assert md5sum_folder(str(d1)) == md5sum_folder(str(d2))
+    (d2 / "sub" / "b.txt").write_bytes(b"BETA")
+    assert md5sum_folder(str(d1)) != md5sum_folder(str(d2))
     header = get_info_file_header("job")
     assert "host:" in header and "cpu_count:" in header
     write_info_file(str(tmp_path / "info.txt"), "job", extra="note")
@@ -147,3 +159,36 @@ def test_low_mem_streaming_helpers(tmp_path, rng):
         tiff.imwrite(str(tmp_path / f"{i}.tif"), f)
     gen = list(individual_tif_generator(tmp_path, 4))
     np.testing.assert_array_equal(np.stack(gen), frames)
+
+
+def test_movie_ffmpeg_commands(tmp_path, monkeypatch):
+    """ffmpeg isn't installed in CI — record the exact argv each export
+    helper would run (reference util.py:39-52 shells out unquoted; here
+    list-argv subprocess calls, no shell)."""
+    from bio_image_unet_tpu.tools import movie as movie_mod
+    from bio_image_unet_tpu.tools import (compare_videos_vstack,
+                                          create_zoomed_in_comparison,
+                                          crop_zoom)
+
+    calls = []
+    monkeypatch.setattr(movie_mod, "_require_ffmpeg", lambda: "ffmpeg")
+    monkeypatch.setattr(movie_mod.subprocess, "run",
+                        lambda cmd, **kw: calls.append(cmd))
+
+    crop_zoom("a.mp4", "z.mp4", "100", "80")          # centered crop
+    assert "crop=100:80,scale=iw:ih" in calls[-1]
+    crop_zoom("a.mp4", "z.mp4", "100", "80", "5", "7")
+    assert "crop=100:80:5:7,scale=iw:ih" in calls[-1]
+
+    compare_videos_vstack(["a.mp4", "b.mp4"], "out.mp4")
+    assert "vstack=inputs=2" in calls[-1]
+    with pytest.raises(ValueError):
+        compare_videos_vstack(["a.mp4"], "out.mp4")
+
+    calls.clear()
+    create_zoomed_in_comparison("a.mp4", "b.mp4", "64", "64",
+                                output=str(tmp_path / "cmp.mp4"))
+    # two crops into a private temp dir, then one vstack of those crops
+    assert len(calls) == 3
+    assert calls[0][-1] != calls[1][-1] and "vstack=inputs=2" in calls[2]
+    assert calls[2][calls[2].index("-i") + 1] == calls[0][-1]
