@@ -396,7 +396,8 @@ class _Engine:
                         "quantized=True for this family has a full int8 "
                         f"implementation but its end-to-end pipeline "
                         f"{verdict} on the target chip (benchmarks/"
-                        "INT8_r04.json, PROBE_NESTED_INT8.json); set "
+                        "PROBE_NESTED_INT8.json, "
+                        "PROBE_3D_VARIANTS_INT8.json); set "
                         "BIU_INT8_EXPERIMENTAL=1 to run "
                         "int8 anyway — running the bf16 path instead",
                         stacklevel=3)

@@ -60,28 +60,34 @@ _DN = ("NHWC", "HWIO", "NHWC")
 
 # Families whose int8 end-to-end pipeline MEASURED >= ~1.15x over bf16 on the
 # target chip (the ship rule, benchmarks/NOTES.md): these quantize whenever
-# the user passes quantized=True.  The round-4 decision legs
-# (benchmarks/INT8_r04.json, same-session fused-pipeline A/Bs) measured the
-# two remaining families BELOW the bar — UNet++ 0.892x (round-4 formulation;
-# the round-5 scale-folded rewrite removed the blamed requant traffic and
-# still measured 0.935x, benchmarks/PROBE_NESTED_INT8.json — the exclusion
-# is formulation-limited) and the 3D trunks 1.109x (a real but sub-bar
-# gain; forward-level 1.18x diluted by pipeline overhead) — so they stay
-# opt-in via BIU_INT8_EXPERIMENTAL=1 and otherwise warn + fall back to bf16.
-# The exclusion list is 100% measurement-backed.  'attention2d' (int8 trunk,
-# float gates) measured 1.338x end-to-end at the headline shapes
+# the user passes quantized=True.  'attention2d' (int8 trunk, float gates)
+# measured 1.338x end-to-end at the headline shapes
 # (benchmarks/PROBE_ATTENTION_INT8.json) and ships; dilated trunks measured
-# 1.333x (PROBE_DILATED_INT8.json) and ride 'unet2d'.
-_MEASURED_INT8 = frozenset({"unet2d", "attention2d"})
+# 1.333x (PROBE_DILATED_INT8.json) and ride 'unet2d'.  'unet3d' (the
+# DEFAULT ConvTranspose3d decoder) ships on the round-5 scale-folded
+# formulation's 1.162x (benchmarks/INT8_r05.json — the round-4
+# shared-concat-scale formulation measured 1.109x; folding the concat
+# partners' scales into the decode kernels recovered the requant traffic).
+# The decision legs measured everything else BELOW the bar — UNet++ 0.892x
+# round-4, 0.935x after the same scale-folded rewrite
+# (benchmarks/PROBE_NESTED_INT8.json — exclusion formulation-limited), and
+# the non-tconv 3D decoder variants 1.122x (UNet3D trilinear) / 1.116x
+# (MultiOutputUnet3D nearest+conv) (benchmarks/PROBE_3D_VARIANTS_INT8.json:
+# their up paths add non-MXU work the fold cannot remove) — so those stay
+# opt-in via BIU_INT8_EXPERIMENTAL=1 and otherwise warn + fall back to
+# bf16.  The exclusion list is 100% measurement-backed.
+_MEASURED_INT8 = frozenset({"unet2d", "attention2d", "unet3d"})
 
-# measured end-to-end int8/bf16 ratios per family (benchmarks/INT8_r04.json,
-# PROBE_ATTENTION_INT8.json, PROBE_NESTED_INT8.json — the nested ratio is
-# the round-5 scale-folded formulation's, its best; the 'unet2d' trunk
-# ratio is the plain-2D leg — Siam 1.353x and MultiOutput 1.252x share the
-# trunk), quoted in the fallback warning so a declined quantized=True
-# explains itself with the number that decided it
+# measured end-to-end int8/bf16 ratios per family (benchmarks/INT8_r05.json,
+# PROBE_ATTENTION_INT8.json, PROBE_NESTED_INT8.json,
+# PROBE_3D_VARIANTS_INT8.json — the nested/3D ratios are the round-5
+# scale-folded formulation's, their best; the 'unet2d' trunk ratio is the
+# plain-2D leg — Siam 1.353x and MultiOutput 1.252x share the trunk),
+# quoted in the fallback warning so a declined quantized=True explains
+# itself with the number that decided it
 _INT8_MEASURED_RATIO = {"unet2d": 1.257, "attention2d": 1.338,
-                        "nested": 0.935, "unet3d": 1.109}
+                        "nested": 0.935, "unet3d": 1.162,
+                        "unet3d_interp": 1.122, "multi_output_3d": 1.116}
 
 def _sites(mode):
     """Activation-scale sites in calibration-vector order.  Siamese 'concat'
@@ -118,8 +124,12 @@ def _int8_family(model):
     - ``'nested'`` — UNet++ (MultiOutputNestedUNet, both depths): the dense
       VGG grid in int8, shared-scale concats, bilinear upsampling on
       dequantized values (predict/quant_nested.py).
-    - ``'unet3d'`` — the 3-level volumetric trunks (UNet3D both decoder
-      styles, MultiOutputUnet3D): predict/quant3d.py.
+    - ``'unet3d'`` / ``'unet3d_interp'`` / ``'multi_output_3d'`` — the
+      3-level volumetric trunks (predict/quant3d.py), one key per DECODER
+      STYLE so each carries its own on-chip ship decision: UNet3D
+      ConvTranspose3d (the default; ships at 1.162x), UNet3D trilinear
+      ``use_interpolation=True`` (1.122x, experimental), MultiOutputUnet3D
+      nearest+conv (1.116x, experimental).
     """
     from ..models.nested_unet import MultiOutputNestedUNet
     from ..models.unet2d import UNet2DBase
@@ -138,8 +148,10 @@ def _int8_family(model):
         return None
     if isinstance(model, MultiOutputNestedUNet):
         return "nested"
-    if isinstance(model, (UNet3D, MultiOutputUnet3D)):
-        return "unet3d"
+    if isinstance(model, MultiOutputUnet3D):
+        return "multi_output_3d"
+    if isinstance(model, UNet3D):
+        return "unet3d_interp" if model.use_interpolation else "unet3d"
     return None
 
 
@@ -189,7 +201,7 @@ def int8_builders(model, variables):
 
         return (build_calibrator_nested(model, variables),
                 *build_int8_apply_nested(model, variables))
-    if family == "unet3d":
+    if family in ("unet3d", "unet3d_interp", "multi_output_3d"):
         from .quant3d import build_calibrator_3d, build_int8_apply_3d
 
         return (build_calibrator_3d(model, variables),

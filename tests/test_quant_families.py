@@ -1,12 +1,15 @@
 """int8 inference for the measurement-gated families (predict/quant_nested.py,
 predict/quant3d.py): UNet++ and the 3D trunks have full w8a8 implementations
-whose ACCURACY is platform-independent and tested here on CPU.  The round-4
-on-chip decision legs (benchmarks/INT8_r04.json) measured both BELOW the
-~1.15x end-to-end ship bar — UNet++ 0.935x at best (round-5 scale-folded
-formulation, PROBE_NESTED_INT8.json), 3D 1.109x — so they
-stay opt-in via BIU_INT8_EXPERIMENTAL=1 and warn otherwise, with the
-measured ratio quoted in the warning (the exclusion list is 100%
-measurement-backed, VERDICT r3 ask #2)."""
+whose ACCURACY is platform-independent and tested here on CPU.  The round-5
+on-chip decision legs split the ship decision per 3D decoder variant:
+UNet3D's default ConvTranspose3d decoder measured 1.162x with the
+scale-folded formulation and SHIPS (INT8_r05.json); UNet++ (0.935x at
+best, PROBE_NESTED_INT8.json), UNet3D trilinear (1.122x) and
+MultiOutputUnet3D (1.116x) (PROBE_3D_VARIANTS_INT8.json) measured BELOW
+the ~1.15x end-to-end bar, so those stay opt-in via
+BIU_INT8_EXPERIMENTAL=1 and warn otherwise, with the measured ratio quoted
+in the warning (the exclusion list is 100% measurement-backed, VERDICT r3
+ask #2)."""
 
 import jax.numpy as jnp
 import numpy as np
@@ -63,12 +66,19 @@ def test_int8_status_is_measurement_gated(monkeypatch):
     from bio_image_unet_tpu.models import Siam_UNet
 
     assert int8_status(Siam_UNet(n_filter=8, mode="corr")) is None
-    for m in (MultiOutputNestedUNet(n_filter=4), UNet3D(n_filter=8),
+    # round 5: the 3D ship decision is per DECODER VARIANT — the default
+    # ConvTranspose3d decoder cleared the bar (1.162x, INT8_r05.json)...
+    assert int8_status(UNet3D(n_filter=8)) == "enabled"
+    # ...while trilinear / nearest+conv / UNet++ measured below it
+    # (PROBE_3D_VARIANTS_INT8.json, PROBE_NESTED_INT8.json)
+    for m in (MultiOutputNestedUNet(n_filter=4),
+              UNet3D(n_filter=8, use_interpolation=True),
               MultiOutputUnet3D(n_filter=8)):
         assert int8_status(m) == "experimental"
         assert not supports_int8(m)
     monkeypatch.setenv("BIU_INT8_EXPERIMENTAL", "1")
-    for m in (MultiOutputNestedUNet(n_filter=4), UNet3D(n_filter=8),
+    for m in (MultiOutputNestedUNet(n_filter=4),
+              UNet3D(n_filter=8, use_interpolation=True),
               MultiOutputUnet3D(n_filter=8)):
         assert int8_status(m) == "enabled"
         assert supports_int8(m)
@@ -76,11 +86,14 @@ def test_int8_status_is_measurement_gated(monkeypatch):
 
 def test_quantized_3d_without_env_warns_and_runs_bf16(rng, tmp_path,
                                                       monkeypatch):
+    """The sub-bar 3D variant (trilinear, 1.122x) warns and falls back;
+    the default tconv decoder ships and must NOT warn (round-5 split)."""
     from bio_image_unet_tpu.models import UNet3D
 
     monkeypatch.delenv("BIU_INT8_EXPERIMENTAL", raising=False)
-    ck = _warmed_ckpt(tmp_path, UNet3D(n_filter=8),
-                      {"model_name": "UNet3D", "n_filter": 8},
+    ck = _warmed_ckpt(tmp_path, UNet3D(n_filter=8, use_interpolation=True),
+                      {"model_name": "UNet3D", "n_filter": 8,
+                       "use_interpolation": True},
                       (1, 16, 32, 32, 1))
     vol = _blob_volume(rng)
     kw = dict(resize_dim=(16, 32, 32), show_progress=False,
@@ -90,13 +103,24 @@ def test_quantized_3d_without_env_warns_and_runs_bf16(rng, tmp_path,
     # derived from the registry the warning itself formats (re-syncing the
     # ratio to a regenerated INT8 artifact must not break this test)
     import re
+    import warnings as _warnings
 
     from bio_image_unet_tpu.predict import quant
 
-    ratio = re.escape(f"{quant._INT8_MEASURED_RATIO['unet3d']:.2f}x")
+    ratio = re.escape(f"{quant._INT8_MEASURED_RATIO['unet3d_interp']:.2f}x")
     with pytest.warns(UserWarning, match=ratio + ".*BIU_INT8_EXPERIMENTAL"):
         q = Predict3D(vol, None, ck, quantized=True, **kw)
     assert np.array_equal(ref, q.result)  # identical — it really ran bf16
+
+    # the shipped tconv variant quantizes silently (no fallback warning)
+    ck_t = _warmed_ckpt(tmp_path, UNet3D(n_filter=8),
+                        {"model_name": "UNet3D", "n_filter": 8},
+                        (1, 16, 32, 32, 1))
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        Predict3D(vol, None, ck_t, quantized=True, **kw)
+    assert not [w for w in caught
+                if "BIU_INT8_EXPERIMENTAL" in str(w.message)]
 
 
 def test_quantized_nested_without_env_warns_and_runs_bf16(rng, tmp_path,
