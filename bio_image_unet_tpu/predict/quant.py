@@ -65,9 +65,11 @@ _DN = ("NHWC", "HWIO", "NHWC")
 # (benchmarks/PROBE_ATTENTION_INT8.json) and ships; dilated trunks measured
 # 1.333x (PROBE_DILATED_INT8.json) and ride 'unet2d'.  'unet3d' (the
 # DEFAULT ConvTranspose3d decoder) ships on the round-5 scale-folded
-# formulation's 1.162x (benchmarks/INT8_r05.json — the round-4
-# shared-concat-scale formulation measured 1.109x; folding the concat
-# partners' scales into the decode kernels recovered the requant traffic).
+# formulation — 1.162x on the decision run, 1.153x on the committed
+# round-close artifact benchmarks/INT8_r05.json (~1% session variance, at
+# the ~1.15x bar; the round-4 shared-concat-scale formulation measured
+# 1.109x — folding the concat partners' scales into the decode kernels
+# recovered the requant traffic).
 # The decision legs measured everything else BELOW the bar — UNet++ 0.892x
 # round-4, 0.935x after the same scale-folded rewrite
 # (benchmarks/PROBE_NESTED_INT8.json — exclusion formulation-limited), and
@@ -86,7 +88,7 @@ _MEASURED_INT8 = frozenset({"unet2d", "attention2d", "unet3d"})
 # quoted in the fallback warning so a declined quantized=True explains
 # itself with the number that decided it
 _INT8_MEASURED_RATIO = {"unet2d": 1.257, "attention2d": 1.338,
-                        "nested": 0.935, "unet3d": 1.162,
+                        "nested": 0.935, "unet3d": 1.153,
                         "unet3d_interp": 1.122, "multi_output_3d": 1.116}
 
 def _sites(mode):
@@ -127,7 +129,7 @@ def _int8_family(model):
     - ``'unet3d'`` / ``'unet3d_interp'`` / ``'multi_output_3d'`` — the
       3-level volumetric trunks (predict/quant3d.py), one key per DECODER
       STYLE so each carries its own on-chip ship decision: UNet3D
-      ConvTranspose3d (the default; ships at 1.162x), UNet3D trilinear
+      ConvTranspose3d (the default; ships at 1.153x), UNet3D trilinear
       ``use_interpolation=True`` (1.122x, experimental), MultiOutputUnet3D
       nearest+conv (1.116x, experimental).
     """

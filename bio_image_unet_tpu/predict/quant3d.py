@@ -33,12 +33,14 @@ Measurement verdict (round 5, per decoder variant — each variant is its
 own quant._int8_family key so each carries its own ship decision):
 
 - **UNet3D ConvTranspose3d (the default)**: the scale-folded formulation
-  measured **1.162×** end-to-end (58.1 → 67.5 Mvox/s, device-resident,
-  fused volume pipeline at the config-5 geometry) — above the ~1.15× ship
-  bar, so it SHIPS (``quantized=True`` quantizes).  The round-4
-  shared-concat-scale formulation had measured 1.109× (INT8_r04.json);
-  folding the concat partners' scales into the decode kernels recovered
-  the per-level full-volume skip-requant traffic.
+  measured **1.153×** end-to-end on the committed round-close artifact
+  (58.4 → 67.4 Mvox/s, benchmarks/INT8_r05.json; 1.162× on the in-session
+  decision run — ~1% session variance), device-resident, fused volume
+  pipeline at the config-5 geometry — at the ~1.15× ship bar, so it SHIPS
+  (``quantized=True`` quantizes).  The round-4 shared-concat-scale
+  formulation had measured 1.109× (INT8_r04.json); folding the concat
+  partners' scales into the decode kernels recovered the per-level
+  full-volume skip-requant traffic.
 - **UNet3D trilinear** (``use_interpolation=True``): 1.122× and
   **MultiOutputUnet3D** (nearest+conv): 1.116×
   (benchmarks/PROBE_3D_VARIANTS_INT8.json) — real gains but below the

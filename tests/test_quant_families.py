@@ -2,7 +2,7 @@
 predict/quant3d.py): UNet++ and the 3D trunks have full w8a8 implementations
 whose ACCURACY is platform-independent and tested here on CPU.  The round-5
 on-chip decision legs split the ship decision per 3D decoder variant:
-UNet3D's default ConvTranspose3d decoder measured 1.162x with the
+UNet3D's default ConvTranspose3d decoder measured 1.153x with the
 scale-folded formulation and SHIPS (INT8_r05.json); UNet++ (0.935x at
 best, PROBE_NESTED_INT8.json), UNet3D trilinear (1.122x) and
 MultiOutputUnet3D (1.116x) (PROBE_3D_VARIANTS_INT8.json) measured BELOW
@@ -67,7 +67,7 @@ def test_int8_status_is_measurement_gated(monkeypatch):
 
     assert int8_status(Siam_UNet(n_filter=8, mode="corr")) is None
     # round 5: the 3D ship decision is per DECODER VARIANT — the default
-    # ConvTranspose3d decoder cleared the bar (1.162x, INT8_r05.json)...
+    # ConvTranspose3d decoder cleared the bar (1.153x, INT8_r05.json)...
     assert int8_status(UNet3D(n_filter=8)) == "enabled"
     # ...while trilinear / nearest+conv / UNet++ measured below it
     # (PROBE_3D_VARIANTS_INT8.json, PROBE_NESTED_INT8.json)
