@@ -8,29 +8,37 @@
 # benchmarks/LASTGOOD.json first so a later crash still leaves a good
 # record, then the per-family legs).
 #
+# The pinned log benchmarks/tpu_round5_runs.log is itself a quoted
+# artifact (CLAUDE.md artifact-quoting rule), so the run writes to a
+# scratch file and only replaces the pinned log after every step has
+# finished — an aborted run leaves the committed record untouched
+# (scratch kept at $LOG.inprogress for debugging).
+#
 # Run ALONE on this 1-core host — never while pytest occupies the core or
 # the tunnel timings become garbage (CLAUDE.md).
 set -u
 cd "$(dirname "$0")/.."
 LOG=benchmarks/tpu_round5_runs.log
-: > "$LOG"
+TMPLOG=$LOG.inprogress
+: > "$TMPLOG"
 
 gate() {
-  echo "=== GATE $* at $(date -u +%H:%M:%S) ===" | tee -a "$LOG"
-  timeout "$1" "${@:2}" >> "$LOG" 2>&1
+  echo "=== GATE $* at $(date -u +%H:%M:%S) ===" | tee -a "$TMPLOG"
+  timeout "$1" "${@:2}" >> "$TMPLOG" 2>&1
   rc=$?
-  echo "--- rc=$rc ---" | tee -a "$LOG"
+  echo "--- rc=$rc ---" | tee -a "$TMPLOG"
   if [ "$rc" -ne 0 ]; then
-    echo "ABORT: gate '${*:2}' failed (rc=$rc) — no artifacts refreshed" | tee -a "$LOG"
-    tail -30 "$LOG"
+    echo "ABORT: gate '${*:2}' failed (rc=$rc) — no artifacts refreshed" \
+      | tee -a "$TMPLOG"
+    tail -30 "$TMPLOG"
     exit "$rc"
   fi
 }
 
 run() {
-  echo "=== $* at $(date -u +%H:%M:%S) ===" | tee -a "$LOG"
-  timeout "$1" "${@:2}" >> "$LOG" 2>&1
-  echo "--- rc=$? ---" | tee -a "$LOG"
+  echo "=== $* at $(date -u +%H:%M:%S) ===" | tee -a "$TMPLOG"
+  timeout "$1" "${@:2}" >> "$TMPLOG" 2>&1
+  echo "--- rc=$? ---" | tee -a "$TMPLOG"
 }
 
 # 1) correctness gates (CPU; abort on red)
@@ -42,8 +50,9 @@ run 1500 python bench.py
 run 2400 python benchmarks/family_bench.py
 run 2400 python benchmarks/int8_bench.py
 
-echo "done at $(date -u +%H:%M:%S)" | tee -a "$LOG"
+echo "done at $(date -u +%H:%M:%S)" | tee -a "$TMPLOG"
+mv "$TMPLOG" "$LOG"
 tail -5 "$LOG"
-# NB: re-running regenerates the PINNED artifacts this log represents — doc
-# quotes (README/PARITY/NOTES) must be re-synced to the fresh numbers
-# afterward (artifact-quoting rule).
+# NB: completing this run regenerates the PINNED artifacts this log
+# represents — doc quotes (README/PARITY/NOTES) must be re-synced to the
+# fresh numbers afterward (artifact-quoting rule).

@@ -84,10 +84,12 @@ _MEASURED_INT8 = frozenset({"unet2d", "attention2d", "unet3d"})
 # PROBE_ATTENTION_INT8.json, PROBE_NESTED_INT8.json,
 # PROBE_3D_VARIANTS_INT8.json — the nested/3D ratios are the round-5
 # scale-folded formulation's, their best; the 'unet2d' trunk ratio is the
-# plain-2D leg — Siam 1.353x and MultiOutput 1.252x share the trunk),
+# plain-2D leg — Siam 1.219x and MultiOutput 1.274x share the trunk),
 # quoted in the fallback warning so a declined quantized=True explains
-# itself with the number that decided it
-_INT8_MEASURED_RATIO = {"unet2d": 1.257, "attention2d": 1.338,
+# itself with the number that decided it.
+# tests/test_quant_families.py::test_ratio_registry_matches_artifacts pins
+# every value to its committed artifact field.
+_INT8_MEASURED_RATIO = {"unet2d": 1.268, "attention2d": 1.338,
                         "nested": 0.935, "unet3d": 1.153,
                         "unet3d_interp": 1.122, "multi_output_3d": 1.116}
 

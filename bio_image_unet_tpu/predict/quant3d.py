@@ -245,15 +245,22 @@ def build_int8_apply_3d(model, variables):
             pack.float_layer(lyr, folded[lyr])
         return pack.finish()
 
-    _, _, lookups = _build_pack(np.ones(len(sites), np.float32))
+    # Slot lookups come from the first REAL pack build: _build_pack's
+    # insertion order is deterministic (identical layout every call), and
+    # the engine always runs make_variables (calibration,
+    # predictor._finish_int8_calibration) before apply_fn is traced — so a
+    # dry init-time build, which would quantize and device-upload the whole
+    # weight set a second time just to learn the layout, is skipped.
+    _lookups = []
 
     def make_variables(act_maxes) -> tuple:
         scales = np.maximum(np.asarray(act_maxes, np.float32), 1e-8) / 127.0
-        i8_buf, f32_buf, _ = _build_pack(scales)
+        i8_buf, f32_buf, lk = _build_pack(scales)
+        _lookups[:] = [lk]
         return (i8_buf, f32_buf, jnp.asarray(scales))
 
     def apply_fn(vars_tuple, x):
-        w8, f32 = lookups(vars_tuple)
+        w8, f32 = _lookups[0](vars_tuple)
         s = vars_tuple[2]
 
         def sa(site):

@@ -197,17 +197,23 @@ def build_int8_apply_nested(model, variables):
             pack.float_layer(layer, folded[layer])
         return pack.finish()
 
-    _, _, lookups = _build_pack(np.ones(len(sites), np.float32))
+    # Slot lookups come from the first REAL pack build (deterministic
+    # insertion order ⇒ identical layout every call); make_variables always
+    # runs before apply_fn is traced (predictor._finish_int8_calibration),
+    # so the old dry init-time build — a second full quantize+upload just
+    # to learn the layout — is skipped.
+    _lookups = []
 
     def make_variables(act_maxes) -> tuple:
         scales = np.maximum(np.asarray(act_maxes, np.float32), 1e-8) / 127.0
-        i8_buf, f32_buf, _ = _build_pack(scales)
+        i8_buf, f32_buf, lk = _build_pack(scales)
+        _lookups[:] = [lk]
         return (i8_buf, f32_buf, jnp.asarray(scales))
 
     def apply_fn(vars_tuple, x):
         from ..models.unet2d import apply_activation
 
-        w8, f32 = lookups(vars_tuple)
+        w8, f32 = _lookups[0](vars_tuple)
         s = vars_tuple[2]
 
         def sa(site):

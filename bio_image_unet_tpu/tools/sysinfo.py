@@ -45,20 +45,32 @@ def md5sum(path, chunk_size: int = 1 << 20) -> str:
 
 def md5sum_folder(path) -> str:
     """One digest for a whole directory tree (reference __md5sum__.py:16-21
-    pipes ``tar -cf - <dir> | md5sum``). Documented divergence: tar output
+    pipes ``tar -cf - <dir> | md5sum``). Documented divergences: tar output
     embeds mtimes/uids/ordering, so the reference's digest changes across
     hosts for identical content — here the digest hashes the sorted relative
-    paths plus file contents, so equal trees always hash equal."""
+    paths plus entry contents, so equal trees always hash equal. Like tar,
+    symlinks are hashed by their target string (a dangling link is an entry,
+    not an error) and empty directories are entries too, so trees differing
+    only by an empty subdir or a retargeted link hash differently."""
     h = hashlib.md5()
     root = os.path.abspath(path)
     entries = []
-    for dirpath, _dirnames, filenames in os.walk(root):
+    for dirpath, dirnames, filenames in os.walk(root):
+        if dirpath != root and not dirnames and not filenames:
+            entries.append((os.path.relpath(dirpath, root) + "/", None))
         for name in filenames:
             full = os.path.join(dirpath, name)
             entries.append((os.path.relpath(full, root), full))
     for rel, full in sorted(entries):
         h.update(rel.encode("utf-8") + b"\0")
-        h.update(md5sum(full).encode("ascii") + b"\0")
+        if full is None:  # empty directory entry
+            h.update(b"dir\0")
+        elif os.path.islink(full):
+            h.update(b"link:" + os.readlink(full).encode("utf-8",
+                                                         "surrogateescape")
+                     + b"\0")
+        else:
+            h.update(md5sum(full).encode("ascii") + b"\0")
     return h.hexdigest()
 
 

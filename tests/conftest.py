@@ -51,6 +51,7 @@ _QUICK = (
     "test_model_parity.py::test_unet_parity",
     "test_pt_reader.py::test_read_pt_matches_torch_load",
     "test_sharded_inference.py::test_unet_whole_frame_halo_sharded",
+    "test_quant_families.py::test_ratio_registry_matches_artifacts",
 )
 
 

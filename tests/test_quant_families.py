@@ -49,6 +49,38 @@ def _blob_volume(rng, d=24, h=48, w=48):
     return np.clip(vol, 0, 255).astype(np.uint8)
 
 
+def test_ratio_registry_matches_artifacts():
+    """The 'exclusion list is 100% measurement-backed' claim, executable:
+    every `_INT8_MEASURED_RATIO` value equals the speedup recorded in its
+    committed decision artifact, and `_MEASURED_INT8` (the ship set) is
+    exactly the families at/above the ~1.15x end-to-end bar."""
+    import json
+    import os
+
+    from bio_image_unet_tpu.predict import quant
+
+    root = os.path.join(os.path.dirname(__file__), "..", "benchmarks")
+
+    def art(name):
+        with open(os.path.join(root, name)) as fh:
+            return json.load(fh)
+
+    r05 = art("INT8_r05.json")
+    v3d = art("PROBE_3D_VARIANTS_INT8.json")
+    expected = {
+        "unet2d": r05["2d_unet"]["speedup"],
+        "attention2d": art("PROBE_ATTENTION_INT8.json")["speedup"],
+        "nested": art("PROBE_NESTED_INT8.json")["speedup"],
+        "unet3d": r05["unet3d"]["speedup"],
+        "unet3d_interp": v3d["trilinear_unet3d"]["speedup"],
+        "multi_output_3d": v3d["multi_output_unet3d"]["speedup"],
+    }
+    assert quant._INT8_MEASURED_RATIO == pytest.approx(expected, abs=1e-9)
+    bar = 1.15
+    assert quant._MEASURED_INT8 == frozenset(
+        k for k, v in expected.items() if v >= bar - 1e-9)
+
+
 def test_int8_status_is_measurement_gated(monkeypatch):
     from bio_image_unet_tpu.models import (
         MultiOutputNestedUNet,
@@ -268,6 +300,51 @@ def test_quantized_3d_mesh_matches_single_device(rng, tmp_path, monkeypatch):
     single = Predict3D(vol, None, ck, **kw).result
     sharded = Predict3D(vol, None, ck, mesh=get_mesh(), **kw).result
     assert np.array_equal(single, sharded)
+
+
+def test_quantized_3d_trilinear_mesh_matches_single_device(rng, tmp_path,
+                                                           monkeypatch):
+    """The trilinear (use_interpolation=True) int8 graph keeps one float
+    stage — upsample_linear on the int8 VALUES in f32 — but its scale-2
+    align_corners=False weights are dyadic rationals on |v|<=127 inputs, so
+    every partial sum is exact in f32 and the round() back to int8 has no
+    rounding freedom: the documented bitwise-across-layouts int8 contract
+    (README 'Cross-layout determinism') must hold for this opt-in variant
+    too, not just the shipped tconv decoder."""
+    from bio_image_unet_tpu.models import UNet3D
+    from bio_image_unet_tpu.parallel import get_mesh
+
+    monkeypatch.setenv("BIU_INT8_EXPERIMENTAL", "1")
+    ck = _warmed_ckpt(tmp_path, UNet3D(n_filter=8, use_interpolation=True),
+                      {"model_name": "UNet3D", "n_filter": 8,
+                       "use_interpolation": True}, (1, 16, 32, 32, 1))
+    vol = _blob_volume(rng)
+    kw = dict(resize_dim=(16, 32, 32), show_progress=False, batch_size=8,
+              device_pipeline=True, quantized=True)
+    single = Predict3D(vol, None, ck, **kw).result
+    sharded = Predict3D(vol, None, ck, mesh=get_mesh(), **kw).result
+    assert np.array_equal(single, sharded)
+
+
+def test_quantized_mo3d_mesh_matches_single_device(rng, tmp_path,
+                                                   monkeypatch):
+    """Same exactness invariant for the MultiOutputUnet3D int8 path
+    (nearest-repeat up + int8 up-conv; float16 continuous heads)."""
+    from bio_image_unet_tpu.models import MultiOutputUnet3D
+    from bio_image_unet_tpu.parallel import get_mesh
+
+    monkeypatch.setenv("BIU_INT8_EXPERIMENTAL", "1")
+    ck = _warmed_ckpt(
+        tmp_path, MultiOutputUnet3D(n_filter=8, output_heads=HEADS),
+        {"model_name": "MultiOutputUnet3D", "n_filter": 8,
+         "output_heads": HEADS}, (1, 16, 32, 32, 1))
+    vol = _blob_volume(rng)
+    kw = dict(max_patch_size=(16, 32, 32), show_progress=False, batch_size=8,
+              device_pipeline=True, quantized=True)
+    single = PredictMultiOutput3D(vol, ck, **kw).result
+    sharded = PredictMultiOutput3D(vol, ck, mesh=get_mesh(), **kw).result
+    for head in single:
+        assert np.array_equal(single[head], sharded[head]), head
 
 
 def test_quantized_nested_mesh_matches_single_device(rng, tmp_path,

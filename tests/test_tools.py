@@ -131,6 +131,18 @@ def test_sysinfo(tmp_path):
     assert md5sum_folder(str(d1)) == md5sum_folder(str(d2))
     (d2 / "sub" / "b.txt").write_bytes(b"BETA")
     assert md5sum_folder(str(d1)) != md5sum_folder(str(d2))
+    # tar-like entry semantics: a dangling symlink is an entry (hashed by
+    # target string), not a crash; an empty subdir changes the digest
+    base = md5sum_folder(str(d1))
+    os.symlink("does/not/exist", d1 / "dangling")
+    with_link = md5sum_folder(str(d1))
+    assert with_link != base
+    os.remove(d1 / "dangling")
+    assert md5sum_folder(str(d1)) == base
+    (d1 / "empty").mkdir()
+    assert md5sum_folder(str(d1)) != base
+    (d1 / "empty").rmdir()
+    assert md5sum_folder(str(d1)) == base
     header = get_info_file_header("job")
     assert "host:" in header and "cpu_count:" in header
     write_info_file(str(tmp_path / "info.txt"), "job", extra="note")
